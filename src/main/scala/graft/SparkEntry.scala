@@ -1,13 +1,32 @@
 package graft
-import org.apache.spark.sql.{SparkSession, DataFrame}
-/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt. */
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Driver contract — see /root/repo/SURVEY.md §7 + the builder prompt.
+  *
+  * Queries are contributed by modules (each `Map[String, QueryDef]`);
+  * this object flattens them into the (name → build fn) and
+  * (name → oracle SQL) maps the driver consumes.
+  */
 object SparkEntry {
+
+  private def modules: Seq[Map[String, QueryDef]] = Seq(
+    _root_.graft.queries.Tpch.defs,
+    _root_.graft.queries.RefQueries.defs,
+  )
+
+  lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)
+
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =
-    spark.read.parquet("/root/testdata/sf0.001/lineitem.parquet").limit(1)
+    all("q3_shipping_priority").build(spark, "/root/testdata/sf0.001")
+
   /** One entry per implemented operator from SURVEY.md §2. */
-  def queries: Map[String, (SparkSession, String) => DataFrame] = Map()
+  def queries: Map[String, (SparkSession, String) => DataFrame] =
+    all.map { case (k, d) => k -> d.build }
+
   /** For each key in queries, equivalent ANSI SQL runnable by DuckDB on
     * the same parquet tables. Omit for non-SQL-expressible ops. */
-  def oracleSql: Map[String, String] = Map()
+  def oracleSql: Map[String, String] =
+    all.collect { case (k, QueryDef(_, Some(sql), _)) => k -> sql }
 }

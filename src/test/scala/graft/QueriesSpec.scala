@@ -1,0 +1,44 @@
+package graft
+
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Smoke + semantic checks for every registered query at sf0.001.
+  * The DuckDB value-level gate is driver-side; here we pin the
+  * structural contracts the oracle can't see (schema names, limits,
+  * non-emptiness of the flagship path).
+  */
+class QueriesSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Sessions.local(cores = 4, appName = "graft-test")
+  val sf = "/root/testdata/sf0.001"
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  test("every query builds and executes at sf0.001") {
+    SparkEntry.queries.foreach { case (name, fn) =>
+      val df = fn(spark, sf)
+      assert(df.columns.nonEmpty, s"$name has no columns")
+      val n = df.count()
+      assert(n >= 0, s"$name failed to execute")
+    }
+  }
+
+  test("oracleSql keys are a subset of queries") {
+    val qk = SparkEntry.queries.keySet
+    val missing = SparkEntry.oracleSql.keySet -- qk
+    assert(missing.isEmpty, s"oracle without query: $missing")
+  }
+
+  test("limit queries respect their page size") {
+    assert(SparkEntry.queries("ref_q3_message_page")(spark, sf).count() <= 50)
+    assert(SparkEntry.queries("ref_q7_logs_tail")(spark, sf).count() <= 100)
+    assert(SparkEntry.queries("ref_s7_latest_token")(spark, sf).count() == 1)
+  }
+
+  test("ref_l1 LWW dedup yields unique (user_id, event_type) keys") {
+    val df = SparkEntry.queries("ref_l1_upsert_lww")(spark, sf)
+    assert(df.count() == df.select("user_id", "event_type").distinct().count())
+  }
+}
