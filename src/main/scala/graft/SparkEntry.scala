@@ -13,6 +13,10 @@ object SparkEntry {
   private def modules: Seq[Map[String, QueryDef]] = Seq(
     _root_.graft.queries.Tpch.defs,
     _root_.graft.queries.RefQueries.defs,
+    _root_.graft.ext.TextStats.defs,
+    _root_.graft.ext.Dedup.defs,
+    _root_.graft.ext.Similarity.defs,
+    _root_.graft.ext.Multimodal.defs,
   )
 
   lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)

@@ -1,0 +1,233 @@
+package graft.ext
+
+import graft.{QueryDef, Tables}
+import graft.functions.VectorFunctions
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Deduplication operators over `documents`/`embeddings` — the core
+  * pre-training corpus cleanup family:
+  *
+  *  - exact:        hash-groupBy on normalized content (one shuffle on
+  *                  a 16-byte key; fully scalable)
+  *  - MinHash+LSH:  shingle → k min-hash signatures → band-bucket join.
+  *                  Candidate generation never compares all pairs: docs
+  *                  only meet when a band collides, so the join is
+  *                  shuffle-on-band-hash — the standard 100 TB recipe.
+  *  - n-gram Jaccard: 1-minhash blocking + exact Jaccard verification.
+  *  - SimHash:      60-bit sign-aggregated token hash; Hamming ranking.
+  *  - embedding cosine: near-dup by vector similarity (codegen'd
+  *                  Catalyst expression, see VectorFunctions).
+  *
+  * Hash determinism: every hash is md5 (identical in Spark and DuckDB);
+  * SimHash parses the first 15 md5 hex chars as a 60-bit integer —
+  * `conv(…,16,10)` in Spark, `('0x'||…)::UBIGINT` in DuckDB.
+  */
+object Dedup {
+
+  private val toksE = "split(trim(text), '\\\\s+')"
+  /** distinct word-3-gram shingles, exploded to (doc_id, sh) */
+  private def shingles(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksE))
+      .select($"doc_id", explode(expr(
+        "array_distinct(transform(sequence(0, size(toks)-3), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")).as("sh"))
+  }
+
+  /** DuckDB twin of [[shingles]] as a CTE body. */
+  private val shinglesSql = """
+    toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+    sh AS (SELECT doc_id, unnest(list_distinct(list_transform(
+             generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
+           FROM toks)"""
+
+  val defs: Map[String, QueryDef] = Map(
+    // ---- exact dedup: hash-groupBy, keep min id (LWW analog of the
+    // reference's ON CONFLICT upsert on the natural key, db.utils.ts:30-66).
+    // The union with a duplicated slice makes the group sizes non-trivial.
+    "dedup_exact" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val d = Tables.documents(s, dir)
+        val withDups = d.union(d.filter($"doc_id" % 10 === 0))
+        withDups
+          .groupBy(md5(lower(trim($"text"))).as("content_hash"))
+          .agg(count(lit(1)).as("n_copies"), min($"doc_id").as("keeper_id"))
+      },
+      oracle = Some("""
+        WITH u AS (SELECT * FROM documents
+                   UNION ALL SELECT * FROM documents WHERE doc_id % 10 = 0)
+        SELECT md5(lower(trim(text))) AS content_hash,
+               count(*) AS n_copies, min(doc_id) AS keeper_id
+        FROM u GROUP BY 1"""),
+      doc = "exact dedup: hash-groupBy + keeper selection"),
+
+    // ---- MinHash + LSH: 8 min-hash sigs, 8 one-row bands (high-recall
+    // config for a corpus with low pairwise similarity), candidates from
+    // band collisions, exact-Jaccard verification.
+    "dedup_minhash_lsh" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val sh = shingles(s, dir).cache()
+        val sigCols = (0 until 8).map(k =>
+          min(md5(concat_ws("|", lit(k), $"sh"))).as(s"h$k"))
+        val sigs = sh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+        val bands = sigs.select($"doc_id",
+          posexplode(array((0 until 8).map(k => col(s"h$k")): _*)).as(Seq("band", "h")))
+        val l = bands.select($"doc_id".as("a_id"), $"band", $"h")
+        val r = bands.select($"doc_id".as("b_id"), $"band", $"h")
+        val cand = l.join(r, Seq("band", "h"))
+          .filter($"a_id" < $"b_id")
+          .select($"a_id", $"b_id").distinct()
+        val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val shA = sh.select($"doc_id".as("a_id"), $"sh")
+        val shB = sh.select($"doc_id".as("b_id"), $"sh")
+        val inter = cand.join(shA, "a_id").join(shB, Seq("b_id", "sh"))
+          .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+        inter
+          .join(cnt.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+          .join(cnt.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+          .select($"a_id", $"b_id",
+            round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 4).as("jaccard"))
+          .filter($"jaccard" >= 0.01)
+      },
+      oracle = Some(s"""
+        WITH $shinglesSql,
+        seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+        sigs AS (SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS h
+                 FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                 FROM sigs x JOIN sigs y ON x.seed = y.seed AND x.h = y.h
+                 WHERE x.doc_id < y.doc_id),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a_id, b_id, count(*) AS inter
+                  FROM cand
+                  JOIN sh sa ON sa.doc_id = a_id
+                  JOIN sh sb ON sb.doc_id = b_id AND sb.sh = sa.sh
+                  GROUP BY 1, 2)
+        SELECT a_id, b_id,
+               round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 4) AS jaccard
+        FROM inter
+        JOIN cnt ca ON ca.doc_id = a_id
+        JOIN cnt cb ON cb.doc_id = b_id
+        WHERE round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 4) >= 0.01"""),
+      doc = "MinHash+LSH near-dedup: band-bucket candidates + Jaccard verify"),
+
+    // ---- n-gram Jaccard: block on the single global min-shingle hash
+    // (1-minhash blocking), rank the top-20 most similar pairs.
+    "dedup_ngram_jaccard" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val sh = shingles(s, dir).cache()
+        val minh = sh.groupBy($"doc_id").agg(min(md5($"sh")).as("block"))
+        val cand = minh.select($"doc_id".as("a_id"), $"block")
+          .join(minh.select($"doc_id".as("b_id"), $"block"), "block")
+          .filter($"a_id" < $"b_id")
+          .select($"a_id", $"b_id")
+        val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val inter = cand
+          .join(sh.select($"doc_id".as("a_id"), $"sh"), "a_id")
+          .join(sh.select($"doc_id".as("b_id"), $"sh"), Seq("b_id", "sh"))
+          .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+        inter
+          .join(cnt.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+          .join(cnt.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+          .select($"a_id", $"b_id",
+            round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 4).as("jaccard"))
+          .orderBy($"jaccard".desc, $"a_id".asc, $"b_id".asc)
+          .limit(20)
+      },
+      oracle = Some(s"""
+        WITH $shinglesSql,
+        minh AS (SELECT doc_id, min(md5(sh)) AS block FROM sh GROUP BY 1),
+        cand AS (SELECT x.doc_id AS a_id, y.doc_id AS b_id
+                 FROM minh x JOIN minh y ON x.block = y.block
+                 WHERE x.doc_id < y.doc_id),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a_id, b_id, count(*) AS inter
+                  FROM cand
+                  JOIN sh sa ON sa.doc_id = a_id
+                  JOIN sh sb ON sb.doc_id = b_id AND sb.sh = sa.sh
+                  GROUP BY 1, 2)
+        SELECT a_id, b_id,
+               round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 4) AS jaccard
+        FROM inter
+        JOIN cnt ca ON ca.doc_id = a_id
+        JOIN cnt cb ON cb.doc_id = b_id
+        ORDER BY jaccard DESC, a_id ASC, b_id ASC
+        LIMIT 20"""),
+      doc = "n-gram Jaccard near-dedup: 1-minhash blocking, top-20 pairs"),
+
+    // ---- SimHash: 60-bit sign-aggregated hash over distinct tokens,
+    // closest-20 pairs by Hamming distance.
+    "dedup_simhash" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val tok = Tables.documents(s, dir)
+          .withColumn("toks", expr(toksE))
+          .select($"doc_id", explode(array_distinct($"toks")).as("w"))
+          .withColumn("h", expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)"))
+        val bits = tok
+          .select($"doc_id", $"h", explode(expr("sequence(0, 59)")).as("b"))
+          .groupBy($"doc_id", $"b")
+          .agg(sum(when(expr("((h >> b) & 1) = 1"), 1).otherwise(-1)).as("v"))
+        val sim = bits.groupBy($"doc_id")
+          .agg(sum(when($"v" > 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("simhash"))
+        val a = sim.select($"doc_id".as("a_id"), $"simhash".as("ha"))
+        val b = sim.select($"doc_id".as("b_id"), $"simhash".as("hb"))
+        a.join(b, $"a_id" < $"b_id")
+          .select($"a_id", $"b_id",
+            expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
+          .orderBy($"hamming".asc, $"a_id".asc, $"b_id".asc)
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
+        tok AS (SELECT doc_id, unnest(list_distinct(t)) AS w FROM toks),
+        hashed AS (SELECT doc_id, CAST(('0x' || substr(md5(w), 1, 15))::UBIGINT AS BIGINT) AS h FROM tok),
+        bits AS (SELECT doc_id, b,
+                        sum(CASE WHEN ((h >> b) & 1) = 1 THEN 1 ELSE -1 END) AS v
+                 FROM hashed CROSS JOIN (SELECT unnest(generate_series(0, 59)) AS b) bb
+                 GROUP BY 1, 2),
+        sim AS (SELECT doc_id,
+                       CAST(sum(CASE WHEN v > 0 THEN (1::BIGINT << b) ELSE 0 END) AS BIGINT) AS simhash
+                FROM bits GROUP BY 1)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
+        FROM sim a JOIN sim b ON a.doc_id < b.doc_id
+        ORDER BY hamming ASC, a_id ASC, b_id ASC
+        LIMIT 20"""),
+      doc = "SimHash near-dedup: 60-bit sign-aggregate, Hamming top-20"),
+
+    // ---- embedding cosine near-dup: top-20 most similar vector pairs.
+    // Brute-force n² stays in whole-stage codegen via the native
+    // CosineSimilarity expression; at scale the LSH variant
+    // (Similarity.sim_lsh_bucket_topk) bounds the candidate set.
+    "dedup_embedding_cosine" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        VectorFunctions.register(s)
+        val e = Tables.embeddings(s, dir)
+        val a = e.select($"vec_id".as("a_id"), $"embedding".as("va"))
+        val b = e.select($"vec_id".as("b_id"), $"embedding".as("vb"))
+        a.join(b, $"a_id" < $"b_id")
+          .select($"a_id", $"b_id",
+            round(expr("cosine_sim(va, vb)"), 4).as("cos"))
+          .orderBy($"cos".desc, $"a_id".asc, $"b_id".asc)
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings)
+        SELECT a.vec_id AS a_id, b.vec_id AS b_id,
+               round(
+                 list_reduce(list_transform(list_zip(a.v, b.v), x -> x[1] * x[2]), (p, q) -> p + q)
+                 / (sqrt(list_reduce(list_transform(a.v, x -> x * x), (p, q) -> p + q))
+                    * sqrt(list_reduce(list_transform(b.v, x -> x * x), (p, q) -> p + q))), 4) AS cos
+        FROM e a JOIN e b ON a.vec_id < b.vec_id
+        ORDER BY cos DESC, a_id ASC, b_id ASC
+        LIMIT 20"""),
+      doc = "embedding near-dup: brute-force cosine via native codegen expression")
+  )
+}

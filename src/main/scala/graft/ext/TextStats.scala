@@ -1,0 +1,150 @@
+package graft.ext
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Text-analysis operators over the `documents` table: token counting,
+  * quality scoring, language-ID heuristic, and document fingerprinting.
+  * These are the per-document scoring passes of an LLM training-data
+  * pipeline — embarrassingly parallel scans with no shuffle, so they
+  * scale linearly with input size.
+  *
+  * Determinism: all ratios are integer÷integer double divisions
+  * (IEEE-identical across engines); formulas are written with identical
+  * operation order on both sides.
+  */
+object TextStats {
+
+  /** SQL fragment (Spark dialect): whitespace tokenization */
+  private val toksE = "split(trim(text), '\\\\s+')"
+
+  val defs: Map[String, QueryDef] = Map(
+    // token counting (whitespace tokenizer + distinct-type stats)
+    "txt_token_stats" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .withColumn("toks", expr(toksE))
+          .select(
+            $"doc_id",
+            size($"toks").as("n_tokens"),
+            length($"text").as("len_chars"),
+            size(array_distinct($"toks")).as("n_distinct"),
+            round(expr("aggregate(transform(toks, t -> length(t)), 0, (acc, x) -> acc + x)")
+              .cast("double") / size($"toks"), 4).as("avg_token_len"),
+            round(size(array_distinct($"toks")).cast("double") / size($"toks"), 4).as("ttr"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
+        SELECT doc_id,
+               len(toks) AS n_tokens,
+               length(text) AS len_chars,
+               len(list_distinct(toks)) AS n_distinct,
+               round(CAST(list_sum(list_transform(toks, t -> length(t))) AS DOUBLE) / len(toks), 4) AS avg_token_len,
+               round(CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks), 4) AS ttr
+        FROM t"""),
+      doc = "token counting: whitespace tokens, type-token ratio, avg token length"),
+
+    // quality scoring: length/repetition/stopword-profile composite
+    "txt_quality_score" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .withColumn("toks", expr(toksE))
+          .withColumn("n_tokens", size($"toks"))
+          .withColumn("n_stop", size(expr(
+            "filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))")))
+          .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_tokens")
+          .withColumn("rep_ratio",
+            lit(1.0) - size(array_distinct($"toks")).cast("double") / $"n_tokens")
+          .withColumn("len_score", least($"n_tokens".cast("double") / 200.0, lit(1.0)))
+          .select($"doc_id", $"n_tokens",
+            round($"stop_ratio", 4).as("stop_ratio"),
+            round($"rep_ratio", 4).as("rep_ratio"),
+            round(lit(0.5) * $"len_score" + lit(0.3) * (lit(1.0) - $"rep_ratio") +
+              lit(0.2) * (lit(1.0) - abs($"stop_ratio" - 0.1)), 4).as("quality"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        m AS (SELECT doc_id,
+                     len(toks) AS n_tokens,
+                     CAST(len(list_filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(toks) AS stop_ratio,
+                     1.0 - CAST(len(list_distinct(toks)) AS DOUBLE) / len(toks) AS rep_ratio,
+                     least(CAST(len(toks) AS DOUBLE) / 200.0, 1.0) AS len_score
+              FROM t)
+        SELECT doc_id, n_tokens,
+               round(stop_ratio, 4) AS stop_ratio,
+               round(rep_ratio, 4) AS rep_ratio,
+               round(0.5 * len_score + 0.3 * (1.0 - rep_ratio) + 0.2 * (1.0 - abs(stop_ratio - 0.1)), 4) AS quality
+        FROM m"""),
+      doc = "quality scoring: composite of length, repetition, stopword profile"),
+
+    // language-ID: marker-token n-gram heuristic with fixed tie precedence
+    "txt_lang_id" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .withColumn("toks", expr(toksE))
+          .withColumn("s_en", size(expr("filter(toks, t -> t IN ('the','a','and','of'))")))
+          .withColumn("s_fr", size(expr("filter(toks, t -> t IN ('le','la','les','et'))")))
+          .withColumn("s_de", size(expr("filter(toks, t -> t IN ('der','die','das','und'))")))
+          .withColumn("s_es", size(expr("filter(toks, t -> t IN ('el','los','las','y'))")))
+          .withColumn("pred_lang",
+            when($"s_en" + $"s_fr" + $"s_de" + $"s_es" === 0, "und")
+              .when($"s_en" >= $"s_fr" && $"s_en" >= $"s_de" && $"s_en" >= $"s_es", "en")
+              .when($"s_fr" >= $"s_de" && $"s_fr" >= $"s_es", "fr")
+              .when($"s_de" >= $"s_es", "de")
+              .otherwise("es"))
+          .select($"doc_id", $"pred_lang", $"lang",
+            ($"pred_lang" === $"lang").as("is_match"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, lang, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        sc AS (SELECT doc_id, lang,
+                      len(list_filter(toks, t -> t IN ('the','a','and','of'))) AS s_en,
+                      len(list_filter(toks, t -> t IN ('le','la','les','et'))) AS s_fr,
+                      len(list_filter(toks, t -> t IN ('der','die','das','und'))) AS s_de,
+                      len(list_filter(toks, t -> t IN ('el','los','las','y'))) AS s_es
+               FROM t)
+        SELECT doc_id,
+               CASE WHEN s_en + s_fr + s_de + s_es = 0 THEN 'und'
+                    WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                    WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                    WHEN s_de >= s_es THEN 'de'
+                    ELSE 'es' END AS pred_lang,
+               lang,
+               (CASE WHEN s_en + s_fr + s_de + s_es = 0 THEN 'und'
+                     WHEN s_en >= s_fr AND s_en >= s_de AND s_en >= s_es THEN 'en'
+                     WHEN s_fr >= s_de AND s_fr >= s_es THEN 'fr'
+                     WHEN s_de >= s_es THEN 'de'
+                     ELSE 'es' END) = lang AS is_match
+        FROM sc"""),
+      doc = "language-ID: marker-token heuristic, deterministic tie precedence"),
+
+    // document fingerprinting: content hash + min-shingle fingerprint
+    "txt_fingerprint" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .withColumn("norm", regexp_replace(lower(trim($"text")), "\\s+", " "))
+          .withColumn("toks", expr(toksE))
+          .select(
+            $"doc_id",
+            md5($"norm").as("content_md5"),
+            expr("array_min(transform(sequence(0, size(toks)-3), " +
+              "i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))")
+              .as("min_shingle_md5"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id,
+                          regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm,
+                          string_split_regex(trim(text), '\s+') AS toks
+                   FROM documents)
+        SELECT doc_id,
+               md5(norm) AS content_md5,
+               list_min(list_transform(generate_series(1, len(toks)-2),
+                        i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS min_shingle_md5
+        FROM t"""),
+      doc = "fingerprinting: normalized-content md5 + min word-3-gram shingle hash")
+  )
+}
