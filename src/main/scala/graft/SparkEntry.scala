@@ -13,6 +13,7 @@ object SparkEntry {
   private def modules: Seq[Map[String, QueryDef]] = Seq(
     _root_.graft.queries.Tpch.defs,
     _root_.graft.queries.RefQueries.defs,
+    _root_.graft.queries.Windows.defs,
     _root_.graft.ext.TextStats.defs,
     _root_.graft.ext.Dedup.defs,
     _root_.graft.ext.Similarity.defs,

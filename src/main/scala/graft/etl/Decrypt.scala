@@ -1,0 +1,77 @@
+package graft.etl
+
+import java.nio.charset.StandardCharsets
+import java.security.SecureRandom
+import javax.crypto.spec.{GCMParameterSpec, PBEKeySpec, SecretKeySpec}
+import javax.crypto.{Cipher, SecretKeyFactory}
+import java.util.Base64
+import org.apache.spark.sql.SparkSession
+
+/** E2EE layer (T8): PBKDF2-SHA512 key derivation + AES-GCM-256 payload
+  * crypto, exposed as deterministic Scala UDFs at the ingest edge.
+  *
+  * Parameters mirror the reference exactly (src/app/matrix/crypto.ts:
+  * 181-224: PBKDF2WithHmacSHA512, iterations from key info, 32-byte key;
+  * src/app/matrix/client.ts:348-371: 256-bit AES-GCM storage key).
+  * Crypto is I/O-adjacent, not relational, so a plain UDF (not a codegen
+  * Expression) is the right altitude — it runs once per encrypted event
+  * at the edge, never in an analytic hot path.
+  */
+object Decrypt {
+
+  val KeyLenBytes = 32 // crypto.ts:16 (32-byte key)
+  val GcmTagBits = 128
+  val GcmIvBytes = 12
+
+  /** PBKDF2-SHA512 (crypto.ts:202-211). */
+  def deriveKey(passphrase: String, salt: Array[Byte], iterations: Int): Array[Byte] = {
+    val spec = new PBEKeySpec(
+      passphrase.toCharArray, salt, iterations, KeyLenBytes * 8)
+    SecretKeyFactory.getInstance("PBKDF2WithHmacSHA512")
+      .generateSecret(spec).getEncoded
+  }
+
+  /** AES-GCM-256 encrypt; output = base64(iv ‖ ciphertext ‖ tag). */
+  def encrypt(plaintext: String, key: Array[Byte], iv: Array[Byte]): String = {
+    require(key.length == KeyLenBytes && iv.length == GcmIvBytes)
+    val cipher = Cipher.getInstance("AES/GCM/NoPadding")
+    cipher.init(Cipher.ENCRYPT_MODE, new SecretKeySpec(key, "AES"),
+      new GCMParameterSpec(GcmTagBits, iv))
+    val ct = cipher.doFinal(plaintext.getBytes(StandardCharsets.UTF_8))
+    Base64.getEncoder.encodeToString(iv ++ ct)
+  }
+
+  def encryptRandomIv(plaintext: String, key: Array[Byte]): String = {
+    val iv = new Array[Byte](GcmIvBytes)
+    new SecureRandom().nextBytes(iv)
+    encrypt(plaintext, key, iv)
+  }
+
+  /** AES-GCM-256 decrypt of base64(iv ‖ ct ‖ tag); None on auth failure
+    * (the reference records failures in the per-row `error` column —
+    * schema.ts:66 — rather than aborting the sync). */
+  def decrypt(payloadB64: String, key: Array[Byte]): Option[String] =
+    try {
+      val all = Base64.getDecoder.decode(payloadB64)
+      val iv = all.take(GcmIvBytes)
+      val ct = all.drop(GcmIvBytes)
+      val cipher = Cipher.getInstance("AES/GCM/NoPadding")
+      cipher.init(Cipher.DECRYPT_MODE, new SecretKeySpec(key, "AES"),
+        new GCMParameterSpec(GcmTagBits, iv))
+      Some(new String(cipher.doFinal(ct), StandardCharsets.UTF_8))
+    } catch { case _: Exception => None }
+
+  /** Register `decrypt_event(payload, passphrase, salt_b64, iterations)`
+    * and `derive_key_b64(passphrase, salt_b64, iterations)` UDFs. */
+  def register(spark: SparkSession): Unit = {
+    spark.udf.register("derive_key_b64",
+      (pass: String, saltB64: String, iterations: Int) =>
+        Base64.getEncoder.encodeToString(
+          deriveKey(pass, Base64.getDecoder.decode(saltB64), iterations)))
+    spark.udf.register("decrypt_event",
+      (payload: String, pass: String, saltB64: String, iterations: Int) => {
+        val key = deriveKey(pass, Base64.getDecoder.decode(saltB64), iterations)
+        decrypt(payload, key).orNull
+      })
+  }
+}

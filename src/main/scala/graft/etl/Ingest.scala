@@ -1,0 +1,96 @@
+package graft.etl
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+/** The reference's ingest transforms T1–T7 (SURVEY §2.2) as reusable
+  * DataFrame functions over the raw-event schema (Schemas.rawEvent).
+  *
+  * The reference applies these per-event inside EventEmitter callbacks
+  * (src/app/matrix/client.ts:259-284); here they are set-oriented column
+  * expressions, so the whole pipeline is one narrow (shuffle-free)
+  * projection Catalyst can fuse into a single codegen stage.
+  */
+object Ingest {
+
+  /** T1 — drop backfill/paginated events (client.ts:272-274). */
+  def dropBackfill(raw: DataFrame): DataFrame =
+    raw.filter(!col("to_start_of_timeline"))
+
+  /** T2 — keep only message events (client.ts:276). */
+  def onlyMessages(raw: DataFrame): DataFrame =
+    raw.filter(col("event_type") === "m.room.message")
+
+  /** T3 — event → messages-row projection (db.utils.ts:49-59).
+    * `id` is a deterministic surrogate (md5 of the natural key) rather
+    * than the reference's gen_random_uuid(), so reruns are idempotent. */
+  def projectMessage(raw: DataFrame): DataFrame =
+    raw.select(
+      md5(col("event_id")).as("id"),
+      col("event_id"),
+      col("room_id"),
+      col("sender"),
+      col("content"),
+      col("event_type"),
+      col("origin_server_ts").as("timestamp"),
+      col("is_encrypted"),
+      col("relates_to"),
+      col("error"),
+      current_timestamp().as("processed_at"))
+
+  /** T1+T2+T3 fused: the steady-state message ingest path (SURVEY §3 E2). */
+  def messagesFromRaw(raw: DataFrame): DataFrame =
+    projectMessage(onlyMessages(dropBackfill(raw)))
+
+  /** T4 — member projection with null-coalesce defaults
+    * (db.utils.ts:89-97,186-194). Input: member events
+    * (event_type = 'm.room.member', content JSON with displayname/
+    * avatar_url/membership). */
+  def projectParticipant(raw: DataFrame): DataFrame =
+    raw.filter(col("event_type") === "m.room.member").select(
+      col("sender").as("user_id"),
+      col("room_id"),
+      coalesce(get_json_object(col("content"), "$.displayname"), lit("")).as("display_name"),
+      coalesce(get_json_object(col("content"), "$.avatar_url"), lit("")).as("avatar_url"),
+      coalesce(get_json_object(col("content"), "$.membership"), lit("")).as("membership"),
+      col("origin_server_ts").as("joined_ts"),
+      current_timestamp().as("last_updated"),
+      current_timestamp().as("created_at"))
+
+  /** T5 — room-state extraction from state events (db.utils.ts:107-116):
+    * name/topic/avatar from their state events, is_encrypted from the
+    * existence of m.room.encryption, created_ts from m.room.create. */
+  def projectRooms(raw: DataFrame): DataFrame = {
+    val state = raw.filter(col("event_type").isin(
+      "m.room.name", "m.room.topic", "m.room.create",
+      "m.room.avatar", "m.room.encryption"))
+    state.groupBy(col("room_id")).agg(
+      coalesce(max(when(col("event_type") === "m.room.name",
+        get_json_object(col("content"), "$.name"))), lit("")).as("name"),
+      coalesce(max(when(col("event_type") === "m.room.topic",
+        get_json_object(col("content"), "$.topic"))), lit("")).as("topic"),
+      lit("join").as("membership"),
+      max(col("event_type") === "m.room.encryption").as("is_encrypted"),
+      coalesce(min(when(col("event_type") === "m.room.create",
+        col("origin_server_ts"))), lit(0L)).as("created_ts"),
+      coalesce(max(when(col("event_type") === "m.room.avatar",
+        get_json_object(col("content"), "$.url"))), lit("")).as("avatar_url"),
+      current_timestamp().as("last_updated"),
+      current_timestamp().as("created_at"))
+      .select("room_id", "name", "topic", "membership", "is_encrypted",
+        "created_ts", "avatar_url", "last_updated", "created_at")
+  }
+
+  /** T6 — user-id normalization regex (client.ts:151). */
+  def normalizeUserId(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    regexp_replace(c, "^(.+?):https://matrix\\.(.+)$", "$1:$2")
+
+  /** T7 — homeserver domain from a user id (db.utils.ts:233). */
+  def userDomain(c: org.apache.spark.sql.Column): org.apache.spark.sql.Column =
+    split(c, ":").getItem(1)
+
+  /** Error-channel routing (schema.ts:66): quarantine split. */
+  def quarantine(messages: DataFrame): (DataFrame, DataFrame) =
+    (messages.filter(col("error").isNull),
+      messages.filter(col("error").isNotNull))
+}

@@ -1,0 +1,42 @@
+package graft
+
+import graft.etl.Decrypt
+import org.apache.spark.sql.SparkSession
+import org.scalatest.funsuite.AnyFunSuite
+
+class DecryptSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Sessions.local(cores = 2, appName = "graft-crypto")
+
+  test("PBKDF2-SHA512 derivation is deterministic, 32 bytes") {
+    val salt = "0123456789abcdef".getBytes
+    val k1 = Decrypt.deriveKey("correct horse", salt, 1000)
+    val k2 = Decrypt.deriveKey("correct horse", salt, 1000)
+    assert(k1.toSeq == k2.toSeq)
+    assert(k1.length == 32)
+    assert(Decrypt.deriveKey("other pass", salt, 1000).toSeq != k1.toSeq)
+    assert(Decrypt.deriveKey("correct horse", salt, 1001).toSeq != k1.toSeq)
+  }
+
+  test("AES-GCM roundtrip; tampering fails closed") {
+    val key = Decrypt.deriveKey("pass", "salt0000".getBytes, 100)
+    val ct = Decrypt.encryptRandomIv("""{"body":"secret"}""", key)
+    assert(Decrypt.decrypt(ct, key).contains("""{"body":"secret"}"""))
+    // flip one ciphertext char → GCM auth must reject, not garble
+    val tampered = ct.updated(20, if (ct(20) == 'A') 'B' else 'A')
+    assert(Decrypt.decrypt(tampered, key).isEmpty)
+    val wrongKey = Decrypt.deriveKey("wrong", "salt0000".getBytes, 100)
+    assert(Decrypt.decrypt(ct, wrongKey).isEmpty)
+  }
+
+  test("decrypt_event UDF decrypts at the ingest edge") {
+    import spark.implicits._
+    Decrypt.register(spark)
+    val salt = java.util.Base64.getEncoder.encodeToString("salty".getBytes)
+    val key = Decrypt.deriveKey("p", "salty".getBytes, 10)
+    val payload = Decrypt.encryptRandomIv("hello", key)
+    val out = Seq(payload).toDF("content")
+      .selectExpr(s"decrypt_event(content, 'p', '$salt', 10) AS plain")
+      .collect()(0).getString(0)
+    assert(out == "hello")
+  }
+}
