@@ -1,0 +1,90 @@
+package graft.etl
+
+import java.nio.file.{Files, Paths}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
+
+/** Table catalog over MergeWriter snapshot directories — the analog of
+  * the reference's DDL bootstrap (L9, src/server/db/client.ts:19-56:
+  * transactional create-if-absent via information_schema probe).
+  *
+  * A `Catalog(root)` owns one directory per table; `bootstrap` is
+  * idempotent (create-if-absent exactly like the reference's
+  * `CREATE TABLE IF NOT EXISTS` loop), and every write commits through
+  * `MergeWriter.publish` (versioned dir + atomic pointer swap) so
+  * readers never observe a partial snapshot.
+  */
+final case class Catalog(root: String) {
+
+  val tables: Map[String, StructType] = Map(
+    "messages" -> Schemas.messages,
+    "rooms" -> Schemas.rooms,
+    "participants" -> Schemas.participants,
+    "sync_state" -> Schemas.syncState,
+    "auth_credentials" -> Schemas.authCredentials,
+    "key_backup_status" -> Schemas.keyBackupStatus,
+    "logs" -> Schemas.logs)
+
+  def dir(table: String): String = s"$root/$table"
+
+  /** Idempotent create-if-absent of every table dir (≙ L9). */
+  def bootstrap(): Unit =
+    tables.keys.foreach(t => Files.createDirectories(Paths.get(dir(t))))
+
+  def exists(table: String): Boolean =
+    MergeWriter.currentVersion(dir(table)).isDefined
+
+  /** Read a table's current snapshot (empty frame before first write). */
+  def read(spark: SparkSession, table: String): DataFrame =
+    MergeWriter.readSnapshot(spark, dir(table), tables(table))
+
+  /** Append-only write (≙ L5 setKeyBackupStatus / L6 setAuthCredentials:
+    * plain INSERT, no conflict handling). */
+  def append(spark: SparkSession, table: String, batch: DataFrame): Unit = {
+    val existing = read(spark, table)
+    MergeWriter.publish(spark, dir(table), existing.unionByName(batch))
+    ()
+  }
+
+  /** Upsert with the table's natural key (≙ L1/L2/L3/L8). */
+  def upsert(spark: SparkSession, table: String, batch: DataFrame,
+      keys: Seq[String], orderBy: Seq[String],
+      changeCols: Option[Seq[String]] = None): MergeWriter.MergeResult =
+    MergeWriter.merge(spark, dir(table), batch, keys, orderBy, changeCols)
+
+  /** Update-only merge (≙ L7 updateDeviceId: UPDATE … WHERE, error when
+    * nothing matched — db.utils.ts:240-269). Rows in `updates` whose key
+    * is absent from the snapshot are rejected, not inserted. */
+  def updateOnly(spark: SparkSession, table: String, updates: DataFrame,
+      keys: Seq[String], setCols: Seq[String]): Long = {
+    val snap = read(spark, table)
+    val matched = updates.join(snap.select(keys.map(col): _*), keys, "left_semi")
+    val matchedCount = matched.count()
+    if (matchedCount == 0)
+      throw new IllegalStateException(
+        s"updateOnly matched 0 rows in $table on keys $keys")
+    val updCols = keys ++ setCols
+    val renamed = matched.select(updCols.map(c => col(c).as(s"__u_$c")): _*)
+    val joinCond = keys.map(k => col(k) <=> col(s"__u_$k")).reduce(_ && _)
+    val merged = snap.join(renamed, joinCond, "left_outer")
+      .select(snap.columns.toSeq.map { c =>
+        if (setCols.contains(c)) coalesce(col(s"__u_$c"), col(c)).as(c)
+        else col(c)
+      }: _*)
+    MergeWriter.publish(spark, dir(table), merged)
+    matchedCount
+  }
+
+  /** FK-cascade cleanup (≙ ON DELETE CASCADE, schema.ts:51,68): drop
+    * child rows whose parent key no longer exists — an anti-join. */
+  def cascadeDelete(spark: SparkSession, childTable: String,
+      parentTable: String, childKey: String, parentKey: String): Long = {
+    val child = read(spark, childTable)
+    val parents = read(spark, parentTable).select(col(parentKey))
+    val kept = child.join(parents, child(childKey) === parents(parentKey), "left_semi")
+    val removed = child.count() - kept.count()
+    MergeWriter.publish(spark, dir(childTable), kept)
+    removed
+  }
+}

@@ -91,16 +91,21 @@ object MergeWriter {
     }: _*)
 
     // 3. write v{n+1}, atomically swap the pointer
+    val next = publish(spark, tableDir, resolved)
+    MergeResult(next, spark.read.parquet(s"$tableDir/v$next").count())
+  }
+
+  /** Write `df` as the next snapshot version and atomically swap the
+    * pointer file — the commit protocol every writer path shares. */
+  def publish(spark: SparkSession, tableDir: String, df: DataFrame): Long = {
     val next = currentVersion(tableDir).getOrElse(-1L) + 1
-    val target = s"$tableDir/v$next"
-    resolved.write.mode("overwrite").parquet(target)
-    val rows = spark.read.parquet(target).count()
+    df.write.mode("overwrite").parquet(s"$tableDir/v$next")
     val dir = Paths.get(tableDir)
     Files.createDirectories(dir)
     val tmp = dir.resolve(s"_CURRENT.tmp$next")
     Files.write(tmp, next.toString.getBytes)
     Files.move(tmp, pointer(dir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
-    MergeResult(next, rows)
+    next
   }
 }

@@ -1,0 +1,71 @@
+package graft.etl
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** End-to-end sync pipeline: the reference's E1/E2 lifecycle (SURVEY §3)
+  * as one orchestration object.
+  *
+  *  - `bootstrap`: schema creation (L9) — Catalog.bootstrap.
+  *  - first run (no sync token ⇒ no checkpoint): full batch backfill of
+  *    rooms + participants + messages from the raw-event corpus — the
+  *    reference's `initialFetch` branch (client.ts:304-314);
+  *  - steady state: Structured-Streaming ingest (Streaming.scala) with
+  *    per-batch merges; the checkpoint directory IS the sync token
+  *    (S5/S7/L8);
+  *  - every batch routes decrypt-failures to the in-row error channel
+  *    and the quarantine split keeps them out of the serving tables.
+  */
+final case class Pipeline(catalog: Catalog) {
+
+  /** First-run batch backfill from a raw-event DataFrame (S5 snapshot
+    * branch). Incremental runs skip this exactly like the reference:
+    * the existence of a sync token (here: any messages snapshot)
+    * short-circuits. */
+  def backfillIfFirstRun(spark: SparkSession, raw: DataFrame): Boolean = {
+    if (catalog.exists("messages")) return false
+    val messages = Ingest.messagesFromRaw(raw)
+    val (clean, quarantined) = Ingest.quarantine(messages)
+    catalog.upsert(spark, "messages", clean,
+      keys = Seq("event_id"), orderBy = Seq("timestamp", "id"))
+    // dead-letter rows are kept too — the reference persists the error
+    // column in-row (schema.ts:66); we keep them queryable via logs
+    catalog.append(spark, "logs", quarantined.select(
+      col("processed_at").as("timestamp"),
+      lit("error").as("level"),
+      concat(lit("quarantined "), col("event_id")).as("message")))
+    catalog.upsert(spark, "participants", Ingest.projectParticipant(raw),
+      keys = Seq("user_id", "room_id"), orderBy = Seq("joined_ts"),
+      changeCols = Some(Seq("display_name", "avatar_url", "membership")))
+    catalog.upsert(spark, "rooms", Ingest.projectRooms(raw),
+      keys = Seq("room_id"), orderBy = Seq("created_ts"),
+      changeCols = Some(Seq("name", "topic", "is_encrypted", "avatar_url")))
+    true
+  }
+
+  /** Incremental micro-batch apply (the foreachBatch body of E2):
+    * messages LWW-merge + participants/rooms change-detection merges +
+    * sync-token upsert (L8). */
+  def applyBatch(spark: SparkSession, raw: DataFrame, batchId: Long): Unit = {
+    val messages = Ingest.messagesFromRaw(raw)
+    val (clean, _) = Ingest.quarantine(messages)
+    catalog.upsert(spark, "messages", clean,
+      keys = Seq("event_id"), orderBy = Seq("timestamp", "id"))
+    val members = Ingest.projectParticipant(raw)
+    catalog.upsert(spark, "participants", members,
+      keys = Seq("user_id", "room_id"), orderBy = Seq("joined_ts"),
+      changeCols = Some(Seq("display_name", "avatar_url", "membership")))
+    val rooms = Ingest.projectRooms(raw)
+    if (!rooms.isEmpty)
+      catalog.upsert(spark, "rooms", rooms,
+        keys = Seq("room_id"), orderBy = Seq("created_ts"),
+        changeCols = Some(Seq("name", "topic", "is_encrypted", "avatar_url")))
+    // L8: sync-token upsert — batch id plays the next_batch role
+    import spark.implicits._
+    catalog.upsert(spark, "sync_state",
+      Seq((batchId.toString, s"batch-$batchId")).toDF("id", "next_batch")
+        .withColumn("created_at", current_timestamp())
+        .select("id", "next_batch", "created_at"),
+      keys = Seq("next_batch"), orderBy = Seq("created_at"))
+  }
+}

@@ -1,0 +1,130 @@
+package graft
+
+import java.nio.file.Files
+import graft.etl._
+import org.apache.spark.sql.{DataFrame, Row, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** End-to-end reference lifecycle over the FIXTURES §A1 corpus:
+  * bootstrap → first-run backfill → incremental batches with duplicate /
+  * late / membership-churn events → API reads (Q1–Q8 true shapes). */
+class PipelineSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Sessions.local(cores = 4, appName = "graft-pipe")
+
+  private def raw(rows: Seq[Row]): DataFrame =
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 2), Schemas.rawEvent)
+
+  private def msg(id: Int, room: String, sender: String, ts: Long,
+      body: String = "hi", backfill: Boolean = false): Row =
+    Row(s"$$m$id:x", room, sender, "m.room.message", ts,
+      s"""{"msgtype":"m.text","body":"$body"}""", null, false, backfill, null)
+
+  private def member(room: String, user: String, ts: Long, name: String,
+      membership: String = "join"): Row =
+    Row(s"$$mem-$user-$room-$ts:x", room, user, "m.room.member", ts,
+      s"""{"displayname":"$name","membership":"$membership"}""",
+      null, false, false, null)
+
+  private def state(room: String, typ: String, ts: Long, content: String): Row =
+    Row(s"$$st-$typ-$room:x", room, "@admin:x", typ, ts, content, null, false, false, null)
+
+  test("full lifecycle: backfill, incremental merges, API queries") {
+    val root = Files.createTempDirectory("graft-pipe").toString
+    val cat = Catalog(root)
+    cat.bootstrap()
+    val pipe = Pipeline(cat)
+
+    val corpus = raw(Seq(
+      state("!r1:x", "m.room.create", 1L, """{"creator":"@a:x"}"""),
+      state("!r1:x", "m.room.name", 2L, """{"name":"Room One"}"""),
+      state("!r1:x", "m.room.encryption", 3L, """{"algorithm":"megolm"}"""),
+      state("!r2:x", "m.room.create", 1L, """{"creator":"@b:x"}"""),
+      state("!r2:x", "m.room.name", 2L, """{"name":"Room Two"}"""),
+      member("!r1:x", "@alice:x", 10L, "Alice"),
+      member("!r1:x", "@bob:x", 11L, "Bob"),
+      member("!r2:x", "@alice:x", 12L, "Alice"),
+      msg(1, "!r1:x", "@alice:x", 100L),
+      msg(2, "!r1:x", "@bob:x", 110L),
+      msg(3, "!r2:x", "@alice:x", 120L),
+      msg(99, "!r1:x", "@bob:x", 90L, backfill = true) // must be dropped
+    ))
+
+    assert(pipe.backfillIfFirstRun(spark, corpus), "first run backfills")
+    assert(!pipe.backfillIfFirstRun(spark, corpus), "second run skips (token present)")
+
+    val api = Api(cat)
+    assert(cat.read(spark, "messages").count() == 3)
+    assert(cat.read(spark, "rooms").count() == 2)
+    assert(cat.read(spark, "participants").count() == 3)
+
+    // Q1: r1 has the latest message at backfill time? r2 ts=120 is latest
+    val roomsOrdered = api.listRooms(spark).select("room_id").collect().map(_.getString(0))
+    assert(roomsOrdered.head == "!r2:x", s"got ${roomsOrdered.toSeq}")
+    // encryption state reached the rooms dimension (T5)
+    val r1 = api.roomDetail(spark, "!r1:x").collect()(0)
+    assert(r1.getAs[Boolean]("is_encrypted"))
+    assert(r1.getAs[String]("name") == "Room One")
+    assert(r1.getAs[scala.collection.Seq[Row]]("participants").size == 2)
+
+    // incremental batch: duplicate msg1 (late, higher ts wins), new msg4,
+    // display-name churn for alice in r1 (change-detection update)
+    pipe.applyBatch(spark, raw(Seq(
+      msg(1, "!r1:x", "@alice:x", 500L, body = "edited"),
+      msg(4, "!r2:x", "@alice:x", 130L),
+      member("!r1:x", "@alice:x", 20L, "Alice Cooper")
+    )), batchId = 1L)
+
+    val msgs = cat.read(spark, "messages")
+    assert(msgs.count() == 4, "duplicate merged, not appended")
+    val m1 = msgs.filter(col("event_id") === "$m1:x").collect()(0)
+    assert(m1.getAs[Long]("timestamp") == 500L, "LWW replay wins")
+    val alice = cat.read(spark, "participants")
+      .filter(col("user_id") === "@alice:x" && col("room_id") === "!r1:x")
+      .collect()(0)
+    assert(alice.getAs[String]("display_name") == "Alice Cooper")
+
+    // Q3 keyset pagination: page 1 then keyset page 2
+    val p1 = api.messagesPage(spark, "!r1:x", limit = 1).collect()
+    assert(p1(0).getAs[String]("event_id") == "$m1:x")
+    val p2 = api.messagesPage(spark, "!r1:x",
+      before = Some(p1(0).getAs[Long]("timestamp")), limit = 10).collect()
+    assert(p2.map(_.getAs[String]("event_id")).toSeq == Seq("$m2:x"))
+
+    // Q4/Q5
+    assert(api.listUsers(spark).count() == 2)
+    val aliceRooms = api.userDetail(spark, "@alice:x").collect()(0)
+      .getAs[scala.collection.Seq[Row]]("rooms")
+    assert(aliceRooms.size == 2)
+
+    // Q6 stats: all five metrics, one job
+    val st = api.stats(spark).collect()(0)
+    assert(st.getAs[Long]("total_messages") == 4)
+    assert(st.getAs[Long]("total_rooms") == 2)
+    assert(st.getAs[Long]("encrypted_rooms") == 1)
+    assert(st.getAs[Long]("total_participants") == 3)
+    assert(st.getAs[java.sql.Timestamp]("last_sync") != null)
+
+    // Q8: sync token recorded by the batch (L8)
+    val cfg = api.configSingleton(spark).collect()(0)
+    assert(cfg.getAs[String]("next_batch") == "batch-1")
+
+    // L7: update-only merge errors on unmatched keys
+    import spark.implicits._
+    val ok = cat.updateOnly(spark, "participants",
+      Seq(("@alice:x", "!r1:x", "avatar2")).toDF("user_id", "room_id", "avatar_url"),
+      keys = Seq("user_id", "room_id"), setCols = Seq("avatar_url"))
+    assert(ok == 1)
+    intercept[IllegalStateException] {
+      cat.updateOnly(spark, "participants",
+        Seq(("@nobody:x", "!r1:x", "x")).toDF("user_id", "room_id", "avatar_url"),
+        keys = Seq("user_id", "room_id"), setCols = Seq("avatar_url"))
+    }
+
+    // FK cascade: removing r2 from rooms orphans its participants/messages
+    MergeWriter.publish(spark, cat.dir("rooms"),
+      cat.read(spark, "rooms").filter(col("room_id") =!= "!r2:x"))
+    val removed = cat.cascadeDelete(spark, "participants", "rooms", "room_id", "room_id")
+    assert(removed == 1)
+  }
+}
