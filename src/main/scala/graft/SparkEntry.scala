@@ -15,6 +15,7 @@ object SparkEntry {
     _root_.graft.queries.Tpch2.defs,
     _root_.graft.queries.RefQueries.defs,
     _root_.graft.queries.Windows.defs,
+    _root_.graft.queries.Misc.defs,
     _root_.graft.ext.TextStats.defs,
     _root_.graft.ext.Dedup.defs,
     _root_.graft.ext.Similarity.defs,

@@ -1,0 +1,116 @@
+package graft.queries
+
+import graft.{Num, QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Remaining operator coverage: scalar string/date functions (the
+  * SURVEY §2.5 inventory: date_format, initcap, upper/lower, concat),
+  * exact quantiles, skew-mitigating salted aggregation, CUBE, and the
+  * Spark-ML MinHashLSH variant of near-dedup.
+  */
+object Misc {
+  import Num._
+
+  val defs: Map[String, QueryDef] = Map(
+    // scalar function coverage: date formatting + string functions
+    "qx_string_date_funcs" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .groupBy(
+            date_format($"o_orderdate", "yyyy-MM").as("month"),
+            initcap(lower($"o_orderpriority")).as("priority_label"),
+            upper($"o_orderstatus").as("status"))
+          .agg(count(lit(1)).as("n"),
+            dbl(sum(dec($"o_totalprice"))).as("total"))
+      },
+      oracle = Some("""
+        SELECT strftime(o_orderdate, '%Y-%m') AS month,
+               array_to_string(list_transform(string_split(lower(o_orderpriority), ' '),
+                 w -> upper(substr(w, 1, 1)) || substr(w, 2)), ' ') AS priority_label,
+               upper(o_orderstatus) AS status,
+               count(*) AS n,
+               CAST(sum(o_totalprice::DECIMAL(12,2)) AS DOUBLE) AS total
+        FROM orders GROUP BY 1, 2, 3"""),
+      doc = "scalar functions: date_format, initcap, upper/lower in group keys"),
+
+    // exact interpolated quantiles per group
+    "qx_exact_quantiles" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(
+            round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
+            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
+            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90
+        FROM lineitem GROUP BY 1"""),
+      doc = "exact interpolated quantiles (percentile ⇄ quantile_cont)"),
+
+    // skew mitigation: two-phase salted aggregation (5 hot keys across
+    // the whole table ⇒ the classic hot-partition shape). Salting
+    // changes the physical shuffle, never the result: oracle is the
+    // plain GROUP BY.
+    "qx_salted_skew_agg" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Tables.events(s, dir)
+          .withColumn("__salt", pmod($"event_id", lit(16)))
+          .groupBy($"event_type", $"__salt")
+          .agg(count(lit(1)).as("pn"), sum(dec($"value")).as("pv"))
+          .groupBy($"event_type")
+          .agg(sum($"pn").as("n"), dbl(sum($"pv")).as("total_value"))
+      },
+      oracle = Some("""
+        SELECT event_type, count(*) AS n,
+               CAST(sum(value::DECIMAL(12,2)) AS DOUBLE) AS total_value
+        FROM events GROUP BY 1"""),
+      doc = "salted two-phase aggregation: same semantics, skew-proof shuffle"),
+
+    // CUBE: all grouping-set combinations in one pass
+    "qx_cube_sales" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .cube($"l_returnflag", $"l_linestatus")
+          .agg(count(lit(1)).as("n"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag, l_linestatus, count(*) AS n
+        FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"""),
+      doc = "CUBE grouping sets"),
+
+    // Spark-ML MinHashLSH near-dedup (SURVEY §7.3): approxSimilarityJoin
+    // with a fixed seed. Not ANSI-SQL-expressible → rows-only check.
+    "dedup_minhash_ml" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
+        val docs = Tables.documents(s, dir)
+          .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
+          .withColumn("shingles", expr(
+            "array_distinct(transform(sequence(0, size(toks)-3), " +
+              "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+        val tf = new HashingTF().setInputCol("shingles")
+          .setOutputCol("features").setNumFeatures(1 << 18).setBinary(true)
+        val feat = tf.transform(docs)
+        val lsh = new MinHashLSH().setInputCol("features")
+          .setOutputCol("hashes").setNumHashTables(8).setSeed(42L)
+        val model = lsh.fit(feat)
+        model.approxSimilarityJoin(feat, feat, 0.999, "jaccard_dist")
+          .select(
+            col("datasetA.doc_id").as("a_id"),
+            col("datasetB.doc_id").as("b_id"),
+            round(col("jaccard_dist"), 4).as("jaccard_dist"))
+          .filter($"a_id" < $"b_id")
+      },
+      oracle = None, // ML LSH banding isn't SQL-expressible; rows-only gate
+      doc = "Spark ML MinHashLSH approxSimilarityJoin (seeded, deterministic)")
+  )
+}

@@ -148,9 +148,15 @@ object RefQueries {
     "ref_q3_message_page" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        ev(s, dir)
-          .filter($"user_id" === 7 &&
-            $"ts" < lit("2024-01-25 00:00:00").cast("timestamp"))
+        // keyset predicate on the RAW nanos column so it pushes to the
+        // parquet scan (a predicate on the converted timestamp cannot);
+        // equivalent for whole-second cut points since µs-truncation
+        // only ever decreases the value
+        val cutNs = java.time.Instant.parse("2024-01-25T00:00:00Z")
+          .getEpochSecond * 1000000000L
+        Tables.events(s, dir)
+          .filter($"user_id" === 7 && $"ts" < cutNs)
+          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
           .orderBy($"ts".desc, $"event_id".desc)
           .limit(50)
           .select($"event_id", unix_micros($"ts").as("ts_us"),
