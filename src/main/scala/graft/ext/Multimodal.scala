@@ -65,6 +65,16 @@ object Multimodal {
       }
   }
 
+  /** DETERMINISTIC STUB resize kernel: a real implementation would
+    * decode, scale with an interpolation kernel, and re-encode; the stub
+    * models the metadata contract (target box, aspect-preserving). */
+  def resizeStub(width: Int, height: Int, maxDim: Int): (Int, Int) = {
+    // ??? real scaler goes here
+    val m = math.max(width, height)
+    if (m <= maxDim) (width, height)
+    else (width * maxDim / m, height * maxDim / m)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     // binary-column metadata: pure relational ops over the payload —
     // byte length, first byte, content digest.
@@ -106,6 +116,52 @@ object Multimodal {
                3 AS channels,
                round(CAST(list_sum(bytes) AS DOUBLE) / n, 4) AS mean_byte
         FROM b"""),
-      doc = "multimodal: partition-wise stub decode (mapPartitions batch shape)")
+      doc = "multimodal: partition-wise stub decode (mapPartitions batch shape)"),
+
+    // resize: metadata-level transform chained after decode; the stub's
+    // integer arithmetic is re-expressed in SQL for the oracle.
+    "mm_resize" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        decode(s, dir)
+          .map { a =>
+            val (w, h) = resizeStub(a.width, a.height, 32)
+            (a.doc_id, a.width, a.height, w, h)
+          }
+          .toDF("doc_id", "width", "height", "out_w", "out_h")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id,
+                          16 + (strlen(text) % 64) AS width,
+                          16 + ((strlen(text) // 64) % 64) AS height
+                   FROM documents),
+        m AS (SELECT *, greatest(width, height) AS mx FROM d)
+        SELECT doc_id, width, height,
+               CASE WHEN mx <= 32 THEN width  ELSE width  * 32 // mx END AS out_w,
+               CASE WHEN mx <= 32 THEN height ELSE height * 32 // mx END AS out_h
+        FROM m"""),
+      doc = "multimodal: aspect-preserving resize stub (typed Dataset map)"),
+
+    // frame sampling: the video path — split the payload into fixed-size
+    // chunks ("frames"), keep every 4th, fingerprint each. The explode
+    // shape (1 asset row → n frame rows) is the real plumbing a video
+    // sampler needs; partitioning carries over from the asset scan.
+    "mm_frame_sample" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id", $"text",
+            explode(expr("sequence(0, CAST(ceil(length(text) / 64.0) AS INT) - 1)")).as("chunk_idx"))
+          .filter($"chunk_idx" % 4 === 0)
+          .select($"doc_id", $"chunk_idx".as("frame_idx"),
+            md5(expr("substr(text, chunk_idx * 64 + 1, 64)")).as("frame_md5"))
+      },
+      oracle = Some("""
+        SELECT doc_id, chunk_idx AS frame_idx,
+               md5(substr(text, chunk_idx * 64 + 1, 64)) AS frame_md5
+        FROM documents,
+             LATERAL (SELECT unnest(generate_series(0, CAST(ceil(strlen(text) / 64.0) AS INT) - 1)) AS chunk_idx) c
+        WHERE chunk_idx % 4 = 0"""),
+      doc = "multimodal: frame sampling (1→n explode, every 4th 64-byte chunk)")
   )
 }

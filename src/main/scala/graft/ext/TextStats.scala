@@ -121,6 +121,49 @@ object TextStats {
         FROM sc"""),
       doc = "language-ID: marker-token heuristic, deterministic tie precedence"),
 
+    // BPE-ish regex tokenization: word pieces + standalone non-word
+    // chars (the pre-tokenizer shape BPE vocabularies train over)
+    "txt_bpe_tokens" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .withColumn("pieces", expr(
+            "regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\\\s]', 0)"))
+          .select($"doc_id",
+            size($"pieces").as("n_pieces"),
+            size(array_distinct($"pieces")).as("n_unique_pieces"),
+            element_at($"pieces", 1).as("first_piece"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]') AS pieces
+                   FROM documents)
+        SELECT doc_id, len(pieces) AS n_pieces,
+               len(list_distinct(pieces)) AS n_unique_pieces,
+               pieces[1] AS first_piece
+        FROM t"""),
+      doc = "BPE-style pre-tokenization via regex extraction"),
+
+    // polynomial rolling hash (Rabin-Karp flavor) over the normalized
+    // text — exact integer fold, identical in both engines
+    "txt_rolling_hash" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .withColumn("norm", regexp_replace(lower(trim($"text")), "\\s+", " "))
+          .select($"doc_id",
+            expr("aggregate(transform(split(norm, ''), c -> ascii(c)), " +
+              "0L, (acc, x) -> (acc * 31 + x) % 2147483647)").as("rolling_hash"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, regexp_replace(lower(trim(text)), '\s+', ' ', 'g') AS norm
+                   FROM documents)
+        SELECT doc_id,
+               list_reduce(
+                 list_prepend(0::BIGINT, list_transform(string_split(norm, ''), c -> ascii(c)::BIGINT)),
+                 (acc, x) -> (acc * 31 + x) % 2147483647) AS rolling_hash
+        FROM t"""),
+      doc = "Rabin-Karp rolling hash: exact integer left-fold fingerprint"),
+
     // document fingerprinting: content hash + min-shingle fingerprint
     "txt_fingerprint" -> QueryDef(
       build = (s, dir) => {

@@ -262,6 +262,30 @@ object RefQueries {
         FROM events ORDER BY event_id ASC LIMIT 1"""),
       doc = "Q8: LIMIT 1 singleton read (routes.ts:251)"),
 
+    // T10 — boundary schema validation (Zod ⇄ from_json + enum check,
+    // src/server/api/routes.ts:15-19,189-202): parse the JSONB column
+    // against a declared struct, classify rows valid/invalid, enforce
+    // the enum domain with isin.
+    "ref_t10_schema_validation" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.types._
+        val schema = StructType(Seq(StructField("k", LongType)))
+        ev(s, dir)
+          .withColumn("parsed", from_json($"props", schema))
+          .withColumn("valid_json", $"parsed".isNotNull && $"parsed.k".isNotNull)
+          .withColumn("valid_enum", $"event_type".isin(
+            "click", "view", "purchase", "signup", "error"))
+          .groupBy($"valid_json", $"valid_enum")
+          .agg(count(lit(1)).as("n"), min($"event_id").as("first_event"))
+      },
+      oracle = Some("""
+        SELECT (json_extract(props, '$.k') IS NOT NULL) AS valid_json,
+               event_type IN ('click','view','purchase','signup','error') AS valid_enum,
+               count(*) AS n, min(event_id) AS first_event
+        FROM events GROUP BY 1, 2"""),
+      doc = "T10: boundary validation via from_json + enum isin (routes.ts:15-19)"),
+
     // L1 — upsert with exact dedup + last-write-wins on the natural key
     // (src/server/utils/db.utils.ts:30-66). Batch expression of the merge.
     "ref_l1_upsert_lww" -> QueryDef(
