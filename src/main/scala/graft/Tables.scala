@@ -23,6 +23,16 @@ object Tables {
   def orders(s: SparkSession, d: String): DataFrame = apply(s, d, "orders")
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
+
+  /** events with `ts` normalized to TimestampType. With the session's
+    * `nanosAsLong` setting the column arrives as raw nanos; integer
+    * `div` (not `/`, which would round through double and lose
+    * precision at 1.7e18 ns) truncates to micros exactly like DuckDB's
+    * `epoch_us`. */
+  def eventsNorm(s: SparkSession, d: String): DataFrame = {
+    import org.apache.spark.sql.functions._
+    events(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+  }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")
 }

@@ -59,17 +59,31 @@ final case class Catalog(root: String) {
   def updateOnly(spark: SparkSession, table: String, updates: DataFrame,
       keys: Seq[String], setCols: Seq[String]): Long = {
     val snap = read(spark, table)
+    // reject ambiguous batches up front: duplicate keys in `updates`
+    // would fan the left_outer join out and publish duplicated natural
+    // keys into the snapshot
+    if (updates.groupBy(keys.map(col): _*).count()
+        .filter(col("count") > 1).limit(1).count() > 0)
+      throw new IllegalArgumentException(
+        s"updateOnly batch has duplicate keys $keys for $table")
     val matched = updates.join(snap.select(keys.map(col): _*), keys, "left_semi")
     val matchedCount = matched.count()
     if (matchedCount == 0)
       throw new IllegalStateException(
         s"updateOnly matched 0 rows in $table on keys $keys")
     val updCols = keys ++ setCols
+    // explicit presence marker: "no matching update row" must keep the
+    // old value, but an update row carrying NULL must SET NULL (the
+    // reference's UPDATE can null a column — a coalesce would conflate
+    // the two)
     val renamed = matched.select(updCols.map(c => col(c).as(s"__u_$c")): _*)
+      .withColumn("__u_present", lit(true))
     val joinCond = keys.map(k => col(k) <=> col(s"__u_$k")).reduce(_ && _)
     val merged = snap.join(renamed, joinCond, "left_outer")
       .select(snap.columns.toSeq.map { c =>
-        if (setCols.contains(c)) coalesce(col(s"__u_$c"), col(c)).as(c)
+        if (setCols.contains(c))
+          when(col("__u_present").isNotNull, col(s"__u_$c"))
+            .otherwise(col(c)).as(c)
         else col(c)
       }: _*)
     MergeWriter.publish(spark, dir(table), merged)

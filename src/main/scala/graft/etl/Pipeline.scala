@@ -60,10 +60,12 @@ final case class Pipeline(catalog: Catalog) {
       catalog.upsert(spark, "rooms", rooms,
         keys = Seq("room_id"), orderBy = Seq("created_ts"),
         changeCols = Some(Seq("name", "topic", "is_encrypted", "avatar_url")))
-    // L8: sync-token upsert — batch id plays the next_batch role
+    // L8: sync-token upsert — batch id plays the next_batch role.
+    // Zero-padded so lexicographic order == numeric order (readers
+    // tie-break on the token string when created_at collides).
     import spark.implicits._
     catalog.upsert(spark, "sync_state",
-      Seq((batchId.toString, s"batch-$batchId")).toDF("id", "next_batch")
+      Seq((batchId.toString, f"batch-$batchId%012d")).toDF("id", "next_batch")
         .withColumn("created_at", current_timestamp())
         .select("id", "next_batch", "created_at"),
       keys = Seq("next_batch"), orderBy = Seq("created_at"))

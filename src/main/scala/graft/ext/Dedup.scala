@@ -25,15 +25,14 @@ import org.apache.spark.sql.functions._
   */
 object Dedup {
 
-  private val toksE = "split(trim(text), '\\\\s+')"
+  import TextExpr.{toksE, shinglesE}
+
   /** distinct word-3-gram shingles, exploded to (doc_id, sh) */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     Tables.documents(s, dir)
       .withColumn("toks", expr(toksE))
-      .select($"doc_id", explode(expr(
-        "array_distinct(transform(sequence(0, size(toks)-3), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))")).as("sh"))
+      .select($"doc_id", explode(expr(shinglesE)).as("sh"))
   }
 
   /** DuckDB twin of [[shingles]] as a CTE body. */
@@ -70,7 +69,10 @@ object Dedup {
     "dedup_minhash_lsh" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        val sh = shingles(s, dir).cache()
+        // no cache: the shingle subtree is recomputed per consumer, which
+        // is cheaper than pinning executor storage for the JVM lifetime
+        // (query builders can't unpersist after the caller's action)
+        val sh = shingles(s, dir)
         val sigCols = (0 until 8).map(k =>
           min(md5(concat_ws("|", lit(k), $"sh"))).as(s"h$k"))
         val sigs = sh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
@@ -120,7 +122,7 @@ object Dedup {
     "dedup_ngram_jaccard" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        val sh = shingles(s, dir).cache()
+        val sh = shingles(s, dir)
         val minh = sh.groupBy($"doc_id").agg(min(md5($"sh")).as("block"))
         val cand = minh.select($"doc_id".as("a_id"), $"block")
           .join(minh.select($"doc_id".as("b_id"), $"block"), "block")

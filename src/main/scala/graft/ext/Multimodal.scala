@@ -150,6 +150,7 @@ object Multimodal {
       build = (s, dir) => {
         import s.implicits._
         Tables.documents(s, dir)
+          .filter(length($"text") > 0) // sequence(0,-1) would be [0,-1]
           .select($"doc_id", $"text",
             explode(expr("sequence(0, CAST(ceil(length(text) / 64.0) AS INT) - 1)")).as("chunk_idx"))
           .filter($"chunk_idx" % 4 === 0)
@@ -161,7 +162,7 @@ object Multimodal {
                md5(substr(text, chunk_idx * 64 + 1, 64)) AS frame_md5
         FROM documents,
              LATERAL (SELECT unnest(generate_series(0, CAST(ceil(strlen(text) / 64.0) AS INT) - 1)) AS chunk_idx) c
-        WHERE chunk_idx % 4 = 0"""),
+        WHERE chunk_idx % 4 = 0 AND strlen(text) > 0"""),
       doc = "multimodal: frame sampling (1→n explode, every 4th 64-byte chunk)")
   )
 }

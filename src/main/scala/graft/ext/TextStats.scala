@@ -14,9 +14,7 @@ import org.apache.spark.sql.functions._
   * operation order on both sides.
   */
 object TextStats {
-
-  /** SQL fragment (Spark dialect): whitespace tokenization */
-  private val toksE = "split(trim(text), '\\\\s+')"
+  import TextExpr.toksE
 
   val defs: Map[String, QueryDef] = Map(
     // token counting (whitespace tokenizer + distinct-type stats)
@@ -132,7 +130,9 @@ object TextStats {
           .select($"doc_id",
             size($"pieces").as("n_pieces"),
             size(array_distinct($"pieces")).as("n_unique_pieces"),
-            element_at($"pieces", 1).as("first_piece"))
+            // try_: a whitespace-only doc has no pieces and must yield
+            // NULL (like DuckDB's pieces[1]), not an ANSI index error
+            expr("try_element_at(pieces, 1)").as("first_piece"))
       },
       oracle = Some("""
         WITH t AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]') AS pieces
@@ -174,9 +174,7 @@ object TextStats {
           .select(
             $"doc_id",
             md5($"norm").as("content_md5"),
-            expr("array_min(transform(sequence(0, size(toks)-3), " +
-              "i -> md5(concat_ws(' ', toks[i], toks[i+1], toks[i+2]))))")
-              .as("min_shingle_md5"))
+            expr(s"array_min(${TextExpr.shingleMd5E})").as("min_shingle_md5"))
       },
       oracle = Some("""
         WITH t AS (SELECT doc_id,

@@ -95,10 +95,9 @@ object Misc {
         import s.implicits._
         import org.apache.spark.ml.feature.{HashingTF, MinHashLSH}
         val docs = Tables.documents(s, dir)
-          .withColumn("toks", expr("split(trim(text), '\\\\s+')"))
-          .withColumn("shingles", expr(
-            "array_distinct(transform(sequence(0, size(toks)-3), " +
-              "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2])))"))
+          .withColumn("toks", expr(graft.ext.TextExpr.toksE))
+          .withColumn("shingles", expr(graft.ext.TextExpr.shinglesE))
+          .filter(size($"shingles") > 0) // MinHashLSH rejects empty sets
         val tf = new HashingTF().setInputCol("shingles")
           .setOutputCol("features").setNumFeatures(1 << 16).setBinary(true)
         // cache: approxSimilarityJoin scans both sides several times

@@ -19,13 +19,8 @@ import org.apache.spark.sql.functions._
 object RefQueries {
   import Num._
 
-  /** events with `ts` normalized to TimestampType (parquet ns → µs).
-    * With `nanosAsLong` the column arrives as raw nanos; integer `div`
-    * (not `/`, which would round through double and lose precision at
-    * 1.7e18 ns) truncates to micros exactly like DuckDB's `epoch_us`. */
   private def ev(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.eventsNorm(s, dir)
 
   val defs: Map[String, QueryDef] = Map(
     // S6 — credential lookup: filter + narrow projection

@@ -17,8 +17,7 @@ object Windows {
   import Num._
 
   private def ev(s: SparkSession, dir: String): DataFrame =
-    Tables.events(s, dir)
-      .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    Tables.eventsNorm(s, dir)
 
   val defs: Map[String, QueryDef] = Map(
     // tumbling 1-day windows per event type

@@ -107,7 +107,7 @@ class PipelineSpec extends AnyFunSuite {
 
     // Q8: sync token recorded by the batch (L8)
     val cfg = api.configSingleton(spark).collect()(0)
-    assert(cfg.getAs[String]("next_batch") == "batch-1")
+    assert(cfg.getAs[String]("next_batch") == "batch-000000000001")
 
     // L7: update-only merge errors on unmatched keys
     import spark.implicits._
@@ -120,6 +120,20 @@ class PipelineSpec extends AnyFunSuite {
         Seq(("@nobody:x", "!r1:x", "x")).toDF("user_id", "room_id", "avatar_url"),
         keys = Seq("user_id", "room_id"), setCols = Seq("avatar_url"))
     }
+    // duplicate keys in an update batch are ambiguous → rejected
+    intercept[IllegalArgumentException] {
+      cat.updateOnly(spark, "participants",
+        Seq(("@alice:x", "!r1:x", "a"), ("@alice:x", "!r1:x", "b"))
+          .toDF("user_id", "room_id", "avatar_url"),
+        keys = Seq("user_id", "room_id"), setCols = Seq("avatar_url"))
+    }
+    // an explicit NULL in a set column must be written (not coalesced away)
+    cat.updateOnly(spark, "participants",
+      Seq(("@alice:x", "!r1:x", null: String)).toDF("user_id", "room_id", "avatar_url"),
+      keys = Seq("user_id", "room_id"), setCols = Seq("avatar_url"))
+    assert(cat.read(spark, "participants")
+      .filter(col("user_id") === "@alice:x" && col("room_id") === "!r1:x")
+      .collect()(0).getAs[String]("avatar_url") == null)
 
     // FK cascade: removing r2 from rooms orphans its participants/messages
     MergeWriter.publish(spark, cat.dir("rooms"),
