@@ -88,6 +88,34 @@ object Misc {
         FROM lineitem GROUP BY CUBE(l_returnflag, l_linestatus)"""),
       doc = "CUBE grouping sets"),
 
+    // exact top-k per group through the custom bounded-buffer Aggregator
+    // (functions/TopK): O(k) partial state per group vs the O(group)
+    // a window row_number materializes
+    "qx_topk_aggregator" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val ds = Tables.lineitem(s, dir)
+          .select($"l_returnflag", $"l_extendedprice", $"l_orderkey", $"l_linenumber")
+          .as[(String, Double, Long, Int)]
+        ds.groupByKey(_._1)
+          .mapValues(t => (t._2, t._3, t._4))
+          .agg(graft.functions.TopK.topK(3).toColumn.name("top"))
+          .toDF("l_returnflag", "top")
+          .select($"l_returnflag", posexplode($"top"))
+          .select($"l_returnflag", ($"pos" + 1).cast("int").as("rank"),
+            $"col._1".as("l_extendedprice"), $"col._2".as("l_orderkey"),
+            $"col._3".as("l_linenumber"))
+      },
+      oracle = Some("""
+        SELECT l_returnflag,
+               CAST(row_number() OVER w AS INT) AS rank,
+               l_extendedprice, l_orderkey, l_linenumber
+        FROM lineitem
+        WINDOW w AS (PARTITION BY l_returnflag
+                     ORDER BY l_extendedprice DESC, l_orderkey ASC, l_linenumber ASC)
+        QUALIFY rank <= 3"""),
+      doc = "exact top-k per group via custom bounded-buffer Aggregator"),
+
     // Spark-ML MinHashLSH near-dedup (SURVEY §7.3): approxSimilarityJoin
     // with a fixed seed. Not ANSI-SQL-expressible → rows-only check.
     "dedup_minhash_ml" -> QueryDef(
