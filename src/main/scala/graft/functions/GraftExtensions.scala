@@ -1,0 +1,25 @@
+package graft.functions
+
+import org.apache.spark.sql.SparkSessionExtensions
+import org.apache.spark.sql.catalyst.FunctionIdentifier
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+
+/** Session-extension registration of the native vector expressions, so
+  * any session built with
+  * `.config("spark.sql.extensions", "graft.functions.GraftExtensions")`
+  * (or `.withExtensions`) gets `cosine_sim`/`dot_product` as first-class
+  * SQL functions — the supported injection point, vs the per-session
+  * imperative `VectorFunctions.register` fallback.
+  */
+class GraftExtensions extends (SparkSessionExtensions => Unit) {
+  override def apply(ext: SparkSessionExtensions): Unit = {
+    ext.injectFunction((
+      FunctionIdentifier("cosine_sim"),
+      new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
+      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+    ext.injectFunction((
+      FunctionIdentifier("dot_product"),
+      new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+  }
+}

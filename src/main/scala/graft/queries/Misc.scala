@@ -75,6 +75,58 @@ object Misc {
         FROM events GROUP BY 1"""),
       doc = "salted two-phase aggregation: same semantics, skew-proof shuffle"),
 
+    // as-of join: for each purchase, the user's latest signup at-or-
+    // before it. Implemented shuffle-once: union both sides, one
+    // window pass carrying the last signup ts forward (the merge-sort
+    // formulation — no per-row range probe, survives any scale);
+    // DuckDB's native ASOF LEFT JOIN is the oracle.
+    "qx_asof_join" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val e = Tables.eventsNorm(s, dir)
+        val purchases = e.filter($"event_type" === "purchase")
+          .select($"user_id", $"ts", $"event_id", lit(1).as("is_p"),
+            lit(null).cast("timestamp").as("sig_ts"))
+        val signups = e.filter($"event_type" === "signup")
+          .select($"user_id", $"ts", $"event_id", lit(0).as("is_p"),
+            $"ts".as("sig_ts"))
+        // signup sorts before a purchase at the same ts (is_p asc) so
+        // ts >= matching is inclusive, same as ASOF's a.ts >= b.ts
+        val w = Window.partitionBy($"user_id")
+          .orderBy($"ts".asc, $"is_p".asc, $"event_id".asc)
+          .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+        purchases.unionByName(signups)
+          .withColumn("asof_sig_ts", last($"sig_ts", ignoreNulls = true).over(w))
+          .filter($"is_p" === 1)
+          .select($"event_id", $"user_id", unix_micros($"ts").as("ts_us"),
+            unix_micros($"asof_sig_ts").as("signup_ts_us"))
+      },
+      oracle = Some("""
+        SELECT p.event_id, p.user_id, epoch_us(p.ts) AS ts_us,
+               epoch_us(sg.ts) AS signup_ts_us
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'signup') sg
+          ON p.user_id = sg.user_id AND p.ts >= sg.ts"""),
+      doc = "as-of join via union + one window pass (merge-sort formulation)"),
+
+    // approximate sketches: HLL++ distinct counts next to the exact
+    // answer. Not ANSI-expressible (sketch internals differ per engine)
+    // → rows-only gate; deterministic for fixed input.
+    "qx_approx_distinct" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(
+            approx_count_distinct($"l_partkey", 0.02).as("approx_parts"),
+            countDistinct($"l_partkey").as("exact_parts"))
+          .withColumn("rel_err", round(
+            abs($"approx_parts" - $"exact_parts") / $"exact_parts", 4))
+      },
+      oracle = None, // HLL sketch values are engine-specific; rows-only
+      doc = "HLL++ approx distinct vs exact (sketch path for 100TB cardinalities)"),
+
     // CUBE: all grouping-set combinations in one pass
     "qx_cube_sales" -> QueryDef(
       build = (s, dir) => {
