@@ -171,6 +171,11 @@ object Dedup {
           .withColumn("toks", expr(toksE))
           .select($"doc_id", explode(array_distinct($"toks")).as("w"))
           .withColumn("h", expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)"))
+        // bit-explode form: 60 narrow rows per token then two compact
+        // aggs. (A 60-agg-column single pass was tried and is ~25×
+        // slower: Catalyst inlines the md5/conv projection into every
+        // aggregate expression, recomputing the hash 60× per row, and
+        // the resulting mega-codegen class deoptimizes the JIT.)
         val bits = tok
           .select($"doc_id", $"h", explode(expr("sequence(0, 59)")).as("b"))
           .groupBy($"doc_id", $"b")

@@ -186,13 +186,21 @@ object Misc {
         val feat = tf.transform(docs).cache()
         val lsh = new MinHashLSH().setInputCol("features")
           .setOutputCol("hashes").setNumHashTables(4).setSeed(42L)
-        val model = lsh.fit(feat)
-        model.approxSimilarityJoin(feat, feat, 0.9, "jaccard_dist")
-          .select(
-            col("datasetA.doc_id").as("a_id"),
-            col("datasetB.doc_id").as("b_id"),
-            round(col("jaccard_dist"), 4).as("jaccard_dist"))
-          .filter($"a_id" < $"b_id")
+        try {
+          val model = lsh.fit(feat)
+          val out = model.approxSimilarityJoin(feat, feat, 0.9, "jaccard_dist")
+            .select(
+              col("datasetA.doc_id").as("a_id"),
+              col("datasetB.doc_id").as("b_id"),
+              round(col("jaccard_dist"), 4).as("jaccard_dist"))
+            .filter($"a_id" < $"b_id")
+          // materialize inside the builder so the cache can be released
+          // immediately (a lazily returned plan would pin it for the
+          // session lifetime — it accumulates across a 65-query run)
+          val rows = out.collect()
+          import scala.jdk.CollectionConverters._
+          s.createDataFrame(rows.toSeq.asJava, out.schema)
+        } finally feat.unpersist()
       },
       oracle = None, // ML LSH banding isn't SQL-expressible; rows-only gate
       doc = "Spark ML MinHashLSH approxSimilarityJoin (seeded, deterministic)")

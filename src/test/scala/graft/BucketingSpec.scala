@@ -28,6 +28,19 @@ class BucketingSpec extends AnyFunSuite {
   test("join of two tables bucketed on the key plans with zero shuffles") {
     import spark.implicits._
     val sf = "/root/testdata/sf0.001"
+    // getOrCreate may hand us another suite's session whose (static)
+    // warehouse conf differs — drop catalog entries AND their physical
+    // locations so a leftover dir can't fail the CTAS
+    val wh = new java.net.URI(spark.conf.get("spark.sql.warehouse.dir")).getPath
+    for (t <- Seq("li_bucketed", "o_bucketed")) {
+      spark.sql(s"DROP TABLE IF EXISTS $t")
+      val loc = java.nio.file.Paths.get(wh, t)
+      if (java.nio.file.Files.exists(loc)) {
+        import scala.jdk.CollectionConverters._
+        java.nio.file.Files.walk(loc).iterator().asScala.toSeq.reverse
+          .foreach(java.nio.file.Files.deleteIfExists(_))
+      }
+    }
     Tables.lineitem(spark, sf)
       .write.mode("overwrite").bucketBy(8, "l_orderkey")
       .sortBy("l_orderkey").saveAsTable("li_bucketed")
