@@ -127,6 +127,72 @@ object Misc {
       oracle = None, // HLL sketch values are engine-specific; rows-only
       doc = "HLL++ approx distinct vs exact (sketch path for 100TB cardinalities)"),
 
+    // moment statistics computed from EXACT integer sums (cents-scaled
+    // longs), so stddev/corr are IEEE-deterministic — the built-in
+    // stddev/corr aggregates accumulate doubles in engine-specific
+    // order and cannot hash-match across engines
+    "qx_exact_stddev_corr" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        // q in cents, p in whole dollars: keeps every long SUM far from
+        // overflow (Σp² in cents would hit ~2e19 > Long.Max). The outer
+        // moment formula runs in double with each sum cast FIRST —
+        // deterministic IEEE on identical exact inputs in both engines
+        // (a long n*sqq product would overflow before the cast).
+        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        Tables.lineitem(s, dir)
+          .select($"l_returnflag", cents($"l_quantity").as("q"),
+            floor($"l_extendedprice" + 0.5).cast("long").as("p"))
+          .groupBy($"l_returnflag")
+          .agg(count(lit(1)).as("n"),
+            sum($"q").as("sq"), sum($"p").as("sp"),
+            sum($"q" * $"q").as("sqq"), sum($"p" * $"p").as("spp"),
+            sum($"q" * $"p").as("sqp"))
+          .select($"l_returnflag", $"n",
+            round(sqrt((d($"n") * d($"sqq") - d($"sq") * d($"sq"))
+              / (d($"n") * (d($"n") - 1.0))) / 100.0, 4).as("stddev_qty"),
+            round((d($"n") * d($"sqp") - d($"sq") * d($"sp"))
+              / (sqrt(d($"n") * d($"sqq") - d($"sq") * d($"sq"))
+                * sqrt(d($"n") * d($"spp") - d($"sp") * d($"sp"))), 4)
+              .as("corr_qty_price"))
+      },
+      oracle = Some("""
+        WITH c AS (SELECT l_returnflag,
+                          CAST(floor(l_quantity * 100.0 + 0.5) AS BIGINT) AS q,
+                          CAST(floor(l_extendedprice + 0.5) AS BIGINT) AS p
+                   FROM lineitem),
+        m AS (SELECT l_returnflag, count(*) AS n,
+                     sum(q) AS sq, sum(p) AS sp,
+                     sum(q * q) AS sqq, sum(p * p) AS spp,
+                     sum(q * p) AS sqp
+              FROM c GROUP BY 1)
+        SELECT l_returnflag, n,
+               round(sqrt((CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                          / (CAST(n AS DOUBLE) * (CAST(n AS DOUBLE) - 1.0))) / 100.0, 4) AS stddev_qty,
+               round((CAST(n AS DOUBLE) * CAST(sqp AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sp AS DOUBLE))
+                     / (sqrt(CAST(n AS DOUBLE) * CAST(sqq AS DOUBLE) - CAST(sq AS DOUBLE) * CAST(sq AS DOUBLE))
+                        * sqrt(CAST(n AS DOUBLE) * CAST(spp AS DOUBLE) - CAST(sp AS DOUBLE) * CAST(sp AS DOUBLE))), 4) AS corr_qty_price
+        FROM m"""),
+      doc = "stddev/correlation from exact integer moments (deterministic)"),
+
+    // pivot: long→wide reshaping with an explicit value list
+    "qx_pivot_status" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Tables.orders(s, dir)
+          .groupBy($"o_orderpriority")
+          .pivot($"o_orderstatus", Seq("F", "O", "P"))
+          .agg(count(lit(1)))
+          .na.fill(0L)
+      },
+      oracle = Some("""
+        SELECT o_orderpriority,
+               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "F",
+               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "O",
+               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "P"
+        FROM orders GROUP BY 1"""),
+      doc = "pivot long->wide with explicit value list"),
+
     // CUBE: all grouping-set combinations in one pass
     "qx_cube_sales" -> QueryDef(
       build = (s, dir) => {
