@@ -97,6 +97,30 @@ object Similarity {
         QUALIFY rank <= 3"""),
       doc = "ANN scale path: random-hyperplane LSH buckets, rank within bucket"),
 
+    // embedding preprocessing: L2 normalization (sequential-fold norm,
+    // so values are engine-exact); scalar projections keep the compare
+    // surface hash-stable
+    "sim_l2_normalize" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Tables.embeddings(s, dir)
+          .withColumn("norm", sqrt(expr(
+            "aggregate(transform(embedding, x -> CAST(x AS DOUBLE) * CAST(x AS DOUBLE)), 0.0d, (a, b) -> a + b)")))
+          .select($"vec_id", round($"norm", 6).as("l2_norm"),
+            round(expr("CAST(embedding[0] AS DOUBLE)") / $"norm", 6).as("first_unit"),
+            round(expr("CAST(embedding[63] AS DOUBLE)") / $"norm", 6).as("last_unit"))
+      },
+      oracle = Some("""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        n AS (SELECT vec_id, v,
+                     sqrt(list_reduce(list_prepend(0.0, list_transform(v, x -> x * x)), (a, b) -> a + b)) AS norm
+              FROM e)
+        SELECT vec_id, round(norm, 6) AS l2_norm,
+               round(v[1] / norm, 6) AS first_unit,
+               round(v[64] / norm, 6) AS last_unit
+        FROM n"""),
+      doc = "embedding L2 normalization (exact sequential-fold norms)"),
+
     // IVF-style: probe only the query's coarse cell (label column)
     "sim_ivf_label_topk" -> QueryDef(
       build = (s, dir) => {

@@ -119,6 +119,30 @@ object TextStats {
         FROM sc"""),
       doc = "language-ID: marker-token heuristic, deterministic tie precedence"),
 
+    // corpus cleaning: stopword removal + re-serialization (the
+    // pre-training text-normalization pass)
+    "txt_stopword_clean" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .withColumn("toks", expr(toksE))
+          .withColumn("kept", expr(
+            "filter(toks, t -> NOT t IN ('the','a','of','and','to','in','is','it'))"))
+          .select($"doc_id",
+            size($"toks").as("n_before"),
+            size($"kept").as("n_after"),
+            md5(array_join($"kept", " ")).as("cleaned_md5"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        k AS (SELECT doc_id, toks,
+                     list_filter(toks, t -> NOT t IN ('the','a','of','and','to','in','is','it')) AS kept
+              FROM t)
+        SELECT doc_id, len(toks) AS n_before, len(kept) AS n_after,
+               md5(array_to_string(kept, ' ')) AS cleaned_md5
+        FROM k"""),
+      doc = "corpus cleaning: stopword filter + canonical re-serialization"),
+
     // BPE-ish regex tokenization: word pieces + standalone non-word
     // chars (the pre-tokenizer shape BPE vocabularies train over)
     "txt_bpe_tokens" -> QueryDef(
