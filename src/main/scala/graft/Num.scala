@@ -33,14 +33,25 @@ object Num {
     * quantities, so x·100 is within 1e-9 of an integer. */
   def cents(c: Column): Column = floor(c * 100.0 + 0.5).cast(LongType)
 
-  /** Exact long-units sum → double, dividing by 10^scale through a
-    * decimal so the conversion is exact (a plain double division of a
-    * >2^53 sum would round twice).
-    *
-    * Headroom: long partial sums bound the per-query total at ~9e18
-    * units; at 100 TB the upgrade path is long partials per partition
-    * merged as decimals — same exactness, same codegen hot loop. */
-  def unitsToDbl(sumUnits: Column, scale: Int): Column =
+  /** Sum of long unit values — the single choke point for every
+    * units-based aggregate. Runs as a primitive long sum (codegen fast
+    * path; a DECIMAL(38,0) buffer was measured ~6× slower at 6M rows).
+    * Overflow CANNOT be silently wrong: Spark 4 runs ANSI mode by
+    * default (pinned by QueriesSpec), so a sum past ±9.2e18 units
+    * throws ARITHMETIC_OVERFLOW. A deployment that legitimately needs
+    * more headroom flips this one function to
+    * `sum(units.cast(DecimalType(38, 0)))` — same exact results. */
+  def sumUnits(units: Column): Column =
+    org.apache.spark.sql.functions.sum(units)
+
+  /** Exact decimal-units sum → double, dividing by 10^scale through
+    * decimal arithmetic so the conversion is exact (a plain double
+    * division of a >2^53 sum would round twice). Scale ≤ 6 only: Spark
+    * caps the division result scale at 6, so a larger request would
+    * silently round. */
+  def unitsToDbl(sumUnits: Column, scale: Int): Column = {
+    require(scale <= 6, s"unitsToDbl exactness holds only for scale <= 6, got $scale")
     (sumUnits.cast(DecimalType(38, 0)) /
       lit(math.pow(10, scale).toLong)).cast(DoubleType)
+  }
 }

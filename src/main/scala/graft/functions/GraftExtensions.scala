@@ -13,13 +13,20 @@ import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
   override def apply(ext: SparkSessionExtensions): Unit = {
+    def binary(name: String, mk: (Expression, Expression) => Expression)(
+        children: Seq[Expression]): Expression = {
+      if (children.length != 2)
+        throw new IllegalArgumentException(
+          s"$name requires exactly 2 arguments, got ${children.length}")
+      mk(children(0), children(1))
+    }
     ext.injectFunction((
       FunctionIdentifier("cosine_sim"),
       new ExpressionInfo(classOf[CosineSimilarity].getName, "cosine_sim"),
-      (children: Seq[Expression]) => CosineSimilarity(children(0), children(1))))
+      binary("cosine_sim", CosineSimilarity.apply) _))
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
+      binary("dot_product", DotProduct.apply) _))
   }
 }

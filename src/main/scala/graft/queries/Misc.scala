@@ -134,26 +134,26 @@ object Misc {
     "qx_exact_stddev_corr" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        // q in cents, p in whole dollars: keeps every long SUM far from
-        // overflow (Σp² in cents would hit ~2e19 > Long.Max). The outer
-        // moment formula runs in double with each sum cast FIRST —
-        // deterministic IEEE on identical exact inputs in both engines
-        // (a long n*sqq product would overflow before the cast).
-        def d(c: org.apache.spark.sql.Column) = c.cast("double")
+        // q in cents, p in whole dollars (a cents Σp² would exceed even
+        // comfortable headroom); per-row products stay primitive longs,
+        // the aggregation buffers are decimal (sumUnits — cannot wrap).
+        // The outer moment formula runs in double with each sum cast
+        // FIRST — deterministic IEEE on identical exact inputs in both
+        // engines (a long n*sqq product would overflow before the cast).
         Tables.lineitem(s, dir)
           .select($"l_returnflag", cents($"l_quantity").as("q"),
             floor($"l_extendedprice" + 0.5).cast("long").as("p"))
           .groupBy($"l_returnflag")
           .agg(count(lit(1)).as("n"),
-            sum($"q").as("sq"), sum($"p").as("sp"),
-            sum($"q" * $"q").as("sqq"), sum($"p" * $"p").as("spp"),
-            sum($"q" * $"p").as("sqp"))
+            sumUnits($"q").as("sq"), sumUnits($"p").as("sp"),
+            sumUnits($"q" * $"q").as("sqq"), sumUnits($"p" * $"p").as("spp"),
+            sumUnits($"q" * $"p").as("sqp"))
           .select($"l_returnflag", $"n",
-            round(sqrt((d($"n") * d($"sqq") - d($"sq") * d($"sq"))
-              / (d($"n") * (d($"n") - 1.0))) / 100.0, 4).as("stddev_qty"),
-            round((d($"n") * d($"sqp") - d($"sq") * d($"sp"))
-              / (sqrt(d($"n") * d($"sqq") - d($"sq") * d($"sq"))
-                * sqrt(d($"n") * d($"spp") - d($"sp") * d($"sp"))), 4)
+            round(sqrt((dbl($"n") * dbl($"sqq") - dbl($"sq") * dbl($"sq"))
+              / (dbl($"n") * (dbl($"n") - 1.0))) / 100.0, 4).as("stddev_qty"),
+            round((dbl($"n") * dbl($"sqp") - dbl($"sq") * dbl($"sp"))
+              / (sqrt(dbl($"n") * dbl($"sqq") - dbl($"sq") * dbl($"sq"))
+                * sqrt(dbl($"n") * dbl($"spp") - dbl($"sp") * dbl($"sp"))), 4)
               .as("corr_qty_price"))
       },
       oracle = Some("""

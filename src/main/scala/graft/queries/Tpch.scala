@@ -24,9 +24,10 @@ object Tpch {
   val defs: Map[String, QueryDef] = Map(
     // --- Q1-style pricing summary: the canonical partial-agg scan.
     // Hot path: exact integer-cents arithmetic (see Num.cents) — the
-    // whole row stays primitive long inside codegen; the decimal-cast
-    // strategy used by the join queries costs ~10× here because every
-    // Decimal.* allocates BigDecimals in the 6M-row tight loop.
+    // per-row multiply chain stays primitive long inside codegen
+    // (decimal multiplies allocate BigDecimals, ~10× slower in this
+    // loop); only the aggregation buffer is decimal (sumUnits), which
+    // cannot silently wrap at scale.
     "q1_pricing_summary" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
@@ -39,13 +40,13 @@ object Tpch {
             cents($"l_tax").as("tax_c"))
           .groupBy($"l_returnflag", $"l_linestatus")
           .agg(
-            unitsToDbl(sum($"qty_c"), 2).as("sum_qty"),
-            unitsToDbl(sum($"price_c"), 2).as("sum_base_price"),
-            unitsToDbl(sum($"price_c" * (lit(100L) - $"disc_c")), 4).as("sum_disc_price"),
-            unitsToDbl(sum($"price_c" * (lit(100L) - $"disc_c") * (lit(100L) + $"tax_c")), 6).as("sum_charge"),
-            round(unitsToDbl(sum($"qty_c"), 2) / count(lit(1)), 4).as("avg_qty"),
-            round(unitsToDbl(sum($"price_c"), 2) / count(lit(1)), 4).as("avg_price"),
-            round(unitsToDbl(sum($"disc_c"), 2) / count(lit(1)), 4).as("avg_disc"),
+            unitsToDbl(sumUnits($"qty_c"), 2).as("sum_qty"),
+            unitsToDbl(sumUnits($"price_c"), 2).as("sum_base_price"),
+            unitsToDbl(sumUnits($"price_c" * (lit(100L) - $"disc_c")), 4).as("sum_disc_price"),
+            unitsToDbl(sumUnits($"price_c" * (lit(100L) - $"disc_c") * (lit(100L) + $"tax_c")), 6).as("sum_charge"),
+            round(unitsToDbl(sumUnits($"qty_c"), 2) / count(lit(1)), 4).as("avg_qty"),
+            round(unitsToDbl(sumUnits($"price_c"), 2) / count(lit(1)), 4).as("avg_price"),
+            round(unitsToDbl(sumUnits($"disc_c"), 2) / count(lit(1)), 4).as("avg_disc"),
             count(lit(1)).as("count_order"))
       },
       oracle = Some("""
@@ -74,7 +75,7 @@ object Tpch {
         l.join(o, $"l_orderkey" === $"o_orderkey")
           .join(broadcast(c), $"o_custkey" === $"c_custkey")
           .groupBy($"l_orderkey", $"o_orderdate")
-          .agg(sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))).as("rev_units"))
+          .agg(sumUnits(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))).as("rev_units"))
           .select($"l_orderkey", unitsToDbl($"rev_units", 4).as("revenue"),
             unix_millis($"o_orderdate").as("o_orderdate_ms"))
           .orderBy($"revenue".desc, $"l_orderkey".asc)
@@ -136,7 +137,7 @@ object Tpch {
           .join(broadcast(n), $"s_nationkey" === $"n_nationkey")
           .join(broadcast(r), $"n_regionkey" === $"r_regionkey")
           .groupBy($"n_name")
-          .agg(unitsToDbl(sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))), 4).as("revenue"))
+          .agg(unitsToDbl(sumUnits(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))), 4).as("revenue"))
       },
       oracle = Some("""
         SELECT n_name,
@@ -161,7 +162,7 @@ object Tpch {
           .filter($"l_shipdate" >= lit("1996-01-01").cast("timestamp") &&
             $"l_shipdate" < lit("1997-01-01").cast("timestamp") &&
             $"l_discount" >= 0.05 && $"l_discount" <= 0.07 && $"l_quantity" < 24)
-          .agg(unitsToDbl(sum(cents($"l_extendedprice") * cents($"l_discount")), 4).as("revenue"))
+          .agg(unitsToDbl(sumUnits(cents($"l_extendedprice") * cents($"l_discount")), 4).as("revenue"))
       },
       oracle = Some("""
         SELECT CAST(sum(l_extendedprice::DECIMAL(12,2) * l_discount::DECIMAL(12,2)) AS DOUBLE) AS revenue
@@ -186,7 +187,7 @@ object Tpch {
           .join(broadcast(c), $"o_custkey" === $"c_custkey")
           .join(broadcast(n), $"c_nationkey" === $"n_nationkey")
           .groupBy($"c_custkey", $"c_name", $"c_acctbal", $"n_name")
-          .agg(sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))).as("rev_units"))
+          .agg(sumUnits(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))).as("rev_units"))
           .select($"c_custkey", $"c_name", $"c_acctbal", $"n_name", unitsToDbl($"rev_units", 4).as("revenue"))
           .orderBy($"revenue".desc, $"c_custkey".asc)
           .limit(20)
@@ -212,7 +213,7 @@ object Tpch {
         import s.implicits._
         val bigOrders = Tables.lineitem(s, dir)
           .groupBy($"l_orderkey")
-          .agg(sum(cents($"l_quantity")).as("qty_c"))
+          .agg(sumUnits(cents($"l_quantity")).as("qty_c"))
           .filter($"qty_c" > 15000) // 150 in cents units
         val o = Tables.orders(s, dir)
         val c = Tables.customer(s, dir)

@@ -55,7 +55,7 @@ object Tpch2 {
           .join(broadcast(n2), $"c_nationkey" === $"c_nk")
           .filter($"supp_nation" =!= $"cust_nation")
           .groupBy($"supp_nation", $"cust_nation", year($"l_shipdate").as("l_year"))
-          .agg(unitsToDbl(sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))), 4).as("revenue"))
+          .agg(unitsToDbl(sumUnits(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))), 4).as("revenue"))
       },
       oracle = Some("""
         SELECT n1.n_name AS supp_nation, n2.n_name AS cust_nation,
@@ -85,8 +85,8 @@ object Tpch2 {
           .withColumn("volume", cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
         joined.groupBy(year($"o_orderdate").as("o_year"))
           .agg(
-            round(unitsToDbl(sum(when($"n_name" === "CHINA", $"volume").otherwise(lit(0L))), 4) /
-              unitsToDbl(sum($"volume"), 4), 6).as("mkt_share"))
+            round(unitsToDbl(sumUnits(when($"n_name" === "CHINA", $"volume").otherwise(lit(0L))), 4) /
+              unitsToDbl(sumUnits($"volume"), 4), 6).as("mkt_share"))
       },
       oracle = Some("""
         SELECT year(o_orderdate) AS o_year,
@@ -111,8 +111,8 @@ object Tpch2 {
           .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
           .withColumn("volume", cents($"l_extendedprice") * (lit(100L) - cents($"l_discount")))
           .agg(round(lit(100.0) *
-            unitsToDbl(sum(when($"p_type" === "PROMO", $"volume")), 4)
-              / unitsToDbl(sum($"volume"), 4), 6)
+            unitsToDbl(sumUnits(when($"p_type" === "PROMO", $"volume")), 4)
+              / unitsToDbl(sumUnits($"volume"), 4), 6)
             .as("promo_revenue_pct"))
       },
       oracle = Some("""
@@ -195,7 +195,7 @@ object Tpch2 {
             ($"p_brand" === "Brand#1" && $"p_size".between(1, 15) && $"l_quantity".between(1, 11)) ||
             ($"p_brand" === "Brand#2" && $"p_size".between(1, 25) && $"l_quantity".between(10, 20)) ||
             ($"p_brand" === "Brand#3" && $"p_size".between(1, 35) && $"l_quantity".between(20, 30)))
-          .agg(unitsToDbl(sum(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))), 4).as("revenue"))
+          .agg(unitsToDbl(sumUnits(cents($"l_extendedprice") * (lit(100L) - cents($"l_discount"))), 4).as("revenue"))
       },
       oracle = Some("""
         SELECT CAST(sum(l_extendedprice::DECIMAL(12,2) * (1.00::DECIMAL(12,2) - l_discount::DECIMAL(12,2))) AS DOUBLE) AS revenue

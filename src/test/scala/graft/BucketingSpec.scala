@@ -11,18 +11,16 @@ import org.scalatest.funsuite.AnyFunSuite
   * proves the property from the physical plan: no ShuffleExchange.
   */
 class BucketingSpec extends AnyFunSuite {
+  // isolated child session: runtime confs (broadcast threshold, shuffle
+  // partitions) must NOT leak into the JVM-shared session other suites
+  // use — newSession() gives a private SQLConf over the same context,
+  // and going through Sessions.local first keeps the static confs
+  // (extensions, nanosAsLong) intact regardless of suite order
   lazy val spark: SparkSession = {
-    val wh = Files.createTempDirectory("graft-warehouse").toString
-    SparkSession.builder()
-      .master("local[4]")
-      .config("spark.sql.shuffle.partitions", "4")
-      .config("spark.sql.warehouse.dir", wh)
-      .config("spark.sql.session.timeZone", "UTC")
-      .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
-      .config("spark.sql.legacy.parquet.nanosAsLong", "true")
-      .config("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
-      .config("spark.ui.enabled", "false")
-      .getOrCreate()
+    val s = Sessions.local(cores = 4, appName = "graft-bucketing").newSession()
+    s.conf.set("spark.sql.shuffle.partitions", "4")
+    s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1") // force non-broadcast
+    s
   }
 
   test("join of two tables bucketed on the key plans with zero shuffles") {

@@ -25,6 +25,14 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("ANSI mode is on: unit sums fail loudly on overflow, never wrap") {
+    assert(spark.conf.get("spark.sql.ansi.enabled") == "true")
+    val e = intercept[Exception] {
+      spark.sql("SELECT sum(x) FROM VALUES (9223372036854775807), (1) t(x)").collect()
+    }
+    assert(e.getMessage.contains("ARITHMETIC_OVERFLOW"), e.getMessage)
+  }
+
   test("oracleSql keys are a subset of queries") {
     val qk = SparkEntry.queries.keySet
     val missing = SparkEntry.oracleSql.keySet -- qk

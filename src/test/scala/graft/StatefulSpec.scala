@@ -15,15 +15,17 @@ class StatefulSpec extends AnyFunSuite {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
     val ms = MemoryStream[(String, Int)]
-    val out = Stateful.dedupFirstSeen[(String, Int)](ms.toDS(), _._1)
+    // deterministic within-batch survivor: smallest payload wins
+    val out = Stateful.dedupFirstSeen[(String, Int)](ms.toDS(), _._1,
+      (a, b) => if (a._2 <= b._2) a else b)
     val q = out.writeStream.format("memory").queryName("dedup_out")
       .outputMode("append").start()
     try {
       ms.addData(("a", 1), ("b", 2), ("a", 3))
       q.processAllAvailable()
       val after1 = spark.table("dedup_out").as[(String, Int)].collect()
-      assert(after1.map(_._1).sorted.toSeq == Seq("a", "b"),
-        "within-batch duplicate suppressed")
+      assert(after1.sorted.toSeq == Seq(("a", 1), ("b", 2)),
+        "within-batch duplicate suppressed, deterministic survivor")
 
       ms.addData(("a", 4), ("c", 5))
       q.processAllAvailable()
