@@ -33,6 +33,10 @@ object Bench {
       try fn(spark, "/root/testdata/sf0.001").collect()
       catch { case _: Throwable => () }
     }
+    // drop warm-up residue (cached relations, shuffle files) so the
+    // timed pass measures queries, not accumulated session state
+    spark.catalog.clearCache()
+    System.gc()
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
       val t0 = System.nanoTime()
