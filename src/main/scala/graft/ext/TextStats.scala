@@ -188,6 +188,31 @@ object TextStats {
         FROM t"""),
       doc = "Rabin-Karp rolling hash: exact integer left-fold fingerprint"),
 
+    // corpus-wide n-gram frequency: top-20 word bigrams (the LM-style
+    // corpus statistic; explode → hash-agg → top-k, one shuffle)
+    "txt_bigram_freq" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .withColumn("toks", expr(toksE))
+          .select(explode(expr(
+            "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks)-2), " +
+              "i -> concat_ws(' ', toks[i], toks[i+1])) ELSE array() END")).as("bigram"))
+          .groupBy($"bigram")
+          .agg(count(lit(1)).as("freq"))
+          .orderBy($"freq".desc, $"bigram".asc)
+          .limit(20)
+      },
+      oracle = Some("""
+        WITH t AS (SELECT string_split_regex(trim(text), '\s+') AS toks FROM documents),
+        b AS (SELECT unnest(list_transform(generate_series(1, len(toks)-1),
+                     i -> toks[i] || ' ' || toks[i+1])) AS bigram FROM t)
+        SELECT bigram, count(*) AS freq
+        FROM b GROUP BY 1
+        ORDER BY freq DESC, bigram ASC
+        LIMIT 20"""),
+      doc = "corpus bigram frequencies: explode + hash-agg + top-20"),
+
     // document fingerprinting: content hash + min-shingle fingerprint
     "txt_fingerprint" -> QueryDef(
       build = (s, dir) => {

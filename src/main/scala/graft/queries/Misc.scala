@@ -110,6 +110,37 @@ object Misc {
           ON p.user_id = sg.user_id AND p.ts >= sg.ts"""),
       doc = "as-of join via union + one window pass (merge-sort formulation)"),
 
+    // range join, composed scalably: each error event owns a 1-hour
+    // window; events are matched by TIME-BUCKET EQUI-JOIN (window spans
+    // ≤ 2 hourly buckets → explode probe side to 2 keys) then refined
+    // by the exact range predicate. No broadcast-nested-loop, no n·m
+    // pair blowup — the standard interval-join recipe at scale. Oracle
+    // is the plain inequality join.
+    "qx_range_join_bucketed" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val e = Tables.eventsNorm(s, dir)
+        val errors = e.filter($"event_type" === "error")
+          .select($"event_id".as("err_id"), unix_micros($"ts").as("t0"))
+          .withColumn("t1", $"t0" + 3600000000L)
+        val probes = errors
+          .withColumn("bucket", explode(array(($"t0" / 3600000000L).cast("long"),
+            ($"t0" / 3600000000L).cast("long") + 1)))
+        val victims = e.select(unix_micros($"ts").as("tv"))
+          .withColumn("bucket", ($"tv" / 3600000000L).cast("long"))
+        probes.join(victims, Seq("bucket"))
+          .filter($"tv" >= $"t0" && $"tv" < $"t1")
+          .groupBy($"err_id")
+          .agg(count(lit(1)).as("n_events_in_window"))
+      },
+      oracle = Some("""
+        SELECT e.event_id AS err_id, count(*) AS n_events_in_window
+        FROM (SELECT event_id, epoch_us(ts) AS t0 FROM events WHERE event_type = 'error') e
+        JOIN (SELECT epoch_us(ts) AS tv FROM events) v
+          ON v.tv >= e.t0 AND v.tv < e.t0 + 3600000000
+        GROUP BY 1"""),
+      doc = "range join via time-bucket equi-join + refine (no pair blowup)"),
+
     // approximate sketches: HLL++ distinct counts next to the exact
     // answer. Not ANSI-expressible (sketch internals differ per engine)
     // → rows-only gate; deterministic for fixed input.
