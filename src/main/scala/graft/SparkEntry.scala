@@ -14,6 +14,7 @@ object SparkEntry {
     _root_.graft.queries.Tpch.defs,
     _root_.graft.queries.Tpch2.defs,
     _root_.graft.queries.RefQueries.defs,
+    _root_.graft.queries.ApiQueries.defs,
     _root_.graft.queries.Windows.defs,
     _root_.graft.queries.Misc.defs,
     _root_.graft.ext.TextStats.defs,

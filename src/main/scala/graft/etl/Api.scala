@@ -28,10 +28,11 @@ final case class Api(catalog: Catalog) {
 
   /** Q2 — GET /rooms/:id: room + aggregated participant list
     * (routes.ts:106-112; correlated json_agg decorrelated to
-    * join + collect_list(struct)). */
+    * join + collect_list(struct)). `participants` is bucketed on
+    * room_id, so the scan touches one bucket's files. */
   def roomDetail(spark: SparkSession, roomId: String): DataFrame = {
     val room = catalog.read(spark, "rooms").filter(col("room_id") === roomId)
-    val parts = catalog.read(spark, "participants")
+    val parts = catalog.readForKey(spark, "participants", roomId)
       .filter(col("room_id") === roomId)
       .groupBy(col("room_id"))
       .agg(collect_list(struct(
@@ -41,10 +42,15 @@ final case class Api(catalog: Catalog) {
   }
 
   /** Q3 — GET /rooms/:id/messages: keyset pagination
-    * (routes.ts:126-145; default limit 50). */
+    * (routes.ts:126-145; default limit 50). The bucket-pruned read
+    * (readForKey) scans ONLY room_id's hash bucket — the Spark analog of
+    * the reference's `(room_id, timestamp)` B-tree probe (schema.ts:81);
+    * within the bucket, rows are timestamp-sorted so parquet rowgroup
+    * min/max stats prune the keyset predicate too. */
   def messagesPage(spark: SparkSession, roomId: String,
       before: Option[Long] = None, limit: Int = 50): DataFrame = {
-    val base = catalog.read(spark, "messages").filter(col("room_id") === roomId)
+    val base = catalog.readForKey(spark, "messages", roomId)
+      .filter(col("room_id") === roomId)
     val paged = before.fold(base)(b => base.filter(col("timestamp") < b))
     paged.orderBy(col("timestamp").desc, col("event_id").desc).limit(limit)
   }

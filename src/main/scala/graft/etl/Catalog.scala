@@ -15,7 +15,7 @@ import org.apache.spark.sql.types.StructType
   * `MergeWriter.publish` (versioned dir + atomic pointer swap) so
   * readers never observe a partial snapshot.
   */
-final case class Catalog(root: String) {
+final case class Catalog(root: String, messageBuckets: Int = 16) {
 
   val tables: Map[String, StructType] = Map(
     "messages" -> Schemas.messages,
@@ -25,6 +25,20 @@ final case class Catalog(root: String) {
     "auth_credentials" -> Schemas.authCredentials,
     "key_backup_status" -> Schemas.keyBackupStatus,
     "logs" -> Schemas.logs)
+
+  /** Physical layout per SURVEY §2.4 / reference schema.ts:81-87: the
+    * `(room_id, timestamp)` composite index becomes hash buckets on
+    * room_id with rows sorted by timestamp inside each bucket, so a
+    * room-scoped merge rewrites only that room's bucket and
+    * `Api.messagesPage` scans one bucket's files. `participants`
+    * (composite PK (user_id, room_id), FK room_id — schema.ts:40-53)
+    * buckets on room_id too, co-locating it with messages. Bucket
+    * counts are small here; thousands at cluster scale. */
+  val bucketSpecs: Map[String, MergeWriter.BucketSpec] = Map(
+    "messages" -> MergeWriter.BucketSpec("room_id", messageBuckets, Seq("timestamp")),
+    "participants" -> MergeWriter.BucketSpec("room_id", messageBuckets))
+
+  def bucketOf(table: String): Option[MergeWriter.BucketSpec] = bucketSpecs.get(table)
 
   def dir(table: String): String = s"$root/$table"
 
@@ -40,18 +54,29 @@ final case class Catalog(root: String) {
     MergeWriter.readSnapshot(spark, dir(table), tables(table))
 
   /** Append-only write (≙ L5 setKeyBackupStatus / L6 setAuthCredentials:
-    * plain INSERT, no conflict handling). */
+    * plain INSERT, no conflict handling). O(batch): writes only the new
+    * rows as a segment; existing files are never read or rewritten. */
   def append(spark: SparkSession, table: String, batch: DataFrame): Unit = {
-    val existing = read(spark, table)
-    MergeWriter.publish(spark, dir(table), existing.unionByName(batch))
+    MergeWriter.appendSegment(spark, dir(table), batch, bucketOf(table))
     ()
   }
 
-  /** Upsert with the table's natural key (≙ L1/L2/L3/L8). */
+  /** Upsert with the table's natural key (≙ L1/L2/L3/L8). Bucketed
+    * tables rewrite only the buckets the batch touches. */
   def upsert(spark: SparkSession, table: String, batch: DataFrame,
       keys: Seq[String], orderBy: Seq[String],
       changeCols: Option[Seq[String]] = None): MergeWriter.MergeResult =
-    MergeWriter.merge(spark, dir(table), batch, keys, orderBy, changeCols)
+    MergeWriter.merge(spark, dir(table), batch, keys, orderBy, changeCols,
+      bucketOf(table))
+
+  /** Bucket-pruned point read: only the segment files that can contain
+    * `key` (one bucket + any unbucketed segments). */
+  def readForKey(spark: SparkSession, table: String, key: String): DataFrame =
+    bucketOf(table) match {
+      case Some(bs) => MergeWriter.readBuckets(spark, dir(table), tables(table),
+        Set(MergeWriter.bucketIdOf(key, bs.buckets)))
+      case None => read(spark, table)
+    }
 
   /** Update-only merge (≙ L7 updateDeviceId: UPDATE … WHERE, error when
     * nothing matched — db.utils.ts:240-269). Rows in `updates` whose key
@@ -86,7 +111,7 @@ final case class Catalog(root: String) {
             .otherwise(col(c)).as(c)
         else col(c)
       }: _*)
-    MergeWriter.publish(spark, dir(table), merged)
+    MergeWriter.publish(spark, dir(table), merged, bucketOf(table))
     matchedCount
   }
 
@@ -98,7 +123,7 @@ final case class Catalog(root: String) {
     val parents = read(spark, parentTable).select(col(parentKey))
     val kept = child.join(parents, child(childKey) === parents(parentKey), "left_semi")
     val removed = child.count() - kept.count()
-    MergeWriter.publish(spark, dir(childTable), kept)
+    MergeWriter.publish(spark, dir(childTable), kept, bucketOf(childTable))
     removed
   }
 }

@@ -31,6 +31,34 @@ object Decrypt {
       .generateSecret(spec).getEncoded
   }
 
+  /** Derivations actually executed (not served from cache) — lets the
+    * spec prove an N-row decrypt derives the key once, not N times. */
+  val deriveCount = new java.util.concurrent.atomic.AtomicLong(0)
+
+  // (passphrase, salt_b64, iterations) is constant across a sync batch,
+  // but the UDF sees it per ROW — without memoization every event pays
+  // the full ~10^5-hash PBKDF2 cost. Per-executor bounded LRU; thread-safe
+  // via synchronized LinkedHashMap (contention is nil next to PBKDF2).
+  private val keyCache = java.util.Collections.synchronizedMap(
+    new java.util.LinkedHashMap[(String, String, Int), Array[Byte]](16, 0.75f, true) {
+      override def removeEldestEntry(
+          e: java.util.Map.Entry[(String, String, Int), Array[Byte]]): Boolean =
+        size() > 64
+    })
+
+  /** Memoized derivation keyed on (passphrase, salt_b64, iterations). */
+  def deriveKeyCached(passphrase: String, saltB64: String, iterations: Int): Array[Byte] = {
+    val k = (passphrase, saltB64, iterations)
+    val hit = keyCache.get(k)
+    if (hit != null) hit
+    else {
+      deriveCount.incrementAndGet()
+      val derived = deriveKey(passphrase, Base64.getDecoder.decode(saltB64), iterations)
+      keyCache.put(k, derived)
+      derived
+    }
+  }
+
   /** AES-GCM-256 encrypt; output = base64(iv ‖ ciphertext ‖ tag). */
   def encrypt(plaintext: String, key: Array[Byte], iv: Array[Byte]): String = {
     require(key.length == KeyLenBytes && iv.length == GcmIvBytes)
@@ -61,17 +89,22 @@ object Decrypt {
       Some(new String(cipher.doFinal(ct), StandardCharsets.UTF_8))
     } catch { case _: Exception => None }
 
-  /** Register `decrypt_event(payload, passphrase, salt_b64, iterations)`
-    * and `derive_key_b64(passphrase, salt_b64, iterations)` UDFs. */
+  /** Register `decrypt_event(payload, passphrase, salt_b64, iterations)`,
+    * `decrypt_event_key(payload, key_b64)` (key pre-derived once on the
+    * driver — the cheapest path for a constant-key sync batch) and
+    * `derive_key_b64(passphrase, salt_b64, iterations)` UDFs. */
   def register(spark: SparkSession): Unit = {
     spark.udf.register("derive_key_b64",
       (pass: String, saltB64: String, iterations: Int) =>
         Base64.getEncoder.encodeToString(
-          deriveKey(pass, Base64.getDecoder.decode(saltB64), iterations)))
+          deriveKeyCached(pass, saltB64, iterations)))
     spark.udf.register("decrypt_event",
       (payload: String, pass: String, saltB64: String, iterations: Int) => {
-        val key = deriveKey(pass, Base64.getDecoder.decode(saltB64), iterations)
+        val key = deriveKeyCached(pass, saltB64, iterations)
         decrypt(payload, key).orNull
       })
+    spark.udf.register("decrypt_event_key",
+      (payload: String, keyB64: String) =>
+        decrypt(payload, Base64.getDecoder.decode(keyB64)).orNull)
   }
 }

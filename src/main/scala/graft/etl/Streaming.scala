@@ -33,7 +33,8 @@ object Streaming {
       sourceDir: String,
       checkpointDir: String,
       tableDir: String,
-      maxFilesPerTrigger: Int = 50): StreamingQuery = {
+      maxFilesPerTrigger: Int = 50,
+      bucket: Option[MergeWriter.BucketSpec] = None): StreamingQuery = {
     val raw = spark.readStream
       .schema(Schemas.rawEvent)
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
@@ -44,9 +45,15 @@ object Streaming {
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        // LWW on (timestamp, event_id); merge makes replays idempotent
+        // Batch-wins statement semantics (like the reference's ON
+        // CONFLICT DO UPDATE): the (timestamp, id) ordering resolves
+        // duplicates WITHIN a batch deterministically; against the
+        // snapshot the incoming batch always wins, so a replayed batch
+        // is idempotent but a late batch carrying an older event wins
+        // over a newer snapshot row — exactly the reference's behavior.
         MergeWriter.merge(batch.sparkSession, tableDir, batch,
-          keys = Seq("event_id"), orderBy = Seq("timestamp", "id"))
+          keys = Seq("event_id"), orderBy = Seq("timestamp", "id"),
+          bucket = bucket)
         ()
       }
       .start()

@@ -162,8 +162,13 @@ object Dedup {
         LIMIT 20"""),
       doc = "n-gram Jaccard near-dedup: 1-minhash blocking, top-20 pairs"),
 
-    // ---- SimHash: 60-bit sign-aggregated hash over distinct tokens,
-    // closest-20 pairs by Hamming distance.
+    // ---- SimHash: 60-bit sign-aggregated hash over distinct tokens; all
+    // pairs within Hamming ≤ 3, found by 15-bit BAND BLOCKING (Manku et
+    // al., WWW'07): split the 60 bits into 4 bands of 15 — a pair with
+    // ≤3 differing bits must agree exactly on ≥1 band (pigeonhole), so
+    // candidates come from an EQUI-join on (band, band_value), never a
+    // cartesian. The oracle verifies by exhaustive O(n²) comparison —
+    // proving the banding is lossless at the threshold.
     "dedup_simhash" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
@@ -182,13 +187,18 @@ object Dedup {
           .agg(sum(when(expr("((h >> b) & 1) = 1"), 1).otherwise(-1)).as("v"))
         val sim = bits.groupBy($"doc_id")
           .agg(sum(when($"v" > 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("simhash"))
-        val a = sim.select($"doc_id".as("a_id"), $"simhash".as("ha"))
-        val b = sim.select($"doc_id".as("b_id"), $"simhash".as("hb"))
-        a.join(b, $"a_id" < $"b_id")
+        val banded = sim.select($"doc_id", $"simhash",
+          posexplode(array((0 until 4).map(i =>
+            expr(s"(simhash >> ${i * 15}) & 32767")): _*)).as(Seq("band", "bv")))
+        val a = banded.select($"doc_id".as("a_id"), $"simhash".as("ha"), $"band", $"bv")
+        val b = banded.select($"doc_id".as("b_id"), $"simhash".as("hb"), $"band", $"bv")
+        a.join(b, Seq("band", "bv"))
+          .filter($"a_id" < $"b_id")
           .select($"a_id", $"b_id",
             expr("bit_count(ha ^ hb)").cast("int").as("hamming"))
+          .filter($"hamming" <= 3)
+          .distinct() // a pair may collide in several bands
           .orderBy($"hamming".asc, $"a_id".asc, $"b_id".asc)
-          .limit(20)
       },
       oracle = Some("""
         WITH toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
@@ -204,9 +214,9 @@ object Dedup {
         SELECT a.doc_id AS a_id, b.doc_id AS b_id,
                CAST(bit_count(xor(a.simhash, b.simhash)) AS INT) AS hamming
         FROM sim a JOIN sim b ON a.doc_id < b.doc_id
-        ORDER BY hamming ASC, a_id ASC, b_id ASC
-        LIMIT 20"""),
-      doc = "SimHash near-dedup: 60-bit sign-aggregate, Hamming top-20"),
+        WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+        ORDER BY hamming ASC, a_id ASC, b_id ASC"""),
+      doc = "SimHash near-dedup: 4x15-bit band-blocked candidates, Hamming<=3 (oracle = exhaustive pairs)"),
 
     // ---- embedding cosine near-dup: top-20 most similar vector pairs.
     // Brute-force n² stays in whole-stage codegen via the native

@@ -20,12 +20,24 @@ import org.apache.spark.sql.types._
   */
 abstract class VectorBinaryExpression extends BinaryExpression {
   override def dataType: DataType = DoubleType
-  override def nullable: Boolean = left.nullable || right.nullable
+  // NULL out (rather than silently mis-compute) ragged inputs: a length
+  // mismatch or a null element yields SQL NULL, so corrupt embeddings
+  // surface as missing similarities instead of plausible wrong ones.
+  override def nullable: Boolean = true
 
   protected def elemIsFloat(e: Expression): Boolean = e.dataType match {
     case ArrayType(FloatType, _) => true
     case _ => false
   }
+
+  /** Does either input's schema admit null ELEMENTS? When false (the
+    * common parquet embedding case after an explicit schema), the
+    * per-element null checks are omitted from eval and codegen so the
+    * hot loop stays branch-free. */
+  protected def anyElementNullable: Boolean = Seq(left, right).exists(_.dataType match {
+    case ArrayType(_, cn) => cn
+    case _ => false
+  })
 
   /** java source: read element i of array `v` as double */
   protected def getter(e: Expression, v: String, i: String): String =
@@ -49,7 +61,8 @@ abstract class VectorBinaryExpression extends BinaryExpression {
   }
 }
 
-/** Sequential dot product: Σ a(i)·b(i), i in array order. */
+/** Sequential dot product: Σ a(i)·b(i), i in array order.
+  * NULL on dimension mismatch or a null element. */
 case class DotProduct(left: Expression, right: Expression)
     extends VectorBinaryExpression {
   override def prettyName: String = "dot_product"
@@ -57,11 +70,18 @@ case class DotProduct(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0
-    var i = 0
-    while (i < n) { dot += elemAt(left, a, i) * elemAt(right, b, i); i += 1 }
-    dot
+    val n = a.numElements()
+    if (n != b.numElements()) null
+    else {
+      val checkNulls = anyElementNullable
+      var dot = 0.0
+      var i = 0
+      while (i < n) {
+        if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
+        dot += elemAt(left, a, i) * elemAt(right, b, i); i += 1
+      }
+      dot
+    }
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -69,13 +89,22 @@ case class DotProduct(left: Expression, right: Expression)
       val i = ctx.freshName("i")
       val n = ctx.freshName("n")
       val dot = ctx.freshName("dot")
+      val nullCheck =
+        if (anyElementNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  $dot += (${getter(left, a, i)}) * (${getter(right, b, i)});
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    $dot += (${getter(left, a, i)}) * (${getter(right, b, i)});
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = $dot;
          |}
-         |${ev.value} = $dot;
        """.stripMargin
     })
 
@@ -85,6 +114,7 @@ case class DotProduct(left: Expression, right: Expression)
 }
 
 /** Cosine similarity: dot/(‖a‖·‖b‖), 0.0 on a zero-norm side.
+  * NULL on dimension mismatch or a null element.
   * All three accumulations are sequential in array order. */
 case class CosineSimilarity(left: Expression, right: Expression)
     extends VectorBinaryExpression {
@@ -93,16 +123,21 @@ case class CosineSimilarity(left: Expression, right: Expression)
   override def nullSafeEval(l: Any, r: Any): Any = {
     val a = l.asInstanceOf[ArrayData]
     val b = r.asInstanceOf[ArrayData]
-    val n = math.min(a.numElements(), b.numElements())
-    var dot = 0.0; var na = 0.0; var nb = 0.0
-    var i = 0
-    while (i < n) {
-      val x = elemAt(left, a, i); val y = elemAt(right, b, i)
-      dot += x * y; na += x * x; nb += y * y
-      i += 1
+    val n = a.numElements()
+    if (n != b.numElements()) null
+    else {
+      val checkNulls = anyElementNullable
+      var dot = 0.0; var na = 0.0; var nb = 0.0
+      var i = 0
+      while (i < n) {
+        if (checkNulls && (a.isNullAt(i) || b.isNullAt(i))) return null
+        val x = elemAt(left, a, i); val y = elemAt(right, b, i)
+        dot += x * y; na += x * x; nb += y * y
+        i += 1
+      }
+      if (na == 0.0 || nb == 0.0) 0.0
+      else dot / (math.sqrt(na) * math.sqrt(nb))
     }
-    if (na == 0.0 || nb == 0.0) 0.0
-    else dot / (math.sqrt(na) * math.sqrt(nb))
   }
 
   override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
@@ -114,16 +149,25 @@ case class CosineSimilarity(left: Expression, right: Expression)
       val nb = ctx.freshName("nb")
       val x = ctx.freshName("x")
       val y = ctx.freshName("y")
+      val nullCheck =
+        if (anyElementNullable)
+          s"if ($a.isNullAt($i) || $b.isNullAt($i)) { ${ev.isNull} = true; break; }"
+        else ""
       s"""
-         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
-         |double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
-         |for (int $i = 0; $i < $n; $i++) {
-         |  double $x = ${getter(left, a, i)};
-         |  double $y = ${getter(right, b, i)};
-         |  $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |int $n = $a.numElements();
+         |if ($n != $b.numElements()) {
+         |  ${ev.isNull} = true;
+         |} else {
+         |  double $dot = 0.0; double $na = 0.0; double $nb = 0.0;
+         |  for (int $i = 0; $i < $n; $i++) {
+         |    $nullCheck
+         |    double $x = ${getter(left, a, i)};
+         |    double $y = ${getter(right, b, i)};
+         |    $dot += $x * $y; $na += $x * $x; $nb += $y * $y;
+         |  }
+         |  if (!${ev.isNull}) ${ev.value} = ($na == 0.0 || $nb == 0.0)
+         |    ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
          |}
-         |${ev.value} = ($na == 0.0 || $nb == 0.0)
-         |  ? 0.0 : $dot / (java.lang.Math.sqrt($na) * java.lang.Math.sqrt($nb));
        """.stripMargin
     })
 

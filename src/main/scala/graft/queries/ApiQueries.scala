@@ -1,0 +1,278 @@
+package graft.queries
+
+import graft.{QueryDef, Tables}
+import graft.etl.{Api, Catalog}
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+
+/** Oracle-gated twins of the EIGHT `Api` route functions (SURVEY §2.4
+  * Q1–Q8, src/server/api/routes.ts) in their TRUE domain shape: the
+  * Catalog tables (messages/rooms/participants/sync_state/logs) are
+  * materialized from the driver's `events` parquet THROUGH THE REAL
+  * WRITE PATH — bucketed MergeWriter upserts for messages/participants,
+  * segment appends for sync_state/logs — and each query then runs the
+  * actual `Api` function over the committed snapshots. The DuckDB
+  * oracle reproduces the (deterministic) derivation purely in SQL over
+  * `events`, so rows+schema+hash verify the whole pipeline: derivation,
+  * merge semantics, bucketed physical layout, and the route plan.
+  *
+  * Deterministic event → domain mapping (mirrored in every oracle CTE):
+  *   event_id  e{event_id}          room_id  r{user_id % 25}
+  *   sender    @u{user_id}          content  props (JSON string)
+  *   timestamp epoch millis of ts   is_encrypted  event_id % 7 = 0
+  * Rooms/participants derive from messages; sync_state is one row per
+  * event-day (id d{date}, next_batch b{max event_id}); logs is one row
+  * per event. All `created_at`-style columns use a FIXED literal
+  * timestamp — never current_timestamp() — so reruns hash identically.
+  */
+object ApiQueries {
+
+  private val RoomsN = 25L
+  /** Messages arrive as two upserts split at this cut (exercises the
+    * incremental bucket-pruned merge, not just a single full write). */
+  private val CutMs = java.time.Instant.parse("2024-01-16T00:00:00Z").toEpochMilli
+  private val PageCutMs = java.time.Instant.parse("2024-01-25T00:00:00Z").toEpochMilli
+
+  private val builtDirs = scala.collection.mutable.Set[String]()
+
+  private def catalogRoot(sfDir: String): String = {
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(sfDir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    sys.env.getOrElse("GRAFT_API_CATALOG_DIR", "/root/repo/target/api-catalog") + s"/$md"
+  }
+
+  /** Build (once per sfDir; cached on disk via a _DONE marker) and
+    * return the materialized catalog. */
+  def materialize(s: SparkSession, dir: String): Catalog = synchronized {
+    val root = catalogRoot(dir)
+    val cat = Catalog(root)
+    if (!builtDirs.contains(root)) {
+      val done = java.nio.file.Paths.get(root, "_DONE")
+      if (!java.nio.file.Files.exists(done)) {
+        deleteRecursively(java.nio.file.Paths.get(root))
+        build(s, dir, cat)
+        java.nio.file.Files.createFile(done)
+      }
+      builtDirs += root
+    }
+    cat
+  }
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
+        .iterator().asScala.foreach(java.nio.file.Files.delete)
+    }
+
+  private def build(s: SparkSession, dir: String, cat: Catalog): Unit = {
+    import s.implicits._
+    cat.bootstrap()
+    val fixedTs = to_timestamp(lit("2024-06-01 00:00:00"))
+    val ev = Tables.events(s, dir) // ts = raw nanos (LongType, nanosAsLong)
+
+    val msgs = ev.select(
+      md5(concat(lit("e"), $"event_id")).as("id"),
+      concat(lit("e"), $"event_id").as("event_id"),
+      concat(lit("r"), pmod($"user_id", lit(RoomsN))).as("room_id"),
+      concat(lit("@u"), $"user_id").as("sender"),
+      $"props".as("content"),
+      $"event_type",
+      expr("ts div 1000000").as("timestamp"),
+      (pmod($"event_id", lit(7L)) === 0).as("is_encrypted"),
+      lit(null).cast("string").as("relates_to"),
+      when($"event_type" === "error", lit("ingest_error"))
+        .otherwise(lit(null).cast("string")).as("error"),
+      fixedTs.as("processed_at"))
+    // two upserts: initial snapshot, then an incremental batch — the
+    // second merge reads+rewrites only the buckets its rows touch
+    cat.upsert(s, "messages", msgs.filter($"timestamp" < CutMs),
+      Seq("event_id"), Seq("timestamp", "id"))
+    cat.upsert(s, "messages", msgs.filter($"timestamp" >= CutMs),
+      Seq("event_id"), Seq("timestamp", "id"))
+
+    val rooms = msgs.groupBy($"room_id")
+      .agg(min($"timestamp").as("created_ts"))
+      .select($"room_id",
+        concat(lit("Room "), expr("substring(room_id, 2)")).as("name"),
+        lit("").as("topic"),
+        lit("join").as("membership"),
+        (expr("CAST(substring(room_id, 2) AS INT)") % 2 === 0).as("is_encrypted"),
+        $"created_ts",
+        lit("").as("avatar_url"),
+        fixedTs.as("last_updated"),
+        fixedTs.as("created_at"))
+    cat.upsert(s, "rooms", rooms, Seq("room_id"), Seq("created_ts"))
+
+    val participants = msgs.groupBy($"sender", $"room_id")
+      .agg(min($"timestamp").as("joined_ts"))
+      .select($"sender".as("user_id"), $"room_id",
+        concat(lit("User "), expr("substring(sender, 3)")).as("display_name"),
+        lit("").as("avatar_url"),
+        lit("join").as("membership"),
+        $"joined_ts",
+        fixedTs.as("last_updated"),
+        fixedTs.as("created_at"))
+    cat.upsert(s, "participants", participants,
+      Seq("user_id", "room_id"), Seq("joined_ts"))
+
+    val days = ev
+      .groupBy(to_date(timestamp_millis(expr("ts div 1000000"))).as("day"))
+      .agg(max($"event_id").as("mx"))
+      .select(concat(lit("d"), date_format($"day", "yyyy-MM-dd")).as("id"),
+        concat(lit("b"), $"mx").as("next_batch"),
+        $"day".cast("timestamp").as("created_at"))
+    // two O(batch) segment appends (append-only log path, L5/L6 shape)
+    cat.append(s, "sync_state", days.filter($"created_at" < to_timestamp(lit("2024-01-16 00:00:00"))))
+    cat.append(s, "sync_state", days.filter($"created_at" >= to_timestamp(lit("2024-01-16 00:00:00"))))
+
+    val logs = ev.select(
+      timestamp_micros(expr("ts div 1000")).as("timestamp"),
+      when($"event_type" === "error", lit("error")).otherwise(lit("info")).as("level"),
+      concat(lit("evt e"), $"event_id").as("message"))
+    cat.append(s, "logs", logs)
+  }
+
+  private def api(s: SparkSession, dir: String): Api = Api(materialize(s, dir))
+
+  /** Shared oracle CTE: the deterministic events → messages mapping. */
+  private val MsgsCte = """
+    msgs AS (
+      SELECT md5('e' || event_id) AS id,
+             'e' || event_id AS event_id,
+             'r' || (user_id % 25) AS room_id,
+             '@u' || user_id AS sender,
+             props AS content,
+             event_type,
+             epoch_ms(ts) AS "timestamp",
+             (event_id % 7 = 0) AS is_encrypted
+      FROM events)"""
+
+  val defs: Map[String, QueryDef] = Map(
+    // Q1 — GET /rooms ordered by derived last_message_timestamp
+    "api_q1_rooms_by_recency" -> QueryDef(
+      build = (s, dir) => {
+        api(s, dir).listRooms(s)
+          .select(col("room_id"), col("name"), col("is_encrypted"),
+            col("created_ts"), col("last_message_timestamp"))
+      },
+      oracle = Some(s"""
+        WITH $MsgsCte
+        SELECT room_id,
+               'Room ' || substr(room_id, 2) AS name,
+               (CAST(substr(room_id, 2) AS INT) % 2 = 0) AS is_encrypted,
+               min("timestamp") AS created_ts,
+               max("timestamp") AS last_message_timestamp
+        FROM msgs GROUP BY 1, 2, 3"""),
+      doc = "Api Q1 over materialized catalog: rooms + derived recency (routes.ts:92)"),
+
+    // Q2 — GET /rooms/:id (participants array exploded to rows so the
+    // compare is order-insensitive)
+    "api_q2_room_detail" -> QueryDef(
+      build = (s, dir) => {
+        api(s, dir).roomDetail(s, "r3")
+          .select(col("room_id"), col("name"), explode(col("participants")).as("p"))
+          .select(col("room_id"), col("name"), col("p.user_id"),
+            col("p.display_name"), col("p.membership"))
+      },
+      oracle = Some(s"""
+        WITH $MsgsCte
+        SELECT DISTINCT room_id,
+               'Room ' || substr(room_id, 2) AS name,
+               sender AS user_id,
+               'User ' || substr(sender, 3) AS display_name,
+               'join' AS membership
+        FROM msgs WHERE room_id = 'r3'"""),
+      doc = "Api Q2 over materialized catalog: room detail + json_agg (routes.ts:106-112)"),
+
+    // Q3 — GET /rooms/:id/messages keyset page; the Spark side scans
+    // ONE bucket of the bucketed messages table (readForKey)
+    "api_q3_messages_page" -> QueryDef(
+      build = (s, dir) => {
+        api(s, dir).messagesPage(s, "r3", before = Some(PageCutMs), limit = 50)
+          .select(col("event_id"), col("sender"), col("timestamp"), col("content"))
+      },
+      oracle = Some(s"""
+        WITH $MsgsCte
+        SELECT event_id, sender, "timestamp", content
+        FROM msgs
+        WHERE room_id = 'r3' AND "timestamp" < $PageCutMs
+        ORDER BY "timestamp" DESC, event_id DESC LIMIT 50"""),
+      doc = "Api Q3 over materialized catalog: keyset page, bucket-pruned scan (routes.ts:126-145)"),
+
+    // Q4 — GET /users (derived LWW users view)
+    "api_q4_users" -> QueryDef(
+      build = (s, dir) => api(s, dir).listUsers(s),
+      oracle = Some(s"""
+        WITH $MsgsCte
+        SELECT DISTINCT sender AS user_id,
+               'User ' || substr(sender, 3) AS display_name,
+               '' AS avatar_url
+        FROM msgs"""),
+      doc = "Api Q4 over materialized catalog: users LWW view (routes.ts:154)"),
+
+    // Q5 — GET /users/:id (participants ⋈ rooms, the explicit join)
+    "api_q5_user_detail" -> QueryDef(
+      build = (s, dir) => {
+        api(s, dir).userDetail(s, "@u7")
+          .select(col("user_id"), explode(col("rooms")).as("r"))
+          .select(col("user_id"), col("r.room_id"), col("r.name"))
+      },
+      oracle = Some(s"""
+        WITH $MsgsCte
+        SELECT DISTINCT sender AS user_id, room_id,
+               'Room ' || substr(room_id, 2) AS name
+        FROM msgs WHERE sender = '@u7'"""),
+      doc = "Api Q5 over materialized catalog: user rooms join (routes.ts:168-176)"),
+
+    // Q6 — GET /stats (five metrics, one job)
+    "api_q6_stats" -> QueryDef(
+      build = (s, dir) => {
+        api(s, dir).stats(s)
+          .withColumn("last_sync_us", unix_micros(col("last_sync")))
+          .drop("last_sync")
+      },
+      oracle = Some(s"""
+        WITH $MsgsCte,
+        r AS (SELECT DISTINCT room_id FROM msgs),
+        p AS (SELECT DISTINCT sender, room_id FROM msgs),
+        d AS (SELECT DISTINCT date_trunc('day', ts) AS day FROM events)
+        SELECT (SELECT count(*) FROM msgs) AS total_messages,
+               (SELECT count(*) FROM r) AS total_rooms,
+               (SELECT CAST(sum(CASE WHEN CAST(substr(room_id, 2) AS INT) % 2 = 0
+                                     THEN 1 ELSE 0 END) AS BIGINT) FROM r) AS encrypted_rooms,
+               (SELECT count(*) FROM p) AS total_participants,
+               (SELECT epoch_us(max(day)) FROM d) AS last_sync_us"""),
+      doc = "Api Q6 over materialized catalog: dashboard stats (routes.ts:216-224)"),
+
+    // Q7 — GET /logs tail
+    "api_q7_logs_tail" -> QueryDef(
+      build = (s, dir) => {
+        api(s, dir).logsTail(s, limit = 100)
+          .select(unix_micros(col("timestamp")).as("ts_us"),
+            col("level"), col("message"))
+      },
+      oracle = Some("""
+        SELECT epoch_us(ts) AS ts_us,
+               CASE WHEN event_type = 'error' THEN 'error' ELSE 'info' END AS level,
+               'evt e' || event_id AS message
+        FROM events ORDER BY 1 DESC, 3 ASC LIMIT 100"""),
+      doc = "Api Q7 over materialized catalog: logs tail (routes.ts:238-241)"),
+
+    // Q8 — GET /config singleton (latest sync token)
+    "api_q8_config_singleton" -> QueryDef(
+      build = (s, dir) => {
+        api(s, dir).configSingleton(s)
+          .select(col("id"), col("next_batch"),
+            unix_micros(col("created_at")).as("created_us"))
+      },
+      oracle = Some("""
+        WITH d AS (SELECT date_trunc('day', ts) AS day, max(event_id) AS mx
+                   FROM events GROUP BY 1)
+        SELECT 'd' || strftime(day, '%Y-%m-%d') AS id,
+               'b' || mx AS next_batch,
+               epoch_us(day) AS created_us
+        FROM d ORDER BY day DESC, next_batch DESC LIMIT 1"""),
+      doc = "Api Q8 over materialized catalog: config singleton (routes.ts:251)")
+  )
+}

@@ -55,6 +55,27 @@ object Misc {
         FROM lineitem GROUP BY 1"""),
       doc = "exact interpolated quantiles (percentile ⇄ quantile_cont)"),
 
+    // sketch quantiles: the 100 TB path next to qx_exact_quantiles.
+    // approx_percentile keeps O(1/accuracy) state per group (Greenwald-
+    // Khanna) instead of buffering every distinct value, so a high-
+    // cardinality value column can't OOM an executor. Sketch internals
+    // aren't ANSI-expressible → rows-only gate (like qx_approx_distinct);
+    // the exact twin above stays the correctness anchor.
+    "qx_approx_quantiles" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Tables.lineitem(s, dir)
+          .groupBy($"l_returnflag")
+          .agg(expr(
+            "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.9), 10000)").as("ps"))
+          .select($"l_returnflag",
+            round($"ps".getItem(0), 4).as("p25"),
+            round($"ps".getItem(1), 4).as("p50"),
+            round($"ps".getItem(2), 4).as("p90"))
+      },
+      oracle = None, // GK-sketch quantiles differ from exact interpolation
+      doc = "approx quantiles: bounded-state sketch twin of qx_exact_quantiles"),
+
     // skew mitigation: two-phase salted aggregation (5 hot keys across
     // the whole table ⇒ the classic hot-partition shape). Salting
     // changes the physical shuffle, never the result: oracle is the
@@ -218,9 +239,9 @@ object Misc {
       },
       oracle = Some("""
         SELECT o_orderpriority,
-               sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS "F",
-               sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS "O",
-               sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS "P"
+               CAST(sum(CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END) AS BIGINT) AS "F",
+               CAST(sum(CASE WHEN o_orderstatus = 'O' THEN 1 ELSE 0 END) AS BIGINT) AS "O",
+               CAST(sum(CASE WHEN o_orderstatus = 'P' THEN 1 ELSE 0 END) AS BIGINT) AS "P"
         FROM orders GROUP BY 1"""),
       doc = "pivot long->wide with explicit value list"),
 
@@ -291,12 +312,11 @@ object Misc {
               col("datasetB.doc_id").as("b_id"),
               round(col("jaccard_dist"), 4).as("jaccard_dist"))
             .filter($"a_id" < $"b_id")
-          // materialize inside the builder so the cache can be released
-          // immediately (a lazily returned plan would pin it for the
-          // session lifetime — it accumulates across a 65-query run)
-          val rows = out.collect()
-          import scala.jdk.CollectionConverters._
-          s.createDataFrame(rows.toSeq.asJava, out.schema)
+          // eager localCheckpoint materializes the (small) pair set on the
+          // EXECUTORS and truncates lineage, so `feat` can be released now
+          // without a lazily returned plan pinning it for the session
+          // lifetime. No driver-side collect: the result stays distributed.
+          out.localCheckpoint(true)
         } finally feat.unpersist()
       },
       oracle = None, // ML LSH banding isn't SQL-expressible; rows-only gate

@@ -223,7 +223,7 @@ object RefQueries {
       oracle = Some("""
         SELECT count(*) AS total_events,
                count(DISTINCT user_id) AS total_users,
-               sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS error_events,
+               CAST(sum(CASE WHEN event_type = 'error' THEN 1 ELSE 0 END) AS BIGINT) AS error_events,
                epoch_us(max(ts)) AS last_sync_us,
                CAST(sum(value::DECIMAL(12,2)) AS DOUBLE) AS total_value
         FROM events"""),

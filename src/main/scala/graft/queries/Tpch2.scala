@@ -155,7 +155,12 @@ object Tpch2 {
     "q16_distinct_suppliers" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
+        // pre-shrink: countDistinct(l_suppkey) only needs the DISTINCT
+        // (partkey, suppkey) pairs — collapsing lineitem first cuts the
+        // Expand input from |lineitem| to |pairs| before the join and
+        // the double shuffle that countDistinct plans
         Tables.lineitem(s, dir)
+          .select($"l_partkey", $"l_suppkey").distinct()
           .join(broadcast(Tables.part(s, dir)), $"l_partkey" === $"p_partkey")
           .groupBy($"p_brand", $"p_type")
           .agg(countDistinct($"l_suppkey").as("supplier_cnt"))

@@ -39,4 +39,33 @@ class DecryptSpec extends AnyFunSuite {
       .collect()(0).getString(0)
     assert(out == "hello")
   }
+
+  test("decrypt_event derives the PBKDF2 key ONCE per (pass, salt, iters), not per row") {
+    import spark.implicits._
+    Decrypt.register(spark)
+    val salt = java.util.Base64.getEncoder.encodeToString("memosalt".getBytes)
+    val key = Decrypt.deriveKeyCached("memo-pass", salt, 10)
+    val rows = (1 to 1000).map(i => Decrypt.encryptRandomIv(s"msg$i", key))
+    val before = Decrypt.deriveCount.get()
+    val n = rows.toDF("content").repartition(2)
+      .selectExpr(s"decrypt_event(content, 'memo-pass', '$salt', 10) AS plain")
+      .filter("plain IS NOT NULL").count()
+    assert(n == 1000)
+    val derives = Decrypt.deriveCount.get() - before
+    // at most one derivation per partition-thread; never one per row
+    // (local-mode UDF closures share the executor JVM's cache)
+    assert(derives <= 4, s"expected memoized derivation, got $derives derivations for 1000 rows")
+  }
+
+  test("decrypt_event_key uses a pre-derived key (no per-row derivation at all)") {
+    import spark.implicits._
+    Decrypt.register(spark)
+    val key = Decrypt.deriveKey("kp", "keysalt1".getBytes, 10)
+    val keyB64 = java.util.Base64.getEncoder.encodeToString(key)
+    val payload = Decrypt.encryptRandomIv("direct", key)
+    val out = Seq(payload).toDF("content")
+      .selectExpr(s"decrypt_event_key(content, '$keyB64') AS plain")
+      .collect()(0).getString(0)
+    assert(out == "direct")
+  }
 }

@@ -104,8 +104,83 @@ class MergeWriterSpec extends AnyFunSuite {
     val dir = tmp()
     MergeWriter.merge(spark, dir, df(Seq(("e1", 1L, "v0"))), Seq("event_id"), Seq("timestamp"))
     MergeWriter.merge(spark, dir, df(Seq(("e1", 2L, "v1"))), Seq("event_id"), Seq("timestamp"))
-    // a reader holding v0 can still scan it after the swap
-    assert(spark.read.parquet(s"$dir/v0").count() == 1)
+    // a reader holding v0 can still scan it after the swap (time travel)
+    val v0 = MergeWriter.readVersion(spark, dir, df(Nil).schema, 0)
+    assert(v0.count() == 1)
     assert(snap(dir)("e1") == ((2L, "v1")))
+  }
+
+  private val bucket = Some(MergeWriter.BucketSpec("event_id", 8, Seq("timestamp")))
+
+  test("bucketed merge rewrites ONLY the touched buckets (O(batch), not O(snapshot))") {
+    val dir = tmp()
+    // seed: keys spread over several buckets
+    val seed = (1 to 40).map(i => (s"k$i", 1L, s"v$i"))
+    MergeWriter.merge(spark, dir, df(seed), Seq("event_id"), Seq("timestamp"), bucket = bucket)
+    val before = MergeWriter.manifestEntries(dir).toMap // bucketId -> path
+    assert(before.size > 1, "seed must span multiple buckets")
+    // incremental batch touching exactly one key (one bucket)
+    val touchedBucket = MergeWriter.bucketIdOf("k1", 8)
+    MergeWriter.merge(spark, dir, df(Seq(("k1", 2L, "v1b"))),
+      Seq("event_id"), Seq("timestamp"), bucket = bucket)
+    val after = MergeWriter.manifestEntries(dir).toMap
+    // untouched buckets carry over their EXACT segment paths (no rewrite);
+    // only the touched bucket points at a new segment
+    before.foreach { case (b, path) =>
+      if (b == touchedBucket) assert(after(b) != path, s"bucket $b must be rewritten")
+      else assert(after(b) == path, s"bucket $b must be carried over untouched")
+    }
+    // semantics unchanged: the merged row won, everything else intact
+    assert(snap(dir)("k1") == ((2L, "v1b")))
+    assert(snap(dir).size == 40)
+  }
+
+  test("bucket-pruned read returns exactly the bucket's rows from a file subset") {
+    val dir = tmp()
+    val seed = (1 to 40).map(i => (s"k$i", 1L, s"v$i"))
+    MergeWriter.merge(spark, dir, df(seed), Seq("event_id"), Seq("timestamp"), bucket = bucket)
+    val b = MergeWriter.bucketIdOf("k7", 8)
+    val pruned = MergeWriter.readBuckets(spark, dir, df(Nil).schema, Set(b))
+      .filter(col("event_id") === "k7").collect()
+    assert(pruned.map(_.getString(0)).toSeq == Seq("k7"))
+    // the pruned scan reads fewer manifest segments than the full scan
+    val all = MergeWriter.manifestEntries(dir)
+    val mine = all.filter { case (bid, _) => bid == -1 || bid == b }
+    assert(mine.size < all.size)
+  }
+
+  test("second concurrent writer fails loudly instead of silently losing an update") {
+    val dir = tmp()
+    MergeWriter.merge(spark, dir, df(Seq(("e1", 1L, "a"))), Seq("event_id"), Seq("timestamp"))
+    // simulate a racing writer that already claimed v1
+    Files.createDirectory(java.nio.file.Paths.get(dir, "v1"))
+    intercept[java.util.ConcurrentModificationException] {
+      MergeWriter.merge(spark, dir, df(Seq(("e2", 2L, "b"))), Seq("event_id"), Seq("timestamp"))
+    }
+  }
+
+  test("appendSegment is O(batch): prior segment files are byte-identical after append") {
+    val dir = tmp()
+    MergeWriter.appendSegment(spark, dir, df(Seq(("e1", 1L, "a"))))
+    val filesBefore = listDataFiles(dir)
+    assert(filesBefore.nonEmpty)
+    MergeWriter.appendSegment(spark, dir, df(Seq(("e2", 2L, "b"))))
+    val filesAfter = listDataFiles(dir)
+    // every pre-existing file still present with the same size+mtime
+    filesBefore.foreach { case (p, sig) =>
+      assert(filesAfter.get(p).contains(sig), s"$p must be untouched by append")
+    }
+    assert(filesAfter.size > filesBefore.size, "append must add new files")
+    assert(snap(dir).keySet == Set("e1", "e2"))
+  }
+
+  /** parquet data files under dir -> (size, mtime) signature */
+  private def listDataFiles(dir: String): Map[String, (Long, Long)] = {
+    import scala.jdk.CollectionConverters._
+    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
+      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+      .map(p => p.toString ->
+        ((Files.size(p), Files.getLastModifiedTime(p).toMillis)))
+      .toMap
   }
 }
