@@ -17,8 +17,27 @@ import java.nio.file.{Files, Paths}
   * query results are small (top-k / grouped), so collect is safe.
   * A warm-up pass at sf0.001 JITs the hot paths first so the timings
   * measure the engine, not classloading.
+  *
+  * Query ISOLATION (round-2 lesson): a query that caches / locally
+  * checkpoints blocks (e.g. dedup_minhash_ml) must not pin executor
+  * storage into the queries timed after it — round 2 saw eight trivial
+  * ref_* queries regress 3.5–9× from exactly that residue. After every
+  * timed query we unpersist all persistent RDDs, clear the relation
+  * cache, and GC, so each measurement starts from a clean session.
+  * Short queries (<5 s) additionally run twice (fresh plan each rep)
+  * and report the min, shaving off residual JIT/GC jitter.
   */
 object Bench {
+
+  /** Drop everything a query may have left pinned in the session:
+    * persistent RDDs (cache AND localCheckpoint blocks), the relation
+    * cache, and young garbage. */
+  def isolate(spark: SparkSession): Unit = {
+    spark.sparkContext.getPersistentRDDs.values
+      .foreach(_.unpersist(blocking = true))
+    spark.catalog.clearCache()
+    System.gc()
+  }
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -45,16 +64,24 @@ object Bench {
     // happens to run first in the timed pass
     try graft.queries.ApiQueries.materialize(spark, sfDir)
     catch { case _: Throwable => () }
-    // drop warm-up residue (cached relations, shuffle files) so the
-    // timed pass measures queries, not accumulated session state
-    spark.catalog.clearCache()
-    System.gc()
+    // drop warm-up residue so the timed pass starts clean
+    isolate(spark)
 
     val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      val t0 = System.nanoTime()
-      val err = try { fn(spark, sfDir).collect(); None }
-        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
-      val sec = (System.nanoTime() - t0) / 1e9
+      // one rep = fresh plan build + full collect, then session cleanup
+      def rep(): (Double, Option[String]) = {
+        val t0 = System.nanoTime()
+        val err = try { fn(spark, sfDir).collect(); None }
+          catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+        val sec = (System.nanoTime() - t0) / 1e9
+        isolate(spark)
+        (sec, err)
+      }
+      val (s1, e1) = rep()
+      val (sec, err) =
+        if (e1.isDefined) (s1, e1)
+        else if (s1 < 5.0) { val (s2, e2) = rep(); if (e2.isDefined) (s1, e1) else (math.min(s1, s2), e1) }
+        else (s1, e1)
       (name, if (err.isDefined) -1.0 else sec, err)
     }
     def jq(s: String): String = "\"" + s.flatMap {
