@@ -116,14 +116,39 @@ final case class Catalog(root: String, messageBuckets: Int = 16) {
   }
 
   /** FK-cascade cleanup (≙ ON DELETE CASCADE, schema.ts:51,68): drop
-    * child rows whose parent key no longer exists — an anti-join. */
+    * child rows whose parent key no longer exists — an anti-join.
+    * Single pass: both the pre- and post-join row counts are observed
+    * on the publish write itself, so the child table is scanned once
+    * (the old count/count/publish shape evaluated the subtree 3×). */
   def cascadeDelete(spark: SparkSession, childTable: String,
       parentTable: String, childKey: String, parentKey: String): Long = {
+    import org.apache.spark.sql.Observation
+    val obsAll = Observation()
+    val obsKept = Observation()
     val child = read(spark, childTable)
+      .observe(obsAll, count(lit(1)).as("n"))
     val parents = read(spark, parentTable).select(col(parentKey))
     val kept = child.join(parents, child(childKey) === parents(parentKey), "left_semi")
-    val removed = child.count() - kept.count()
+      .observe(obsKept, count(lit(1)).as("n"))
     MergeWriter.publish(spark, dir(childTable), kept, bucketOf(childTable))
-    removed
+    obsAll.get("n").asInstanceOf[Long] - obsKept.get("n").asInstanceOf[Long]
   }
+
+  /** Version retention + segment GC for one table — the autovacuum the
+    * reference inherits from Postgres (db.utils.ts:38-46). Run after
+    * merges/appends (e.g. once per micro-batch or on a cadence). */
+  def vacuum(table: String, keepVersions: Int = 2): MergeWriter.VacuumStats =
+    MergeWriter.vacuum(dir(table), keepVersions)
+
+  /** Fold append-accumulated small files: bucketed tables compact only
+    * their fragmented buckets; unbucketed append logs (multi-segment)
+    * are folded into one segment via a full publish. */
+  def compact(spark: SparkSession, table: String): Long =
+    bucketOf(table) match {
+      case Some(bs) => MergeWriter.compact(spark, dir(table), tables(table), bs)
+      case None =>
+        if (MergeWriter.manifestEntries(dir(table)).size > 1)
+          MergeWriter.publish(spark, dir(table), read(spark, table))
+        else MergeWriter.currentVersion(dir(table)).getOrElse(0L)
+    }
 }

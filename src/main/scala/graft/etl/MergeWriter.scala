@@ -2,9 +2,10 @@ package graft.etl
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
-import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.StructType
 
 /** Generic upsert ("merge-on-write") over a versioned parquet snapshot —
   * the Spark re-expression of the reference's `ON CONFLICT … DO UPDATE`
@@ -23,12 +24,19 @@ import org.apache.spark.sql.functions._
   *    manifest that reuses every prior segment (the reference's plain
   *    INSERT, db.utils.ts:154-170, never rewrites the table either);
   *  - a bucketed `merge` rewrites ONLY the buckets the batch touches —
-  *    untouched buckets' files are carried over by path. This is the
-  *    cluster-scale analog of the reference's single-row upsert: write
-  *    amplification is O(touched buckets), not O(snapshot);
+  *    untouched buckets' files are carried over by path, and the result
+  *    row count is observed on the segment write itself (never a
+  *    re-scan of carried buckets). Write amplification AND read
+  *    amplification are O(touched buckets), not O(snapshot);
   *  - round-1 layout (v{n}/ holding parquet directly) reads as a single
   *    unbucketed segment, and the first bucketed merge on top of it
-  *    migrates the table to bucketed segments.
+  *    migrates the table to bucketed segments;
+  *  - `compact` folds append-accumulated per-bucket file stacks back to
+  *    one sorted file per bucket; `vacuum` enforces version retention
+  *    and deletes unreferenced segments (the reference gets both for
+  *    free from Postgres autovacuum behind ON CONFLICT,
+  *    db.utils.ts:38-46; a manifest-over-segments layout must collect
+  *    its own garbage or streaming cadence grows storage per batch).
   *
   * Bucketing ≙ the reference's physical design: the `(room_id,
   * timestamp)` composite index + partial index (src/server/db/
@@ -47,16 +55,25 @@ import org.apache.spark.sql.functions._
   *    unconditionally (statement semantics, like the reference's
   *    `ON CONFLICT DO UPDATE`); the orderBy LWW applies within a batch.
   *
-  * Writer concurrency: `claimVersion` creates the v{n+1} directory with
-  * an ATOMIC createDirectory — the second of two racing writers gets
-  * FileAlreadyExistsException and fails loudly instead of silently
-  * rewriting a committed snapshot (lost update). Crash recovery: a
-  * claimed version dir without _MANIFEST is an orphan (pointer never
-  * moved); delete it to let the next writer proceed.
+  * Writer concurrency: every commit plans against the version it read
+  * (`base`), then `claimVersionAt` atomically creates v{base+1} ONLY if
+  * the pointer still reads `base` — a racing commit in the plan/claim
+  * window surfaces as ConcurrentModificationException, and the writer
+  * RE-PLANS against the new snapshot and retries with linear backoff
+  * (bounded attempts), so ingest and compaction can coexist. After the
+  * retries are exhausted the conflict is re-thrown loudly — the
+  * remaining cause is an orphaned claim (a writer that crashed between
+  * claim and commit); delete the manifest-less v{n} dir to recover.
   */
 object MergeWriter {
 
+  /** `rows` counts the rows of the segment this merge WROTE (the merged
+    * content of the touched buckets), observed on the write itself —
+    * not the whole-snapshot count, which would re-scan every carried
+    * bucket after a merge that carefully avoided reading them. */
   final case class MergeResult(version: Long, rows: Long)
+
+  final case class VacuumStats(droppedVersions: Int, droppedSegments: Int)
 
   /** Hash-bucket layout spec: `col` is the bucketing key, `buckets` the
     * bucket count (thousands at cluster scale; small here), `sortBy`
@@ -65,6 +82,11 @@ object MergeWriter {
 
   /** Internal partition-directory column name for bucketed segments. */
   val BucketCol = "__bucket"
+
+  /** Bounded claim-conflict retries before failing loudly. Backoff is
+    * sized for the contention window (a racer's in-flight segment write,
+    * i.e. a Spark job), not a CAS: ~150ms × attempt. */
+  val MaxClaimAttempts = 6
 
   private def pointer(tableDir: Path): Path = tableDir.resolve("_CURRENT")
 
@@ -91,15 +113,20 @@ object MergeWriter {
 
   /** Manifest of version `v`: (bucketId, segmentPath-relative-to-
     * tableDir). bucketId -1 = unbucketed segment (may hold any key).
-    * A round-1 layout version (no _MANIFEST) is one unbucketed segment. */
+    * A round-1 layout version (no _MANIFEST) is one unbucketed segment.
+    * Throws NoSuchElementException for a version that does not exist —
+    * never committed, or dropped by [[vacuum]] retention. */
   def manifestEntriesAt(tableDir: String, v: Long): Seq[(Int, String)] = {
-    val mf = Paths.get(tableDir, s"v$v", "_MANIFEST")
+    val vdir = Paths.get(tableDir, s"v$v")
+    val mf = vdir.resolve("_MANIFEST")
     if (Files.exists(mf))
       Files.readAllLines(mf).asScala.toSeq.filter(_.nonEmpty).map { line =>
         val Array(b, p) = line.split("\t", 2)
         (b.toInt, p)
       }
-    else Seq((-1, s"v$v"))
+    else if (Files.exists(vdir)) Seq((-1, s"v$v"))
+    else throw new NoSuchElementException(
+      s"version v$v of $tableDir does not exist (never committed, or outside vacuum retention)")
   }
 
   /** Manifest of the current version (empty before the first commit). */
@@ -109,24 +136,33 @@ object MergeWriter {
       case Some(v) => manifestEntriesAt(tableDir, v)
     }
 
+  /** Driver-side log of the segment paths each read resolved — lets
+    * specs pin the no-full-scan property (a bucketed merge must never
+    * read untouched buckets). A few strings per job; always on. */
+  private[graft] val readLog =
+    java.util.Collections.synchronizedList(
+      new java.util.ArrayList[(String, Seq[String])]())
+
   private def readPaths(spark: SparkSession, tableDir: String,
-      schema: org.apache.spark.sql.types.StructType,
-      rels: Seq[String]): DataFrame =
+      schema: StructType,
+      rels: Seq[String]): DataFrame = {
+    readLog.add((tableDir, rels))
     if (rels.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
     else
       spark.read.schema(schema).parquet(rels.map(r => s"$tableDir/$r"): _*)
+  }
 
   /** Read the current snapshot (empty frame with `schema` if absent). */
   def readSnapshot(spark: SparkSession, tableDir: String,
-      schema: org.apache.spark.sql.types.StructType): DataFrame =
+      schema: StructType): DataFrame =
     readPaths(spark, tableDir, schema, manifestEntries(tableDir).map(_._2))
 
   /** Time-travel read of a committed version (segments are immutable, so
     * a reader holding version v is unaffected by later commits). */
   def readVersion(spark: SparkSession, tableDir: String,
-      schema: org.apache.spark.sql.types.StructType, v: Long): DataFrame =
+      schema: StructType, v: Long): DataFrame =
     readPaths(spark, tableDir, schema, manifestEntriesAt(tableDir, v).map(_._2))
 
   /** Bucket-pruned read: only segments that can contain the given bucket
@@ -134,20 +170,29 @@ object MergeWriter {
     * This is the scan `Api.messagesPage` runs — one bucket's files, not
     * the table. */
   def readBuckets(spark: SparkSession, tableDir: String,
-      schema: org.apache.spark.sql.types.StructType,
+      schema: StructType,
       bucketIds: Set[Int]): DataFrame = {
     val rels = manifestEntries(tableDir)
       .collect { case (b, p) if b == -1 || bucketIds.contains(b) => p }
     readPaths(spark, tableDir, schema, rels)
   }
 
-  /** Atomically claim the next version directory — the writer lock.
-    * Throws if another writer already claimed it (no silent lost
-    * updates; see the concurrency note in the header). */
-  private def claimVersion(tableDir: String): Long = {
+  /** Atomically claim version base+1 — the writer lock. Throws
+    * ConcurrentModificationException when the pointer no longer reads
+    * `base` (someone committed since this writer planned) or the next
+    * version dir already exists (a live racer mid-commit, or an orphan
+    * from a crash). The createDirectory is the linearization point: once
+    * it succeeds for base+1 while _CURRENT = base, no other writer can
+    * commit base+1. */
+  private def claimVersionAt(tableDir: String, base: Option[Long]): Long = {
     val dir = Paths.get(tableDir)
     Files.createDirectories(dir)
-    val next = currentVersion(tableDir).getOrElse(-1L) + 1
+    val cur = currentVersion(tableDir)
+    if (cur != base)
+      throw new java.util.ConcurrentModificationException(
+        s"$tableDir advanced to v${cur.getOrElse(-1L)} since this writer planned against " +
+          s"v${base.getOrElse(-1L)} — replan required")
+    val next = base.getOrElse(-1L) + 1
     try { Files.createDirectory(dir.resolve(s"v$next")); next }
     catch {
       case _: java.nio.file.FileAlreadyExistsException =>
@@ -155,6 +200,26 @@ object MergeWriter {
           s"version v$next of $tableDir already claimed by another writer " +
             "(or orphaned by a crash — delete the manifest-less dir to recover)")
     }
+  }
+
+  /** Run `attempt` (which must re-read _CURRENT and re-plan each time),
+    * retrying claim conflicts with linear backoff. Bounded: after
+    * MaxClaimAttempts the conflict propagates loudly — by then the only
+    * non-progressing cause is an orphaned claim dir. */
+  private def retryClaim[A](tableDir: String)(attempt: => A): A = {
+    var tries = 1
+    while (true) {
+      try return attempt
+      catch {
+        case e: java.util.ConcurrentModificationException =>
+          if (tries >= MaxClaimAttempts) throw e
+          // linear backoff + per-thread offset so two contending writers
+          // de-synchronize instead of re-colliding in lockstep
+          Thread.sleep(150L * tries + Thread.currentThread().getId % 37)
+          tries += 1
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Write `df` as one immutable segment for version `v`; returns its
@@ -218,62 +283,70 @@ object MergeWriter {
     val deduped = batch.withColumn("__rn", row_number().over(w))
       .filter(col("__rn") === 1).drop("__rn")
 
-    val entries = manifestEntries(tableDir)
-    // A bucketed merge can skip untouched buckets only when every prior
-    // segment is bucketed; any unbucketed (legacy/append) segment may
-    // hold rows of a touched key, so it forces a one-time full rewrite
-    // that migrates the table to the bucketed layout.
-    val allBucketed = entries.forall(_._1 >= 0)
-    val (oldSide0, carried) = bucket match {
-      case Some(bs) if allBucketed =>
-        val touched = deduped
-          .select(bucketExpr(col(bs.col), bs.buckets).as(BucketCol))
-          .distinct().collect().map(_.getInt(0)).toSet // ≤ buckets ints — metadata
-        val (touchedE, untouchedE) = entries.partition(e => touched.contains(e._1))
-        (readPaths(spark, tableDir, batch.schema, touchedE.map(_._2)), untouchedE)
-      case _ =>
-        (readSnapshot(spark, tableDir, batch.schema), Seq.empty[(Int, String)])
+    retryClaim(tableDir) {
+      val base = currentVersion(tableDir)
+      val entries = base.map(manifestEntriesAt(tableDir, _)).getOrElse(Seq.empty)
+      // A bucketed merge can skip untouched buckets only when every prior
+      // segment is bucketed; any unbucketed (legacy/append) segment may
+      // hold rows of a touched key, so it forces a one-time full rewrite
+      // that migrates the table to the bucketed layout.
+      val allBucketed = entries.forall(_._1 >= 0)
+      val (oldSide0, carried) = bucket match {
+        case Some(bs) if allBucketed =>
+          val touched = deduped
+            .select(bucketExpr(col(bs.col), bs.buckets).as(BucketCol))
+            .distinct().collect().map(_.getInt(0)).toSet // ≤ buckets ints — metadata
+          val (touchedE, untouchedE) = entries.partition(e => touched.contains(e._1))
+          (readPaths(spark, tableDir, batch.schema, touchedE.map(_._2)), untouchedE)
+        case _ =>
+          (readPaths(spark, tableDir, batch.schema, entries.map(_._2)),
+            Seq.empty[(Int, String)])
+      }
+      val snapshot = oldSide0.select(cols.map(col): _*)
+
+      // 2. full-outer merge (touched buckets only when bucketed), batch
+      //    wins unless change-detection says no-op
+      val oldSide = snapshot.select(cols.map(c => col(c).as(s"__old_$c")): _*)
+        .withColumn("__old_present", lit(true))
+      val newSide = deduped.select(cols.map(c => col(c).as(s"__new_$c")): _*)
+        .withColumn("__new_present", lit(true))
+      val joinCond = keys.map(k => col(s"__old_$k") <=> col(s"__new_$k"))
+        .reduce(_ && _)
+      val joined = oldSide.join(newSide, joinCond, "full_outer")
+
+      val changed = changeCols match {
+        case Some(cc) if cc.nonEmpty =>
+          cc.map(c => !(col(s"__old_$c") <=> col(s"__new_$c"))).reduce(_ || _)
+        case _ => lit(true)
+      }
+      val takeNew = col("__old_present").isNull ||
+        (col("__new_present").isNotNull && changed)
+      val resolved = joined.select(cols.map { c =>
+        when(takeNew, col(s"__new_$c")).otherwise(col(s"__old_$c")).as(c)
+      }: _*)
+
+      // 3. claim v{n+1} (writer lock), write only the merged segment —
+      //    its row count is observed ON the write (no post-merge
+      //    re-scan) — commit manifest = carried untouched buckets + it
+      val obs = Observation()
+      val observed = resolved.observe(obs, count(lit(1)).as("rows"))
+      val next = claimVersionAt(tableDir, base)
+      val newEntries = writeSegment(observed, tableDir, next, "merge", bucket)
+      commit(tableDir, next, carried ++ newEntries)
+      MergeResult(next, obs.get("rows").asInstanceOf[Long])
     }
-    val snapshot = oldSide0.select(cols.map(col): _*)
-
-    // 2. full-outer merge (touched buckets only when bucketed), batch
-    //    wins unless change-detection says no-op
-    val oldSide = snapshot.select(cols.map(c => col(c).as(s"__old_$c")): _*)
-      .withColumn("__old_present", lit(true))
-    val newSide = deduped.select(cols.map(c => col(c).as(s"__new_$c")): _*)
-      .withColumn("__new_present", lit(true))
-    val joinCond = keys.map(k => col(s"__old_$k") <=> col(s"__new_$k"))
-      .reduce(_ && _)
-    val joined = oldSide.join(newSide, joinCond, "full_outer")
-
-    val changed = changeCols match {
-      case Some(cc) if cc.nonEmpty =>
-        cc.map(c => !(col(s"__old_$c") <=> col(s"__new_$c"))).reduce(_ || _)
-      case _ => lit(true)
-    }
-    val takeNew = col("__old_present").isNull ||
-      (col("__new_present").isNotNull && changed)
-    val resolved = joined.select(cols.map { c =>
-      when(takeNew, col(s"__new_$c")).otherwise(col(s"__old_$c")).as(c)
-    }: _*)
-
-    // 3. claim v{n+1} (writer lock), write only the merged segment,
-    //    commit manifest = carried-over untouched buckets + new segment
-    val next = claimVersion(tableDir)
-    val newEntries = writeSegment(resolved, tableDir, next, "merge", bucket)
-    commit(tableDir, next, carried ++ newEntries)
-    MergeResult(next, readSnapshot(spark, tableDir, batch.schema).count())
   }
 
   /** O(batch) append: write ONLY the new rows as a segment and commit a
     * manifest that reuses every existing segment file untouched — the
     * plain-INSERT path (L5/L6 append-only logs). Repeated appends to a
-    * bucketed table accumulate per-bucket files; the next `merge`
-    * compacts each touched bucket back to one sorted file. */
+    * bucketed table accumulate per-bucket files; `compact` (or the next
+    * `merge` touching the bucket) folds each back to one sorted file. */
   def appendSegment(spark: SparkSession, tableDir: String, batch: DataFrame,
-      bucket: Option[BucketSpec] = None): Long = {
-    val prior = manifestEntries(tableDir)
-    val next = claimVersion(tableDir)
+      bucket: Option[BucketSpec] = None): Long = retryClaim(tableDir) {
+    val base = currentVersion(tableDir)
+    val prior = base.map(manifestEntriesAt(tableDir, _)).getOrElse(Seq.empty)
+    val next = claimVersionAt(tableDir, base)
     val newEntries = writeSegment(batch, tableDir, next, "append", bucket)
     commit(tableDir, next, prior ++ newEntries)
     next
@@ -283,10 +356,111 @@ object MergeWriter {
     * for whole-table transforms (updateOnly, cascadeDelete, bootstrap).
     * Holds the same writer lock as merge/append. */
   def publish(spark: SparkSession, tableDir: String, df: DataFrame,
-      bucket: Option[BucketSpec] = None): Long = {
-    val next = claimVersion(tableDir)
+      bucket: Option[BucketSpec] = None): Long = retryClaim(tableDir) {
+    val base = currentVersion(tableDir)
+    val next = claimVersionAt(tableDir, base)
     val newEntries = writeSegment(df, tableDir, next, "full", bucket)
     commit(tableDir, next, newEntries)
     next
+  }
+
+  /** Fold fragmented buckets back to one sorted file per bucket: buckets
+    * referenced by more than one segment (append stacks) are read and
+    * rewritten; single-segment buckets are carried by path, untouched.
+    * Any unbucketed segment forces a full rewrite that migrates the
+    * table to the bucketed layout. Returns the committed version (or
+    * the current one when nothing is fragmented — no-op, no commit). */
+  def compact(spark: SparkSession, tableDir: String, schema: StructType,
+      bucket: BucketSpec): Long = retryClaim(tableDir) {
+    val base = currentVersion(tableDir)
+    val entries = base.map(manifestEntriesAt(tableDir, _)).getOrElse(Seq.empty)
+    val byBucket = entries.groupBy(_._1)
+    val hasUnbucketed = byBucket.contains(-1)
+    val fragmented = byBucket.filter { case (b, es) => b >= 0 && es.size > 1 }
+    if (entries.isEmpty || (!hasUnbucketed && fragmented.isEmpty))
+      base.getOrElse(0L) // nothing to compact
+    else if (hasUnbucketed) {
+      // migration path: bucket everything
+      val df = readPaths(spark, tableDir, schema, entries.map(_._2))
+      val next = claimVersionAt(tableDir, base)
+      val newEntries = writeSegment(df, tableDir, next, "compact", Some(bucket))
+      commit(tableDir, next, newEntries)
+      next
+    } else {
+      val carried = entries.filterNot(e => fragmented.contains(e._1))
+      val df = readPaths(spark, tableDir, schema,
+        fragmented.values.flatten.map(_._2).toSeq)
+      val next = claimVersionAt(tableDir, base)
+      val newEntries = writeSegment(df, tableDir, next, "compact", Some(bucket))
+      commit(tableDir, next, carried ++ newEntries)
+      next
+    }
+  }
+
+  private def deleteRecursively(p: Path): Unit =
+    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+
+  /** Snapshot retention: keep the `keepVersions` most recent committed
+    * versions; delete older version dirs and every segment no longer
+    * referenced by a retained manifest. Readers holding a retained
+    * version are unaffected (immutable segments they reference stay);
+    * `readVersion` outside retention throws NoSuchElementException.
+    * Also removes orphaned claim dirs ABOVE the current version that
+    * have no _MANIFEST and are older than `orphanGraceMs` (a crashed
+    * writer's leftover lock — removing it unblocks future claims;
+    * the grace window protects a live writer mid-commit). */
+  def vacuum(tableDir: String, keepVersions: Int = 2,
+      orphanGraceMs: Long = 60 * 60 * 1000L): VacuumStats = {
+    require(keepVersions >= 1, "must keep at least the current version")
+    currentVersion(tableDir) match {
+      case None => VacuumStats(0, 0)
+      case Some(cur) =>
+        val dir = Paths.get(tableDir)
+        val minKeep = math.max(0L, cur - (keepVersions - 1))
+        val versionDirs = Files.list(dir).iterator().asScala.toSeq
+          .filter(p => p.getFileName.toString.matches("v\\d+"))
+        val present = versionDirs.map(_.getFileName.toString.drop(1).toLong)
+        val retained = present.filter(v => v >= minKeep && v <= cur)
+          .filter(v => Files.exists(Paths.get(tableDir, s"v$v", "_MANIFEST")) ||
+            !Files.exists(Paths.get(tableDir, s"v$v"))) // committed only
+        val referenced: Set[String] =
+          retained.flatMap(v => manifestEntriesAt(tableDir, v).map(_._2)).toSet
+        var droppedV = 0
+        versionDirs.foreach { p =>
+          val v = p.getFileName.toString.drop(1).toLong
+          val committed = Files.exists(p.resolve("_MANIFEST"))
+          val orphan = v > cur && !committed &&
+            Files.getLastModifiedTime(p).toMillis < System.currentTimeMillis() - orphanGraceMs
+          // a legacy version dir can double as a referenced segment
+          if ((v < minKeep && !referenced.contains(s"v$v")) || orphan) {
+            deleteRecursively(p); droppedV += 1
+          }
+        }
+        var droppedS = 0
+        val segRoot = dir.resolve("seg")
+        if (Files.exists(segRoot)) {
+          Files.list(segRoot).iterator().asScala.toSeq.foreach { segDir =>
+            val segRel = s"seg/${segDir.getFileName}"
+            if (!referenced.contains(segRel)) {
+              val leaves = Files.list(segDir).iterator().asScala.toSeq
+                .filter(_.getFileName.toString.startsWith(s"$BucketCol="))
+              if (leaves.isEmpty) { // unbucketed, unreferenced: drop whole segment
+                deleteRecursively(segDir); droppedS += 1
+              } else {
+                leaves.foreach { leaf =>
+                  if (!referenced.contains(s"$segRel/${leaf.getFileName}")) {
+                    deleteRecursively(leaf); droppedS += 1
+                  }
+                }
+                // drop the husk once no bucket leaf remains
+                if (!Files.list(segDir).iterator().asScala
+                    .exists(_.getFileName.toString.startsWith(s"$BucketCol=")))
+                  deleteRecursively(segDir)
+              }
+            }
+          }
+        }
+        VacuumStats(droppedV, droppedS)
+    }
   }
 }

@@ -49,4 +49,22 @@ class CatalogSpec extends AnyFunSuite {
     val rows = cat.read(spark, "key_backup_status").count()
     assert(rows == 3, "append must keep full history")
   }
+
+  test("compact + vacuum: append log folds to one segment, old versions GC'd") {
+    val cat = Catalog(Files.createTempDirectory("graft-cat3").toString)
+    cat.bootstrap()
+    import spark.implicits._
+    def status(t: Long) =
+      Seq(("s" + t, t % 2 == 0, new java.sql.Timestamp(t))).toDF("id", "status", "created_at")
+    (1L to 4L).foreach(t => cat.append(spark, "key_backup_status", status(t)))
+    val dir = cat.dir("key_backup_status")
+    assert(graft.etl.MergeWriter.manifestEntries(dir).size == 4, "4 append segments")
+    cat.compact(spark, "key_backup_status") // fold to one segment (v4)
+    assert(graft.etl.MergeWriter.manifestEntries(dir).size == 1)
+    assert(cat.read(spark, "key_backup_status").count() == 4, "history intact")
+    val stats = cat.vacuum("key_backup_status", keepVersions = 1)
+    assert(stats.droppedVersions == 4, s"v0..v3 dropped: $stats")
+    assert(stats.droppedSegments == 4, s"the 4 pre-compact append segments GC'd: $stats")
+    assert(cat.read(spark, "key_backup_status").count() == 4, "snapshot unaffected")
+  }
 }

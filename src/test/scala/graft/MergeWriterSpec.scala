@@ -149,6 +149,105 @@ class MergeWriterSpec extends AnyFunSuite {
     assert(mine.size < all.size)
   }
 
+  test("merge reads ONLY touched-bucket files and row-counts without a snapshot re-scan") {
+    val dir = tmp()
+    val seed = (1 to 40).map(i => (s"k$i", 1L, s"v$i"))
+    MergeWriter.merge(spark, dir, df(seed), Seq("event_id"), Seq("timestamp"), bucket = bucket)
+    val touchedBucket = MergeWriter.bucketIdOf("k1", 8)
+    val untouchedPaths = MergeWriter.manifestEntries(dir)
+      .collect { case (b, p) if b != touchedBucket => p }.toSet
+    assert(untouchedPaths.nonEmpty)
+    MergeWriter.readLog.clear()
+    val res = MergeWriter.merge(spark, dir, df(Seq(("k1", 2L, "v1b"))),
+      Seq("event_id"), Seq("timestamp"), bucket = bucket)
+    import scala.jdk.CollectionConverters._
+    val readRels = MergeWriter.readLog.asScala.toSeq
+      .filter(_._1 == dir).flatMap(_._2).toSet
+    assert(readRels.intersect(untouchedPaths).isEmpty,
+      s"merge must not read untouched buckets, read: $readRels")
+    // rows = the merged segment's rows (every seed key sharing k1's
+    // bucket, with k1 replaced in place), observed on the write itself
+    val expected = seed.count { case (k, _, _) => MergeWriter.bucketIdOf(k, 8) == touchedBucket }
+    assert(res.rows == expected, s"expected segment rows $expected, got ${res.rows}")
+  }
+
+  test("two concurrent writers both commit via claim retry; result equals sequential") {
+    val dir = tmp()
+    MergeWriter.merge(spark, dir, df(Seq(("e0", 1L, "seed"))), Seq("event_id"), Seq("timestamp"))
+    import scala.concurrent.{Await, ExecutionContext, Future}
+    import scala.concurrent.duration._
+    val pool = java.util.concurrent.Executors.newFixedThreadPool(2)
+    implicit val ec: ExecutionContext = ExecutionContext.fromExecutor(pool)
+    try {
+      val fa = Future(MergeWriter.merge(spark, dir, df(Seq(("ea", 2L, "a"))),
+        Seq("event_id"), Seq("timestamp")))
+      val fb = Future(MergeWriter.merge(spark, dir, df(Seq(("eb", 3L, "b"))),
+        Seq("event_id"), Seq("timestamp")))
+      Await.result(fa, 120.seconds)
+      Await.result(fb, 120.seconds)
+    } finally pool.shutdown()
+    assert(snap(dir).keySet == Set("e0", "ea", "eb"),
+      "both writers' rows must land (no lost update, no crash)")
+    assert(MergeWriter.currentVersion(dir).contains(2L), "two distinct commits")
+  }
+
+  test("compact folds append stacks to one segment per bucket; vacuum enforces retention") {
+    val dir = tmp()
+    val seed = (1 to 20).map(i => (s"k$i", 1L, s"v$i"))
+    MergeWriter.merge(spark, dir, df(seed), Seq("event_id"), Seq("timestamp"), bucket = bucket) // v0
+    MergeWriter.appendSegment(spark, dir, df(Seq(("a1", 2L, "x"))), bucket) // v1
+    MergeWriter.appendSegment(spark, dir, df(Seq(("a1", 3L, "y"))), bucket) // v2 — same bucket as v1's a1
+    val fragBefore = MergeWriter.manifestEntries(dir).groupBy(_._1).filter(_._2.size > 1)
+    assert(fragBefore.nonEmpty, "appends must have fragmented at least one bucket")
+    val vC = MergeWriter.compact(spark, dir, df(Nil).schema, bucket.get) // v3
+    assert(vC == 3L)
+    val after = MergeWriter.manifestEntries(dir)
+    assert(after.groupBy(_._1).forall(_._2.size == 1), "every bucket one segment after compact")
+    assert(MergeWriter.readSnapshot(spark, dir, df(Nil).schema).count() == 22)
+    // compact carried non-fragmented buckets by path (no rewrite)
+    val beforePaths = MergeWriter.manifestEntriesAt(dir, 2).toMap
+    after.foreach { case (b, p) =>
+      if (!fragBefore.contains(b)) assert(beforePaths.get(b).contains(p), s"bucket $b must carry")
+    }
+
+    // retention: keep only the current version; older versions + their
+    // now-unreferenced segments are deleted, current stays readable
+    val stats = MergeWriter.vacuum(dir, keepVersions = 1)
+    assert(stats.droppedVersions == 3, s"v0..v2 dropped, got $stats")
+    assert(stats.droppedSegments > 0, "fragmented/append segments must be GC'd")
+    assert(MergeWriter.readSnapshot(spark, dir, df(Nil).schema).count() == 22)
+    assert(MergeWriter.readVersion(spark, dir, df(Nil).schema, 3).count() == 22)
+    intercept[NoSuchElementException] {
+      MergeWriter.readVersion(spark, dir, df(Nil).schema, 1)
+    }
+    // nothing unreferenced remains under seg/
+    val referenced = MergeWriter.manifestEntriesAt(dir, 3).map(_._2).toSet
+    import scala.jdk.CollectionConverters._
+    val segRoot = java.nio.file.Paths.get(dir, "seg")
+    val leaves = Files.list(segRoot).iterator().asScala.toSeq.flatMap { segDir =>
+      val buckets = Files.list(segDir).iterator().asScala.toSeq
+        .filter(_.getFileName.toString.startsWith("__bucket="))
+      if (buckets.isEmpty) Seq(s"seg/${segDir.getFileName}")
+      else buckets.map(b => s"seg/${segDir.getFileName}/${b.getFileName}")
+    }
+    leaves.foreach(l => assert(referenced.contains(l), s"unreferenced survivor: $l"))
+    // idempotent: a second vacuum is a no-op
+    assert(MergeWriter.vacuum(dir, keepVersions = 1) == MergeWriter.VacuumStats(0, 0))
+  }
+
+  test("vacuum never deletes a legacy version dir still referenced as a segment") {
+    val dir = tmp()
+    // round-1 legacy layout: parquet directly in v0/, no _MANIFEST
+    df(Seq(("e1", 1L, "legacy"))).write.parquet(s"$dir/v0")
+    Files.write(java.nio.file.Paths.get(dir, "_CURRENT"), "0".getBytes)
+    // appends carry the legacy segment forward by reference
+    MergeWriter.appendSegment(spark, dir, df(Seq(("e2", 2L, "b")))) // v1
+    MergeWriter.appendSegment(spark, dir, df(Seq(("e3", 3L, "c")))) // v2
+    val stats = MergeWriter.vacuum(dir, keepVersions = 1)
+    assert(stats.droppedVersions == 1, s"only v1 drops (v0 is a referenced segment): $stats")
+    assert(snap(dir).keySet == Set("e1", "e2", "e3"))
+  }
+
   test("second concurrent writer fails loudly instead of silently losing an update") {
     val dir = tmp()
     MergeWriter.merge(spark, dir, df(Seq(("e1", 1L, "a"))), Seq("event_id"), Seq("timestamp"))
