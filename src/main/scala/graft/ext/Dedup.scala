@@ -218,18 +218,37 @@ object Dedup {
         ORDER BY hamming ASC, a_id ASC, b_id ASC"""),
       doc = "SimHash near-dedup: 4x15-bit band-blocked candidates, Hamming<=3 (oracle = exhaustive pairs)"),
 
-    // ---- embedding cosine near-dup: top-20 most similar vector pairs.
-    // Brute-force n² stays in whole-stage codegen via the native
-    // CosineSimilarity expression; at scale the LSH variant
-    // (Similarity.sim_lsh_bucket_topk) bounds the candidate set.
+    // ---- embedding cosine near-dup: top-20 most similar vector pairs,
+    // EXACT, via a block-partitioned pair join: each vector gets a block
+    // id (vec_id mod P); side A replicates to the P block-pair keys
+    // where it is the row block, side B to the P keys where it is the
+    // column block, and the join is a plain EQUI-join on the pair key —
+    // every ordered pair meets exactly once, sharded over P² keys, no
+    // BroadcastNestedLoopJoin/CartesianProduct anywhere in the plan.
+    // The O(n²) pair COUNT is inherent to an exact global top-k on this
+    // corpus (measured top-20 cosines are 0.44-0.51 — far below any
+    // LSH-candidate recall floor: with 8 hyperplanes a cos 0.45 pair
+    // collides with p≈(1-θ/π)⁸≈4%, so bucket candidates would break the
+    // exact-oracle gate); what the blocking buys is even distribution
+    // of that work and O(n·P) shuffle instead of a driver-side or
+    // single-executor nested loop. Ranking is TakeOrderedAndProject
+    // (per-partition top-20, merge on driver). The sub-quadratic scale
+    // path for corpora that DO have high-similarity mass stays
+    // Similarity.sim_lsh_bucket_topk.
     "dedup_embedding_cosine" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
         VectorFunctions.register(s)
+        val P = 16
         val e = Tables.embeddings(s, dir)
-        val a = e.select($"vec_id".as("a_id"), $"embedding".as("va"))
-        val b = e.select($"vec_id".as("b_id"), $"embedding".as("vb"))
-        a.join(b, $"a_id" < $"b_id")
+          .select($"vec_id", $"embedding", pmod($"vec_id", lit(P)).as("blk"))
+        val a = e.select($"vec_id".as("a_id"), $"embedding".as("va"), $"blk")
+          .withColumn("pk", explode(array((0 until P).map(j => $"blk" * P + j): _*)))
+          .drop("blk")
+        val b = e.select($"vec_id".as("b_id"), $"embedding".as("vb"), $"blk")
+          .withColumn("pk", explode(array((0 until P).map(i => lit(i) * P + $"blk"): _*)))
+          .drop("blk")
+        a.join(b, Seq("pk")).filter($"a_id" < $"b_id")
           .select($"a_id", $"b_id",
             round(expr("cosine_sim(va, vb)"), 4).as("cos"))
           .orderBy($"cos".desc, $"a_id".asc, $"b_id".asc)
@@ -245,6 +264,6 @@ object Dedup {
         FROM e a JOIN e b ON a.vec_id < b.vec_id
         ORDER BY cos DESC, a_id ASC, b_id ASC
         LIMIT 20"""),
-      doc = "embedding near-dup: brute-force cosine via native codegen expression")
+      doc = "embedding near-dup: exact top-20 via block-partitioned pair equi-join")
   )
 }

