@@ -17,6 +17,12 @@ import org.apache.spark.sql.SparkSession
   * Expression) is the right altitude — it runs once per encrypted event
   * at the edge, never in an analytic hot path.
   */
+/** Storage-key parameters for the ingest-edge decrypt (T8): the
+  * PBKDF2-SHA512 inputs the reference reads from secret-storage key
+  * info (crypto.ts:202-211). One config per pipeline ≙ one storage key
+  * per account (client.ts:348-371). */
+final case class CryptoConfig(passphrase: String, saltB64: String, iterations: Int)
+
 object Decrypt {
 
   val KeyLenBytes = 32 // crypto.ts:16 (32-byte key)
@@ -37,27 +43,33 @@ object Decrypt {
 
   // (passphrase, salt_b64, iterations) is constant across a sync batch,
   // but the UDF sees it per ROW — without memoization every event pays
-  // the full ~10^5-hash PBKDF2 cost. Per-executor bounded LRU; thread-safe
-  // via synchronized LinkedHashMap (contention is nil next to PBKDF2).
-  private val keyCache = java.util.Collections.synchronizedMap(
+  // the full ~10^5-hash PBKDF2 cost. Per-executor bounded LRU.
+  private val keyCache =
     new java.util.LinkedHashMap[(String, String, Int), Array[Byte]](16, 0.75f, true) {
       override def removeEldestEntry(
           e: java.util.Map.Entry[(String, String, Int), Array[Byte]]): Boolean =
         size() > 64
-    })
-
-  /** Memoized derivation keyed on (passphrase, salt_b64, iterations). */
-  def deriveKeyCached(passphrase: String, saltB64: String, iterations: Int): Array[Byte] = {
-    val k = (passphrase, saltB64, iterations)
-    val hit = keyCache.get(k)
-    if (hit != null) hit
-    else {
-      deriveCount.incrementAndGet()
-      val derived = deriveKey(passphrase, Base64.getDecoder.decode(saltB64), iterations)
-      keyCache.put(k, derived)
-      derived
     }
-  }
+
+  /** Memoized derivation keyed on (passphrase, salt_b64, iterations).
+    * The whole get-or-derive is one critical section so concurrent
+    * first-use tasks (a cold micro-batch fans out to many cores at
+    * once) can't race into N duplicate derivations — a cold key derives
+    * exactly once per executor. Serializing the ~100ms PBKDF2 per NEW
+    * key is the point, not a cost: there is one storage key per account
+    * and every subsequent row is a lock-hold of a map lookup. */
+  def deriveKeyCached(passphrase: String, saltB64: String, iterations: Int): Array[Byte] =
+    keyCache.synchronized {
+      val k = (passphrase, saltB64, iterations)
+      val hit = keyCache.get(k)
+      if (hit != null) hit
+      else {
+        deriveCount.incrementAndGet()
+        val derived = deriveKey(passphrase, Base64.getDecoder.decode(saltB64), iterations)
+        keyCache.put(k, derived)
+        derived
+      }
+    }
 
   /** AES-GCM-256 encrypt; output = base64(iv ‖ ciphertext ‖ tag). */
   def encrypt(plaintext: String, key: Array[Byte], iv: Array[Byte]): String = {

@@ -93,4 +93,26 @@ object Ingest {
   def quarantine(messages: DataFrame): (DataFrame, DataFrame) =
     (messages.filter(col("error").isNull),
       messages.filter(col("error").isNotNull))
+
+  /** T8 — hot-path decryption (crypto.ts:181-224): rows flagged
+    * `is_encrypted` have their `content` replaced by the AES-GCM
+    * plaintext; authentication failures (tampered/garbled payloads) set
+    * the in-row `error` channel instead of aborting the batch — exactly
+    * the reference's per-event error column (schema.ts:66) — and the
+    * downstream [[quarantine]] split keeps them out of serving tables.
+    * Requires [[Decrypt.register]] on the session; PBKDF2 runs once per
+    * (passphrase, salt, iterations) per executor (memoized), never per
+    * row. Plaintext rows pass through untouched. */
+  def decryptMessages(messages: DataFrame, crypto: CryptoConfig): DataFrame = {
+    val dec = call_udf("decrypt_event", col("content"),
+      lit(crypto.passphrase), lit(crypto.saltB64), lit(crypto.iterations))
+    messages
+      .withColumn("__dec", when(col("is_encrypted"), dec))
+      .withColumn("error",
+        when(col("is_encrypted") && col("__dec").isNull,
+          lit("decrypt_failed: AES-GCM authentication")).otherwise(col("error")))
+      .withColumn("content",
+        when(col("__dec").isNotNull, col("__dec")).otherwise(col("content")))
+      .drop("__dec")
+  }
 }

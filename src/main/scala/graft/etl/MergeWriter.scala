@@ -333,7 +333,9 @@ object MergeWriter {
       val next = claimVersionAt(tableDir, base)
       val newEntries = writeSegment(observed, tableDir, next, "merge", bucket)
       commit(tableDir, next, carried ++ newEntries)
-      MergeResult(next, obs.get("rows").asInstanceOf[Long])
+      // an all-empty write runs zero tasks → the observed row has no
+      // fields at all; that genuinely means zero rows written
+      MergeResult(next, obs.get.getOrElse("rows", 0L).asInstanceOf[Long])
     }
   }
 

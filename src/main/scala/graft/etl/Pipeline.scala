@@ -13,10 +13,30 @@ import org.apache.spark.sql.functions._
   *  - steady state: Structured-Streaming ingest (Streaming.scala) with
   *    per-batch merges; the checkpoint directory IS the sync token
   *    (S5/S7/L8);
-  *  - every batch routes decrypt-failures to the in-row error channel
-  *    and the quarantine split keeps them out of the serving tables.
+  *  - when a [[CryptoConfig]] is supplied, every batch decrypts
+  *    `is_encrypted` events in the hot path (T8, crypto.ts:181-224):
+  *    successes land plaintext in `messages`, AES-GCM auth failures set
+  *    the in-row error channel and the quarantine split routes them to
+  *    `logs` — they never reach the serving tables.
   */
-final case class Pipeline(catalog: Catalog) {
+final case class Pipeline(catalog: Catalog, crypto: Option[CryptoConfig] = None) {
+
+  /** T8 at the ingest edge, when configured (no-op otherwise). */
+  private def decrypted(spark: SparkSession, messages: DataFrame): DataFrame =
+    crypto match {
+      case Some(c) => Decrypt.register(spark); Ingest.decryptMessages(messages, c)
+      case None => messages
+    }
+
+  /** Dead-letter rows are kept queryable — the reference persists the
+    * error column in-row (schema.ts:66); we land them in `logs`. */
+  private def quarantineToLogs(spark: SparkSession, quarantined: DataFrame): Unit =
+    if (!quarantined.isEmpty) // don't commit an empty log segment per clean batch
+      catalog.append(spark, "logs", quarantined.select(
+        col("processed_at").as("timestamp"),
+        lit("error").as("level"),
+        concat_ws(": ", col("event_id"), coalesce(col("error"), lit("quarantined")))
+          .as("message")))
 
   /** First-run batch backfill from a raw-event DataFrame (S5 snapshot
     * branch). Incremental runs skip this exactly like the reference:
@@ -24,37 +44,38 @@ final case class Pipeline(catalog: Catalog) {
     * short-circuits. */
   def backfillIfFirstRun(spark: SparkSession, raw: DataFrame): Boolean = {
     if (catalog.exists("messages")) return false
-    val messages = Ingest.messagesFromRaw(raw)
+    val messages = decrypted(spark, Ingest.messagesFromRaw(raw))
     val (clean, quarantined) = Ingest.quarantine(messages)
     catalog.upsert(spark, "messages", clean,
       keys = Seq("event_id"), orderBy = Seq("timestamp", "id"))
-    // dead-letter rows are kept too — the reference persists the error
-    // column in-row (schema.ts:66); we keep them queryable via logs
-    catalog.append(spark, "logs", quarantined.select(
-      col("processed_at").as("timestamp"),
-      lit("error").as("level"),
-      concat(lit("quarantined "), col("event_id")).as("message")))
-    catalog.upsert(spark, "participants", Ingest.projectParticipant(raw),
-      keys = Seq("user_id", "room_id"), orderBy = Seq("joined_ts"),
-      changeCols = Some(Seq("display_name", "avatar_url", "membership")))
-    catalog.upsert(spark, "rooms", Ingest.projectRooms(raw),
-      keys = Seq("room_id"), orderBy = Seq("created_ts"),
-      changeCols = Some(Seq("name", "topic", "is_encrypted", "avatar_url")))
+    quarantineToLogs(spark, quarantined)
+    val members = Ingest.projectParticipant(raw)
+    if (!members.isEmpty)
+      catalog.upsert(spark, "participants", members,
+        keys = Seq("user_id", "room_id"), orderBy = Seq("joined_ts"),
+        changeCols = Some(Seq("display_name", "avatar_url", "membership")))
+    val rooms = Ingest.projectRooms(raw)
+    if (!rooms.isEmpty)
+      catalog.upsert(spark, "rooms", rooms,
+        keys = Seq("room_id"), orderBy = Seq("created_ts"),
+        changeCols = Some(Seq("name", "topic", "is_encrypted", "avatar_url")))
     true
   }
 
   /** Incremental micro-batch apply (the foreachBatch body of E2):
-    * messages LWW-merge + participants/rooms change-detection merges +
-    * sync-token upsert (L8). */
+    * decrypt → quarantine split → messages LWW-merge + participants/
+    * rooms change-detection merges + sync-token upsert (L8). */
   def applyBatch(spark: SparkSession, raw: DataFrame, batchId: Long): Unit = {
-    val messages = Ingest.messagesFromRaw(raw)
-    val (clean, _) = Ingest.quarantine(messages)
+    val messages = decrypted(spark, Ingest.messagesFromRaw(raw))
+    val (clean, quarantined) = Ingest.quarantine(messages)
     catalog.upsert(spark, "messages", clean,
       keys = Seq("event_id"), orderBy = Seq("timestamp", "id"))
+    quarantineToLogs(spark, quarantined)
     val members = Ingest.projectParticipant(raw)
-    catalog.upsert(spark, "participants", members,
-      keys = Seq("user_id", "room_id"), orderBy = Seq("joined_ts"),
-      changeCols = Some(Seq("display_name", "avatar_url", "membership")))
+    if (!members.isEmpty)
+      catalog.upsert(spark, "participants", members,
+        keys = Seq("user_id", "room_id"), orderBy = Seq("joined_ts"),
+        changeCols = Some(Seq("display_name", "avatar_url", "membership")))
     val rooms = Ingest.projectRooms(raw)
     if (!rooms.isEmpty)
       catalog.upsert(spark, "rooms", rooms,

@@ -171,6 +171,16 @@ class MergeWriterSpec extends AnyFunSuite {
     assert(res.rows == expected, s"expected segment rows $expected, got ${res.rows}")
   }
 
+  test("empty-batch merge is a safe no-op commit (zero write tasks, rows=0)") {
+    val dir = tmp()
+    MergeWriter.merge(spark, dir, df(Seq(("k1", 1L, "a"))),
+      Seq("event_id"), Seq("timestamp"), bucket = bucket)
+    val res = MergeWriter.merge(spark, dir, df(Nil),
+      Seq("event_id"), Seq("timestamp"), bucket = bucket)
+    assert(res.rows == 0, "no observed tasks must read as zero rows")
+    assert(snap(dir) == Map("k1" -> ((1L, "a"))), "snapshot unchanged")
+  }
+
   test("two concurrent writers both commit via claim retry; result equals sequential") {
     val dir = tmp()
     MergeWriter.merge(spark, dir, df(Seq(("e0", 1L, "seed"))), Seq("event_id"), Seq("timestamp"))

@@ -141,4 +141,60 @@ class PipelineSpec extends AnyFunSuite {
     val removed = cat.cascadeDelete(spark, "participants", "rooms", "room_id", "room_id")
     assert(removed == 1)
   }
+
+  test("T8 hot path: encrypted events decrypt in-pipeline; tampered payloads quarantine") {
+    val root = Files.createTempDirectory("graft-pipe-t8").toString
+    val cat = Catalog(root)
+    cat.bootstrap()
+    val crypto = CryptoConfig("pipe-pass-t8", java.util.Base64.getEncoder
+      .encodeToString("pipe-salt".getBytes), 1000)
+    val pipe = Pipeline(cat, Some(crypto))
+    val key = Decrypt.deriveKey("pipe-pass-t8", "pipe-salt".getBytes, 1000)
+
+    def enc(id: Int, room: String, ts: Long, plain: String): Row =
+      Row(s"$$e$id:x", room, "@alice:x", "m.room.message", ts,
+        Decrypt.encryptRandomIv(plain, key), null, true, false, null)
+    // tamper mid-ciphertext but keep valid base64 → GCM auth must fail
+    val goodCt = Decrypt.encryptRandomIv("""{"body":"never-see-this"}""", key)
+    val tampered = {
+      val i = 20
+      val c = if (goodCt(i) == 'A') 'B' else 'A'
+      goodCt.updated(i, c)
+    }
+    val derivationsBefore = Decrypt.deriveCount.get()
+
+    assert(pipe.backfillIfFirstRun(spark, raw(Seq(
+      enc(1, "!r1:x", 100L, """{"msgtype":"m.text","body":"secret one"}"""),
+      enc(2, "!r1:x", 110L, """{"msgtype":"m.text","body":"secret two"}"""),
+      Row("$e3:x", "!r1:x", "@bob:x", "m.room.message", 120L,
+        tampered, null, true, false, null),
+      msg(4, "!r1:x", "@bob:x", 130L, body = "plaintext untouched")
+    ))))
+
+    val msgs = cat.read(spark, "messages")
+    assert(msgs.count() == 3, "2 decrypted + 1 plaintext; tampered row kept out")
+    val m1 = msgs.filter(col("event_id") === "$e1:x").collect()(0)
+    assert(m1.getAs[String]("content") == """{"msgtype":"m.text","body":"secret one"}""",
+      "content must be the decrypted plaintext")
+    assert(m1.getAs[String]("error") == null)
+    assert(msgs.filter(col("event_id") === "$e3:x").count() == 0)
+    val quarantined = cat.read(spark, "logs")
+      .filter(col("message").contains("$e3:x")).collect()
+    assert(quarantined.length == 1, "tampered event must land in logs")
+    assert(quarantined(0).getAs[String]("message").contains("decrypt_failed"),
+      "error channel must carry the failure cause")
+    val plain4 = msgs.filter(col("event_id") === "$m4:x").collect()(0)
+    assert(plain4.getAs[String]("content").contains("plaintext untouched"))
+
+    // incremental batch goes through the same decrypt path
+    pipe.applyBatch(spark, raw(Seq(
+      enc(5, "!r1:x", 200L, """{"msgtype":"m.text","body":"secret three"}""")
+    )), batchId = 1L)
+    assert(cat.read(spark, "messages").filter(col("event_id") === "$e5:x")
+      .collect()(0).getAs[String]("content").contains("secret three"))
+
+    // PBKDF2 ran once for the whole run, not once per row (memoized)
+    assert(Decrypt.deriveCount.get() - derivationsBefore <= 1,
+      "key derivation must be cached across rows and batches")
+  }
 }
