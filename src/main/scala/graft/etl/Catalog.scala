@@ -78,41 +78,66 @@ final case class Catalog(root: String, messageBuckets: Int = 16) {
       case None => read(spark, table)
     }
 
+  /** Read the snapshot the publish planner was handed: pinned at `base`
+    * so a claim-conflict retry re-plans against the version it will
+    * actually commit over, never a stale one. */
+  private def readAt(spark: SparkSession, table: String,
+      base: Option[Long]): DataFrame = base match {
+    case Some(v) => MergeWriter.readVersion(spark, dir(table), tables(table), v)
+    case None => MergeWriter.readSnapshot(spark, dir(table), tables(table))
+  }
+
   /** Update-only merge (≙ L7 updateDeviceId: UPDATE … WHERE, error when
     * nothing matched — db.utils.ts:240-269). Rows in `updates` whose key
-    * is absent from the snapshot are rejected, not inserted. */
+    * is absent from the snapshot are rejected, not inserted.
+    *
+    * Single pass: the snapshot is scanned once, by the publish write
+    * itself — the duplicate-key guard and the matched count ride the
+    * same job as Observation metrics, checked AFTER the segment write
+    * but BEFORE the pointer swap, so a violation aborts loudly without
+    * committing (the reference's UPDATE errors the statement, never
+    * half-applies). A duplicate matched key fans the left_outer join
+    * out (output rows > snapshot rows), which is exactly the corruption
+    * the guard exists to stop. */
   def updateOnly(spark: SparkSession, table: String, updates: DataFrame,
       keys: Seq[String], setCols: Seq[String]): Long = {
-    val snap = read(spark, table)
-    // reject ambiguous batches up front: duplicate keys in `updates`
-    // would fan the left_outer join out and publish duplicated natural
-    // keys into the snapshot
-    if (updates.groupBy(keys.map(col): _*).count()
-        .filter(col("count") > 1).limit(1).count() > 0)
-      throw new IllegalArgumentException(
-        s"updateOnly batch has duplicate keys $keys for $table")
-    val matched = updates.join(snap.select(keys.map(col): _*), keys, "left_semi")
-    val matchedCount = matched.count()
-    if (matchedCount == 0)
-      throw new IllegalStateException(
-        s"updateOnly matched 0 rows in $table on keys $keys")
+    import org.apache.spark.sql.Observation
     val updCols = keys ++ setCols
-    // explicit presence marker: "no matching update row" must keep the
-    // old value, but an update row carrying NULL must SET NULL (the
-    // reference's UPDATE can null a column — a coalesce would conflate
-    // the two)
-    val renamed = matched.select(updCols.map(c => col(c).as(s"__u_$c")): _*)
-      .withColumn("__u_present", lit(true))
-    val joinCond = keys.map(k => col(k) <=> col(s"__u_$k")).reduce(_ && _)
-    val merged = snap.join(renamed, joinCond, "left_outer")
-      .select(snap.columns.toSeq.map { c =>
-        if (setCols.contains(c))
-          when(col("__u_present").isNotNull, col(s"__u_$c"))
-            .otherwise(col(c)).as(c)
-        else col(c)
-      }: _*)
-    MergeWriter.publish(spark, dir(table), merged, bucketOf(table))
-    matchedCount
+    var obsSnap: Observation = null
+    var obsOut: Observation = null
+    MergeWriter.publish(spark, dir(table), base => {
+      val snap = readAt(spark, table, base)
+      obsSnap = Observation(); obsOut = Observation()
+      // explicit presence marker: "no matching update row" must keep the
+      // old value, but an update row carrying NULL must SET NULL (the
+      // reference's UPDATE can null a column — a coalesce would conflate
+      // the two)
+      val renamed = updates.select(updCols.map(c => col(c).as(s"__u_$c")): _*)
+        .withColumn("__u_present", lit(true))
+      val joinCond = keys.map(k => col(k) <=> col(s"__u_$k")).reduce(_ && _)
+      snap.observe(obsSnap, count(lit(1)).as("n"))
+        .join(renamed, joinCond, "left_outer")
+        .select(snap.columns.toSeq.map { c =>
+          if (setCols.contains(c))
+            when(col("__u_present").isNotNull, col(s"__u_$c"))
+              .otherwise(col(c)).as(c)
+          else col(c)
+        } :+ col("__u_present"): _*)
+        .observe(obsOut, count(lit(1)).as("n"),
+          count(col("__u_present")).as("matched"))
+        .drop("__u_present")
+    }, bucketOf(table), beforeCommit = () => {
+      val nSnap = obsSnap.get.getOrElse("n", 0L).asInstanceOf[Long]
+      val nOut = obsOut.get.getOrElse("n", 0L).asInstanceOf[Long]
+      if (nOut > nSnap)
+        throw new IllegalArgumentException(
+          s"updateOnly batch has duplicate keys $keys for $table " +
+            s"($nOut output rows from $nSnap snapshot rows)")
+      if (obsOut.get.getOrElse("matched", 0L).asInstanceOf[Long] == 0L)
+        throw new IllegalStateException(
+          s"updateOnly matched 0 rows in $table on keys $keys")
+    })
+    obsOut.get.getOrElse("matched", 0L).asInstanceOf[Long]
   }
 
   /** FK-cascade cleanup (≙ ON DELETE CASCADE, schema.ts:51,68): drop
@@ -123,15 +148,20 @@ final case class Catalog(root: String, messageBuckets: Int = 16) {
   def cascadeDelete(spark: SparkSession, childTable: String,
       parentTable: String, childKey: String, parentKey: String): Long = {
     import org.apache.spark.sql.Observation
-    val obsAll = Observation()
-    val obsKept = Observation()
-    val child = read(spark, childTable)
-      .observe(obsAll, count(lit(1)).as("n"))
-    val parents = read(spark, parentTable).select(col(parentKey))
-    val kept = child.join(parents, child(childKey) === parents(parentKey), "left_semi")
-      .observe(obsKept, count(lit(1)).as("n"))
-    MergeWriter.publish(spark, dir(childTable), kept, bucketOf(childTable))
-    obsAll.get("n").asInstanceOf[Long] - obsKept.get("n").asInstanceOf[Long]
+    var obsAll: Observation = null
+    var obsKept: Observation = null
+    MergeWriter.publish(spark, dir(childTable), base => {
+      obsAll = Observation(); obsKept = Observation()
+      val child = readAt(spark, childTable, base)
+        .observe(obsAll, count(lit(1)).as("n"))
+      val parents = read(spark, parentTable).select(col(parentKey))
+      child.join(parents, child(childKey) === parents(parentKey), "left_semi")
+        .observe(obsKept, count(lit(1)).as("n"))
+    }, bucketOf(childTable))
+    // an empty child table runs zero tasks → the observed row has no
+    // fields at all; that genuinely means zero rows on either side
+    obsAll.get.getOrElse("n", 0L).asInstanceOf[Long] -
+      obsKept.get.getOrElse("n", 0L).asInstanceOf[Long]
   }
 
   /** Version retention + segment GC for one table — the autovacuum the
@@ -148,7 +178,10 @@ final case class Catalog(root: String, messageBuckets: Int = 16) {
       case Some(bs) => MergeWriter.compact(spark, dir(table), tables(table), bs)
       case None =>
         if (MergeWriter.manifestEntries(dir(table)).size > 1)
-          MergeWriter.publish(spark, dir(table), read(spark, table))
+          // planner re-reads at the claimed base, so a compact racing a
+          // streaming append folds the appended rows instead of
+          // committing a stale pre-append snapshot over them
+          MergeWriter.publish(spark, dir(table), readAt(spark, table, _))
         else MergeWriter.currentVersion(dir(table)).getOrElse(0L)
     }
 }

@@ -101,6 +101,16 @@ object Decrypt {
       Some(new String(cipher.doFinal(ct), StandardCharsets.UTF_8))
     } catch { case _: Exception => None }
 
+  /** Closure-capturing decrypt UDF for the pipeline hot path: the
+    * [[CryptoConfig]] ships to executors inside the task closure, NOT as
+    * literal columns in the query plan, so key material never appears in
+    * EXPLAIN output, the Spark UI SQL tab, or event logs — the reference
+    * keeps key material in secret storage and never in query text
+    * (crypto.ts:202-211). Same memoized PBKDF2 as the SQL UDFs. */
+  def decryptUdf(c: CryptoConfig): org.apache.spark.sql.expressions.UserDefinedFunction =
+    org.apache.spark.sql.functions.udf((payload: String) =>
+      decrypt(payload, deriveKeyCached(c.passphrase, c.saltB64, c.iterations)).orNull)
+
   /** Register `decrypt_event(payload, passphrase, salt_b64, iterations)`,
     * `decrypt_event_key(payload, key_b64)` (key pre-derived once on the
     * driver — the cheapest path for a constant-key sync batch) and

@@ -100,12 +100,12 @@ object Ingest {
     * the in-row `error` channel instead of aborting the batch — exactly
     * the reference's per-event error column (schema.ts:66) — and the
     * downstream [[quarantine]] split keeps them out of serving tables.
-    * Requires [[Decrypt.register]] on the session; PBKDF2 runs once per
-    * (passphrase, salt, iterations) per executor (memoized), never per
-    * row. Plaintext rows pass through untouched. */
+    * The key material travels in the UDF's task closure, never as plan
+    * literals (it must not surface in EXPLAIN/UI/event logs); PBKDF2
+    * runs once per (passphrase, salt, iterations) per executor
+    * (memoized), never per row. Plaintext rows pass through untouched. */
   def decryptMessages(messages: DataFrame, crypto: CryptoConfig): DataFrame = {
-    val dec = call_udf("decrypt_event", col("content"),
-      lit(crypto.passphrase), lit(crypto.saltB64), lit(crypto.iterations))
+    val dec = Decrypt.decryptUdf(crypto)(col("content"))
     messages
       .withColumn("__dec", when(col("is_encrypted"), dec))
       .withColumn("error",

@@ -85,7 +85,9 @@ object MergeWriter {
 
   /** Bounded claim-conflict retries before failing loudly. Backoff is
     * sized for the contention window (a racer's in-flight segment write,
-    * i.e. a Spark job), not a CAS: ~150ms × attempt. */
+    * i.e. a whole Spark job): exponential from 200ms up to 4s per wait,
+    * ~10s total across the attempts — long enough to outlive a typical
+    * racing commit, short enough to fail loudly on a real wedge. */
   val MaxClaimAttempts = 6
 
   private def pointer(tableDir: Path): Path = tableDir.resolve("_CURRENT")
@@ -203,9 +205,12 @@ object MergeWriter {
   }
 
   /** Run `attempt` (which must re-read _CURRENT and re-plan each time),
-    * retrying claim conflicts with linear backoff. Bounded: after
-    * MaxClaimAttempts the conflict propagates loudly — by then the only
-    * non-progressing cause is an orphaned claim dir. */
+    * retrying claim conflicts with exponential backoff. Bounded: after
+    * MaxClaimAttempts the conflict propagates loudly. Exhaustion means
+    * either an orphaned claim dir (a writer that crashed between claim
+    * and commit) or sustained live contention — check the claim dir's
+    * mtime before deleting it to recover; a fresh mtime is a live
+    * writer mid-commit, not an orphan. */
   private def retryClaim[A](tableDir: String)(attempt: => A): A = {
     var tries = 1
     while (true) {
@@ -213,9 +218,10 @@ object MergeWriter {
       catch {
         case e: java.util.ConcurrentModificationException =>
           if (tries >= MaxClaimAttempts) throw e
-          // linear backoff + per-thread offset so two contending writers
-          // de-synchronize instead of re-colliding in lockstep
-          Thread.sleep(150L * tries + Thread.currentThread().getId % 37)
+          // exponential backoff + per-thread offset so two contending
+          // writers de-synchronize instead of re-colliding in lockstep
+          Thread.sleep(math.min(4000L, 200L << (tries - 1)) +
+            Thread.currentThread().getId % 37)
           tries += 1
       }
     }
@@ -258,6 +264,29 @@ object MergeWriter {
     Files.move(tmp, pointer(dir), StandardCopyOption.ATOMIC_MOVE,
       StandardCopyOption.REPLACE_EXISTING)
   }
+
+  /** Write `df` as version `next`'s segment, run `beforeCommit` (loud-
+    * fail validation hook — see Catalog.updateOnly), then commit. Any
+    * failure between claim and commit releases the claim dir and drops
+    * the uncommitted segment, so a crashed/aborted write never blocks
+    * later writers behind an orphan claim (vacuum's grace window stays
+    * the backstop for whole-process crashes). */
+  private def writeAndCommit(tableDir: String, next: Long, tag: String,
+      df: DataFrame, bucket: Option[BucketSpec],
+      carried: Seq[(Int, String)],
+      beforeCommit: () => Unit = () => ()): Unit =
+    try {
+      val newEntries = writeSegment(df, tableDir, next, tag, bucket)
+      beforeCommit()
+      commit(tableDir, next, carried ++ newEntries)
+    } catch {
+      case e: Throwable =>
+        val seg = Paths.get(tableDir, s"seg/v$next-$tag")
+        if (Files.exists(seg)) deleteRecursively(seg)
+        val claim = Paths.get(tableDir, s"v$next")
+        if (Files.exists(claim)) deleteRecursively(claim)
+        throw e
+    }
 
   /** Upsert `batch` into the snapshot at `tableDir`.
     *
@@ -331,8 +360,7 @@ object MergeWriter {
       val obs = Observation()
       val observed = resolved.observe(obs, count(lit(1)).as("rows"))
       val next = claimVersionAt(tableDir, base)
-      val newEntries = writeSegment(observed, tableDir, next, "merge", bucket)
-      commit(tableDir, next, carried ++ newEntries)
+      writeAndCommit(tableDir, next, "merge", observed, bucket, carried)
       // an all-empty write runs zero tasks → the observed row has no
       // fields at all; that genuinely means zero rows written
       MergeResult(next, obs.get.getOrElse("rows", 0L).asInstanceOf[Long])
@@ -349,20 +377,28 @@ object MergeWriter {
     val base = currentVersion(tableDir)
     val prior = base.map(manifestEntriesAt(tableDir, _)).getOrElse(Seq.empty)
     val next = claimVersionAt(tableDir, base)
-    val newEntries = writeSegment(batch, tableDir, next, "append", bucket)
-    commit(tableDir, next, prior ++ newEntries)
+    writeAndCommit(tableDir, next, "append", batch, bucket, prior)
     next
   }
 
-  /** Full-rewrite commit of `df` as the next snapshot version — the path
-    * for whole-table transforms (updateOnly, cascadeDelete, bootstrap).
-    * Holds the same writer lock as merge/append. */
-  def publish(spark: SparkSession, tableDir: String, df: DataFrame,
-      bucket: Option[BucketSpec] = None): Long = retryClaim(tableDir) {
+  /** Full-rewrite commit as the next snapshot version — the path for
+    * whole-table transforms (updateOnly, cascadeDelete, bootstrap).
+    * Takes a PLANNER, not a DataFrame: `plan(base)` must build the new
+    * content against exactly the snapshot version it receives (use
+    * [[readVersion]]), because a claim conflict re-runs the planner
+    * against the advanced version — committing a plan built against an
+    * older snapshot would silently drop the racing writer's rows.
+    * `beforeCommit` runs after the segment write (so Observation
+    * metrics on the plan are available) and before the pointer swap —
+    * throwing there aborts the commit loudly and releases the claim. */
+  def publish(spark: SparkSession, tableDir: String,
+      plan: Option[Long] => DataFrame,
+      bucket: Option[BucketSpec] = None,
+      beforeCommit: () => Unit = () => ()): Long = retryClaim(tableDir) {
     val base = currentVersion(tableDir)
+    val df = plan(base)
     val next = claimVersionAt(tableDir, base)
-    val newEntries = writeSegment(df, tableDir, next, "full", bucket)
-    commit(tableDir, next, newEntries)
+    writeAndCommit(tableDir, next, "full", df, bucket, Seq.empty, beforeCommit)
     next
   }
 
@@ -385,16 +421,14 @@ object MergeWriter {
       // migration path: bucket everything
       val df = readPaths(spark, tableDir, schema, entries.map(_._2))
       val next = claimVersionAt(tableDir, base)
-      val newEntries = writeSegment(df, tableDir, next, "compact", Some(bucket))
-      commit(tableDir, next, newEntries)
+      writeAndCommit(tableDir, next, "compact", df, Some(bucket), Seq.empty)
       next
     } else {
       val carried = entries.filterNot(e => fragmented.contains(e._1))
       val df = readPaths(spark, tableDir, schema,
         fragmented.values.flatten.map(_._2).toSeq)
       val next = claimVersionAt(tableDir, base)
-      val newEntries = writeSegment(df, tableDir, next, "compact", Some(bucket))
-      commit(tableDir, next, carried ++ newEntries)
+      writeAndCommit(tableDir, next, "compact", df, Some(bucket), carried)
       next
     }
   }
@@ -440,10 +474,22 @@ object MergeWriter {
         }
         var droppedS = 0
         val segRoot = dir.resolve("seg")
+        val segName = "v(\\d+)-.*".r
         if (Files.exists(segRoot)) {
           Files.list(segRoot).iterator().asScala.toSeq.foreach { segDir =>
             val segRel = s"seg/${segDir.getFileName}"
-            if (!referenced.contains(segRel)) {
+            // a segment ABOVE the current version is a live writer's
+            // in-flight write (it holds the v{cur+1} claim, so _CURRENT
+            // cannot advance past it until it commits or its claim is
+            // orphan-GC'd): it is unreferenced by construction until
+            // commit, and deleting it mid-write would leave the
+            // committed manifest pointing at missing bucket leaves.
+            // Unparseable names are skipped too (never GC the unknown).
+            val segVersion = segDir.getFileName.toString match {
+              case segName(n) => n.toLong
+              case _ => Long.MaxValue
+            }
+            if (segVersion <= cur && !referenced.contains(segRel)) {
               val leaves = Files.list(segDir).iterator().asScala.toSeq
                 .filter(_.getFileName.toString.startsWith(s"$BucketCol="))
               if (leaves.isEmpty) { // unbucketed, unreferenced: drop whole segment

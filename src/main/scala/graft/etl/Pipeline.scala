@@ -24,7 +24,7 @@ final case class Pipeline(catalog: Catalog, crypto: Option[CryptoConfig] = None)
   /** T8 at the ingest edge, when configured (no-op otherwise). */
   private def decrypted(spark: SparkSession, messages: DataFrame): DataFrame =
     crypto match {
-      case Some(c) => Decrypt.register(spark); Ingest.decryptMessages(messages, c)
+      case Some(c) => Ingest.decryptMessages(messages, c)
       case None => messages
     }
 

@@ -57,6 +57,26 @@ class DecryptSpec extends AnyFunSuite {
     assert(derives <= 4, s"expected memoized derivation, got $derives derivations for 1000 rows")
   }
 
+  test("pipeline decrypt never ships key material through the query plan") {
+    import spark.implicits._
+    import graft.etl.{CryptoConfig, Ingest}
+    val pass = "hotpath-passphrase-7f3a"
+    val saltB64 = java.util.Base64.getEncoder.encodeToString("hotsalt1".getBytes)
+    val crypto = CryptoConfig(pass, saltB64, 10)
+    val key = Decrypt.deriveKey(pass, "hotsalt1".getBytes, 10)
+    val msgs = Seq(("$e1:x", Decrypt.encryptRandomIv("""{"body":"s"}""", key), true))
+      .toDF("event_id", "content", "is_encrypted")
+      .withColumn("error", org.apache.spark.sql.functions.lit(null: String))
+    val out = Ingest.decryptMessages(msgs, crypto)
+    // the passphrase/salt must live in the UDF closure, not plan text —
+    // EXPLAIN output and the Spark UI SQL tab render plan literals
+    val plans = out.queryExecution.toString + out.queryExecution.executedPlan.toString
+    assert(!plans.contains(pass), "passphrase leaked into the query plan")
+    assert(!plans.contains(saltB64), "salt leaked into the query plan")
+    // and it still decrypts
+    assert(out.select("content").collect()(0).getString(0) == """{"body":"s"}""")
+  }
+
   test("decrypt_event_key uses a pre-derived key (no per-row derivation at all)") {
     import spark.implicits._
     Decrypt.register(spark)

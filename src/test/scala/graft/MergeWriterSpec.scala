@@ -258,6 +258,43 @@ class MergeWriterSpec extends AnyFunSuite {
     assert(snap(dir).keySet == Set("e1", "e2", "e3"))
   }
 
+  test("publish re-plans against the advanced snapshot after a claim conflict (no lost update)") {
+    val dir = tmp()
+    MergeWriter.merge(spark, dir, df(Seq(("e1", 1L, "a"), ("e2", 2L, "b"))),
+      Seq("event_id"), Seq("timestamp"))
+    var calls = 0
+    MergeWriter.publish(spark, dir, base => {
+      calls += 1
+      // a racer commits BETWEEN this writer's planning and its claim —
+      // exactly the window where the old df-taking publish would retry
+      // and commit the stale full rewrite, dropping the racer's row
+      if (calls == 1)
+        MergeWriter.appendSegment(spark, dir, df(Seq(("race", 9L, "r"))))
+      MergeWriter.readVersion(spark, dir, df(Nil).schema, base.get)
+        .filter(col("event_id") =!= "e2") // the transform: delete e2
+    })
+    assert(calls == 2, "claim conflict must re-run the planner")
+    assert(snap(dir).keySet == Set("e1", "race"),
+      "racer's committed row must survive the retried full rewrite")
+  }
+
+  test("vacuum never deletes an in-flight writer's segment (version above current)") {
+    val dir = tmp()
+    MergeWriter.merge(spark, dir, df(Seq(("e1", 1L, "a"))), Seq("event_id"), Seq("timestamp")) // v0
+    MergeWriter.merge(spark, dir, df(Seq(("e1", 2L, "b"))), Seq("event_id"), Seq("timestamp")) // v1
+    // simulate a live writer mid-commit: v2 claimed, segment mid-write,
+    // manifest not yet committed — the segment is unreferenced by every
+    // retained manifest, yet must not be GC'd out from under the writer
+    Files.createDirectory(java.nio.file.Paths.get(dir, "v2"))
+    df(Seq(("e9", 9L, "inflight"))).write.parquet(s"$dir/seg/v2-merge")
+    val stats = MergeWriter.vacuum(dir, keepVersions = 1)
+    assert(Files.exists(java.nio.file.Paths.get(dir, "seg/v2-merge")),
+      "in-flight segment (version > current) must survive vacuum")
+    assert(Files.exists(java.nio.file.Paths.get(dir, "v2")),
+      "live claim dir must survive vacuum (grace window)")
+    assert(stats.droppedVersions == 1, s"superseded v0 still GC'd: $stats")
+  }
+
   test("second concurrent writer fails loudly instead of silently losing an update") {
     val dir = tmp()
     MergeWriter.merge(spark, dir, df(Seq(("e1", 1L, "a"))), Seq("event_id"), Seq("timestamp"))

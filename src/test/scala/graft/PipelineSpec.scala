@@ -137,7 +137,7 @@ class PipelineSpec extends AnyFunSuite {
 
     // FK cascade: removing r2 from rooms orphans its participants/messages
     MergeWriter.publish(spark, cat.dir("rooms"),
-      cat.read(spark, "rooms").filter(col("room_id") =!= "!r2:x"))
+      _ => cat.read(spark, "rooms").filter(col("room_id") =!= "!r2:x"))
     val removed = cat.cascadeDelete(spark, "participants", "rooms", "room_id", "room_id")
     assert(removed == 1)
   }
