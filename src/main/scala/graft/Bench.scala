@@ -19,7 +19,7 @@ import java.nio.file.{Files, Paths}
   * measure the engine, not classloading.
   *
   * Query ISOLATION (round-2 lesson): a query that caches / locally
-  * checkpoints blocks (e.g. dedup_minhash_ml) must not pin executor
+  * checkpoints blocks must not pin executor
   * storage into the queries timed after it — round 2 saw eight trivial
   * ref_* queries regress 3.5–9× from exactly that residue. After every
   * timed query we unpersist all persistent RDDs, clear the relation

@@ -170,6 +170,16 @@ final case class Catalog(root: String, messageBuckets: Int = 16) {
   def vacuum(table: String, keepVersions: Int = 2): MergeWriter.VacuumStats =
     MergeWriter.vacuum(dir(table), keepVersions)
 
+  /** One maintenance pass over every table: compact fragmented buckets /
+    * append stacks, then vacuum old versions and unreferenced segments.
+    * The streaming ingest calls this on a batch cadence
+    * (Streaming.startFullIngest) so storage stays bounded while the
+    * stream runs — a version per merge per micro-batch otherwise. */
+  def maintain(spark: SparkSession, keepVersions: Int = 2): Unit =
+    tables.keys.foreach { t =>
+      if (exists(t)) { compact(spark, t); vacuum(t, keepVersions); () }
+    }
+
   /** Fold append-accumulated small files: bucketed tables compact only
     * their fragmented buckets; unbucketed append logs (multi-segment)
     * are folded into one segment via a full publish. */

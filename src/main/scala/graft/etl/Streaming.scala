@@ -66,4 +66,57 @@ object Streaming {
     val q = startMessageIngest(spark, sourceDir, checkpointDir, tableDir)
     q.awaitTermination()
   }
+
+  /** Start the FULL ingest stream — the reference's steady state as one
+    * micro-batch body. The reference's sync loop fans each batch into
+    * three subscriptions feeding the whole upsert family
+    * (client.ts:259-284 → db.utils.ts persistMessage/persistParticipant/
+    * persistRoom + updateSyncToken); here the foreachBatch body is
+    * [[Pipeline.applyBatch]]: decrypt (T8) → quarantine→logs → messages
+    * LWW-merge + participants/rooms change-detection merges → sync-token
+    * upsert (L8), all against one raw-event micro-batch.
+    *
+    * Storage maintenance runs on a batch cadence: every `maintainEvery`
+    * batches, every catalog table is compacted (fold append stacks /
+    * fragmented buckets) and vacuumed (version retention + segment GC).
+    * The reference gets this for free from Postgres autovacuum
+    * (db.utils.ts:38-46 context); a manifest-over-segments layout at
+    * streaming cadence grows a version per merge per batch without it.
+    * Safe concurrently with this stream's own writes: maintenance runs
+    * INSIDE the foreachBatch body (no self-racing), and vacuum never
+    * touches segments above _CURRENT or young claim dirs. */
+  def startFullIngest(
+      spark: SparkSession,
+      sourceDir: String,
+      checkpointDir: String,
+      pipeline: Pipeline,
+      maxFilesPerTrigger: Int = 50,
+      maintainEvery: Int = 16,
+      keepVersions: Int = 2): StreamingQuery = {
+    val raw = spark.readStream
+      .schema(Schemas.rawEvent)
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .parquet(sourceDir)
+
+    raw.writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val s = batch.sparkSession
+        pipeline.applyBatch(s, batch, batchId)
+        if (maintainEvery > 0 && batchId % maintainEvery == (maintainEvery - 1))
+          pipeline.catalog.maintain(s, keepVersions)
+        ()
+      }
+      .start()
+  }
+
+  /** Blocking convenience: full-pipeline twin of [[runOnce]]. */
+  def runFullOnce(spark: SparkSession, sourceDir: String,
+      checkpointDir: String, pipeline: Pipeline,
+      maintainEvery: Int = 16, keepVersions: Int = 2): Unit =
+    startFullIngest(spark, sourceDir, checkpointDir, pipeline,
+      maintainEvery = maintainEvery, keepVersions = keepVersions)
+      .awaitTermination()
 }

@@ -239,7 +239,12 @@ object Dedup {
       build = (s, dir) => {
         import s.implicits._
         VectorFunctions.register(s)
-        val P = 16
+        // P block-pair sharding: pair-parallelism is P², shuffle volume
+        // O(n·P). 16 (=256 pair keys) saturates local[32] on the test
+        // corpus; at cluster scale set spark.graft.cosineBlocks so that
+        // P² ≳ executor cores (the result is P-invariant — every pair
+        // still meets exactly once).
+        val P = s.conf.get("spark.graft.cosineBlocks", "16").toInt
         val e = Tables.embeddings(s, dir)
           .select($"vec_id", $"embedding", pmod($"vec_id", lit(P)).as("blk"))
         val a = e.select($"vec_id".as("a_id"), $"embedding".as("va"), $"blk")

@@ -53,6 +53,109 @@ class StreamingSpec extends AnyFunSuite {
       "checkpoint resume must not re-merge old files")
   }
 
+  test("full ingest stream: decrypt, quarantine, 3 merges, sync token, checkpoint resume") {
+    import graft.etl.{Catalog, CryptoConfig, Decrypt, Pipeline}
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-fullstream")
+    val src = base.resolve("src").toString
+    val ckpt = base.resolve("ckpt").toString
+    Files.createDirectories(Paths.get(src))
+    val cat = Catalog(base.resolve("cat").toString)
+    cat.bootstrap()
+    val crypto = CryptoConfig("stream-pass", java.util.Base64.getEncoder
+      .encodeToString("stream-salt".getBytes), 1000)
+    val pipe = Pipeline(cat, Some(crypto))
+    val key = Decrypt.deriveKey("stream-pass", "stream-salt".getBytes, 1000)
+
+    def rows(rs: Seq[Row]): DataFrame = spark.createDataFrame(
+      spark.sparkContext.parallelize(rs, 1), Schemas.rawEvent)
+
+    // micro-batch 1: room state + membership + plaintext + encrypted
+    rows(Seq(
+      Row("$st-create:x", "!r1:x", "@admin:x", "m.room.create", 1L,
+        """{"creator":"@a:x"}""", null, false, false, null),
+      Row("$st-name:x", "!r1:x", "@admin:x", "m.room.name", 2L,
+        """{"name":"Stream Room"}""", null, false, false, null),
+      Row("$mem-a:x", "!r1:x", "@alice:x", "m.room.member", 10L,
+        """{"displayname":"Alice","membership":"join"}""", null, false, false, null),
+      Row("$p1:x", "!r1:x", "@alice:x", "m.room.message", 100L,
+        """{"msgtype":"m.text","body":"plain"}""", null, false, false, null),
+      Row("$e1:x", "!r1:x", "@alice:x", "m.room.message", 110L,
+        Decrypt.encryptRandomIv("""{"msgtype":"m.text","body":"secret"}""", key),
+        null, true, false, null)
+    )).coalesce(1).write.mode("append").parquet(src)
+    Streaming.runFullOnce(spark, src, ckpt, pipe)
+
+    assert(cat.read(spark, "messages").count() == 2)
+    assert(cat.read(spark, "messages").filter(col("event_id") === "$e1:x")
+      .collect()(0).getAs[String]("content").contains("secret"),
+      "streamed encrypted event must land decrypted")
+    assert(cat.read(spark, "rooms").filter(col("name") === "Stream Room").count() == 1)
+    assert(cat.read(spark, "participants").count() == 1)
+    assert(cat.read(spark, "sync_state").count() == 1, "L8 token per batch")
+
+    // micro-batch 2: tampered ciphertext (→ quarantine) + late duplicate
+    val goodCt = Decrypt.encryptRandomIv("""{"body":"x"}""", key)
+    val tampered = goodCt.updated(20, if (goodCt(20) == 'A') 'B' else 'A')
+    rows(Seq(
+      Row("$e2:x", "!r1:x", "@bob:x", "m.room.message", 200L,
+        tampered, null, true, false, null),
+      Row("$p1:x", "!r1:x", "@alice:x", "m.room.message", 500L,
+        """{"msgtype":"m.text","body":"edited"}""", null, false, false, null)
+    )).coalesce(1).write.mode("append").parquet(src)
+    Streaming.runFullOnce(spark, src, ckpt, pipe)
+
+    val msgs = cat.read(spark, "messages")
+    assert(msgs.count() == 2, "tampered row quarantined; duplicate merged not appended")
+    assert(msgs.filter(col("event_id") === "$p1:x").collect()(0)
+      .getAs[Long]("timestamp") == 500L, "LWW replay wins across micro-batches")
+    val q = cat.read(spark, "logs").filter(col("message").contains("$e2:x")).collect()
+    assert(q.length == 1 && q(0).getAs[String]("message").contains("decrypt_failed"),
+      "tampered event must land in the logs quarantine")
+    assert(cat.read(spark, "sync_state").count() == 2, "token advanced per batch")
+
+    // checkpoint resume with no new files reprocesses nothing
+    val vBefore = MergeWriter.currentVersion(cat.dir("messages"))
+    Streaming.runFullOnce(spark, src, ckpt, pipe)
+    assert(MergeWriter.currentVersion(cat.dir("messages")) == vBefore,
+      "checkpoint resume must not re-merge old files")
+  }
+
+  test("maintenance cadence keeps versions and segments bounded across batches") {
+    import graft.etl.{Catalog, Pipeline}
+    import scala.jdk.CollectionConverters._
+    val base = Files.createTempDirectory("graft-maint")
+    val src = base.resolve("src").toString
+    val ckpt = base.resolve("ckpt").toString
+    Files.createDirectories(Paths.get(src))
+    val cat = Catalog(base.resolve("cat").toString)
+    cat.bootstrap()
+    val pipe = Pipeline(cat)
+
+    // 6 single-file batches (maxFilesPerTrigger=1 → one micro-batch each);
+    // maintenance every batch with retention 1 — the tightest cadence
+    (0 until 6).foreach { b =>
+      rawRows(b * 10 until (b * 10 + 10), 1000L * (b + 1))
+        .coalesce(1).write.mode("append").parquet(src)
+    }
+    Streaming.startFullIngest(spark, src, ckpt, pipe,
+      maxFilesPerTrigger = 1, maintainEvery = 1, keepVersions = 1)
+      .awaitTermination()
+
+    assert(cat.read(spark, "messages").count() == 60, "all batches ingested")
+    assert(cat.read(spark, "sync_state").count() == 6)
+    // bounded storage: without vacuum this is ≥ 1 version dir per batch
+    // (6 merges + compact commits); retention 1 leaves O(1)
+    Seq("messages", "sync_state").foreach { t =>
+      val vdirs = Files.list(Paths.get(cat.dir(t))).iterator().asScala
+        .count(_.getFileName.toString.matches("v\\d+"))
+      assert(vdirs <= 2, s"$t version dirs must stay bounded, got $vdirs")
+      val perBucket = MergeWriter.manifestEntries(cat.dir(t)).groupBy(_._1)
+      assert(perBucket.forall(_._2.size == 1),
+        s"$t buckets must stay compacted under the cadence")
+    }
+  }
+
   test("quarantine split routes error rows") {
     val raw = rawRows(0 until 10, 0L)
     val msgs = Ingest.messagesFromRaw(raw)
