@@ -69,13 +69,22 @@ object Dedup {
     "dedup_minhash_lsh" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        // no cache: the shingle subtree is recomputed per consumer, which
-        // is cheaper than pinning executor storage for the JVM lifetime
-        // (query builders can't unpersist after the caller's action)
+        // no cache/checkpoint: the shingle subtree is recomputed per
+        // consumer, which measures FASTER than materializing it —
+        // localCheckpoint(eager) of the exploded table was tried at
+        // sf0.1 and cost 4.0-4.6s vs 3.4-3.8s recomputed (writing ~1M
+        // exploded rows to block storage beats a codegen'd
+        // tokenize+explode only at much larger shingle payloads; at
+        // real scale checkpoint the compact SIGNATURE table instead)
         val sh = shingles(s, dir)
         val sigCols = (0 until 8).map(k =>
           min(md5(concat_ws("|", lit(k), $"sh"))).as(s"h$k"))
-        val sigs = sh.groupBy($"doc_id").agg(sigCols.head, sigCols.tail: _*)
+        // one aggregation computes the 8 signatures AND the shingle
+        // count — the count used to be its own groupBy over the shingle
+        // subtree, which (uncached by measurement, see above) meant one
+        // more full tokenize+explode recomputation
+        val sigs = sh.groupBy($"doc_id")
+          .agg(sigCols.head, sigCols.tail :+ count(lit(1)).as("n"): _*)
         val bands = sigs.select($"doc_id",
           posexplode(array((0 until 8).map(k => col(s"h$k")): _*)).as(Seq("band", "h")))
         val l = bands.select($"doc_id".as("a_id"), $"band", $"h")
@@ -83,7 +92,7 @@ object Dedup {
         val cand = l.join(r, Seq("band", "h"))
           .filter($"a_id" < $"b_id")
           .select($"a_id", $"b_id").distinct()
-        val cnt = sh.groupBy($"doc_id").agg(count(lit(1)).as("n"))
+        val cnt = sigs.select($"doc_id", $"n")
         val shA = sh.select($"doc_id".as("a_id"), $"sh")
         val shB = sh.select($"doc_id".as("b_id"), $"sh")
         val inter = cand.join(shA, "a_id").join(shB, Seq("b_id", "sh"))
@@ -176,17 +185,14 @@ object Dedup {
           .withColumn("toks", expr(toksE))
           .select($"doc_id", explode(array_distinct($"toks")).as("w"))
           .withColumn("h", expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)"))
-        // bit-explode form: 60 narrow rows per token then two compact
-        // aggs. (A 60-agg-column single pass was tried and is ~25×
-        // slower: Catalyst inlines the md5/conv projection into every
-        // aggregate expression, recomputing the hash 60× per row, and
-        // the resulting mega-codegen class deoptimizes the JIT.)
-        val bits = tok
-          .select($"doc_id", $"h", explode(expr("sequence(0, 59)")).as("b"))
-          .groupBy($"doc_id", $"b")
-          .agg(sum(when(expr("((h >> b) & 1) = 1"), 1).otherwise(-1)).as("v"))
-        val sim = bits.groupBy($"doc_id")
-          .agg(sum(when($"v" > 0, expr("shiftleft(1L, b)")).otherwise(0L)).as("simhash"))
+        // ONE custom aggregate (functions/SimHashAgg: fixed 60-counter
+        // buffer per doc, ObjectHashAggregate with map-side combine)
+        // replaces the earlier 60×-row bit-explode + two hash aggs —
+        // the shuffle carries a 240-byte partial buffer per doc instead
+        // of 60 exploded rows per token. Same ties/threshold semantics
+        // as the exhaustive oracle (counter > 0 sets the bit).
+        val sim = tok.groupBy($"doc_id")
+          .agg(expr("simhash60(h)").as("simhash"))
         val banded = sim.select($"doc_id", $"simhash",
           posexplode(array((0 until 4).map(i =>
             expr(s"(simhash >> ${i * 15}) & 32767")): _*)).as(Seq("band", "bv")))
@@ -239,22 +245,33 @@ object Dedup {
       build = (s, dir) => {
         import s.implicits._
         VectorFunctions.register(s)
-        // P block-pair sharding: pair-parallelism is P², shuffle volume
-        // O(n·P). 16 (=256 pair keys) saturates local[32] on the test
-        // corpus; at cluster scale set spark.graft.cosineBlocks so that
-        // P² ≳ executor cores (the result is P-invariant — every pair
-        // still meets exactly once).
+        // TRIANGULAR block-pair sharding: side A replicates only to the
+        // pair keys (blk, j) with j ≥ blk, side B only to (i, blk) with
+        // i ≤ blk, so each UNORDERED pair meets exactly once — the join
+        // materializes n²/2 candidate rows, not n² halved by a filter,
+        // and per-side replication averages (P+1)/2 instead of P.
+        // Diagonal keys (i == i, i.e. pk % (P+1) == 0) see both
+        // orderings of an intra-block pair and keep a_id < b_id;
+        // cross-block pairs arrive once in arbitrary id order and are
+        // normalized with least/greatest (cosine is symmetric).
+        // Pair-parallelism is P(P+1)/2 keys of ~(n/P)² pairs each; at
+        // cluster scale set spark.graft.cosineBlocks so that exceeds
+        // the executor cores (the result is P-invariant).
         val P = s.conf.get("spark.graft.cosineBlocks", "16").toInt
         val e = Tables.embeddings(s, dir)
           .select($"vec_id", $"embedding", pmod($"vec_id", lit(P)).as("blk"))
         val a = e.select($"vec_id".as("a_id"), $"embedding".as("va"), $"blk")
-          .withColumn("pk", explode(array((0 until P).map(j => $"blk" * P + j): _*)))
+          .withColumn("pk",
+            explode(expr(s"transform(sequence(blk, ${P - 1}), j -> blk * $P + j)")))
           .drop("blk")
         val b = e.select($"vec_id".as("b_id"), $"embedding".as("vb"), $"blk")
-          .withColumn("pk", explode(array((0 until P).map(i => lit(i) * P + $"blk"): _*)))
+          .withColumn("pk",
+            explode(expr(s"transform(sequence(0, blk), i -> i * $P + blk)")))
           .drop("blk")
-        a.join(b, Seq("pk")).filter($"a_id" < $"b_id")
-          .select($"a_id", $"b_id",
+        a.join(b, Seq("pk"))
+          .filter(($"pk" % (P + 1) =!= 0) || ($"a_id" < $"b_id"))
+          .select(least($"a_id", $"b_id").as("a_id"),
+            greatest($"a_id", $"b_id").as("b_id"),
             round(expr("cosine_sim(va, vb)"), 4).as("cos"))
           .orderBy($"cos".desc, $"a_id".asc, $"b_id".asc)
           .limit(20)

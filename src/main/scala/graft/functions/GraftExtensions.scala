@@ -28,5 +28,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("dot_product"),
       new ExpressionInfo(classOf[DotProduct].getName, "dot_product"),
       binary("dot_product", DotProduct.apply) _))
+    ext.injectFunction((
+      FunctionIdentifier("simhash60"),
+      new ExpressionInfo(classOf[SimHash60].getName, "simhash60"),
+      { children: Seq[Expression] =>
+        if (children.length != 1)
+          throw new IllegalArgumentException(
+            s"simhash60 requires exactly 1 argument, got ${children.length}")
+        SimHash60(children.head)
+      }))
   }
 }
