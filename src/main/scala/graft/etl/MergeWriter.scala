@@ -85,8 +85,8 @@ object MergeWriter {
 
   /** Bounded claim-conflict retries before failing loudly. Backoff is
     * sized for the contention window (a racer's in-flight segment write,
-    * i.e. a whole Spark job): exponential from 200ms up to 4s per wait,
-    * ~10s total across the attempts — long enough to outlive a typical
+    * i.e. a whole Spark job): exponential from 200ms up to 3.2s per wait,
+    * ~6s total across the attempts — long enough to outlive a typical
     * racing commit, short enough to fail loudly on a real wedge. */
   val MaxClaimAttempts = 6
 
@@ -430,6 +430,48 @@ object MergeWriter {
       val next = claimVersionAt(tableDir, base)
       writeAndCommit(tableDir, next, "compact", df, Some(bucket), carried)
       next
+    }
+  }
+
+  /** On-disk bytes of one segment (driver metadata walk, no job). */
+  private def segmentBytes(tableDir: String, rel: String): Long = {
+    val p = Paths.get(tableDir, rel)
+    if (!Files.exists(p)) 0L
+    else Files.walk(p).iterator().asScala
+      .filter(Files.isRegularFile(_)).map(Files.size).sum
+  }
+
+  /** Fold an unbucketed append stack with a two-tier geometric policy so
+    * a streaming append log is NOT rewritten in full every maintenance
+    * pass (that would make cumulative compaction I/O quadratic in stream
+    * lifetime). The largest segment is the "base" tier and is carried by
+    * path, untouched; the small-segment tail is folded into one segment
+    * only once `minSegments` of them accumulate; and the base itself is
+    * only re-absorbed when the tail has grown to its size (the doubling
+    * rule), which bounds total compaction I/O at O(N log N) over the
+    * table's life. Returns the committed version (current one when below
+    * the threshold — no-op, no commit). */
+  def compactAppends(spark: SparkSession, tableDir: String,
+      schema: StructType, minSegments: Int = 16): Long = retryClaim(tableDir) {
+    val base = currentVersion(tableDir)
+    val entries = base.map(manifestEntriesAt(tableDir, _)).getOrElse(Seq.empty)
+    if (entries.size <= 1) base.getOrElse(0L)
+    else {
+      val sized = entries.map(e => (e, segmentBytes(tableDir, e._2)))
+      val largest = sized.maxBy(_._2)
+      val tail = sized.filterNot(_ eq largest)
+      if (tail.size < minSegments && tail.map(_._2).sum < largest._2)
+        base.getOrElse(0L)
+      else {
+        val foldAll = tail.map(_._2).sum >= largest._2
+        val (folded, carried) =
+          if (foldAll) (sized.map(_._1), Seq.empty[(Int, String)])
+          else (tail.map(_._1), Seq(largest._1))
+        val df = readPaths(spark, tableDir, schema, folded.map(_._2))
+        val next = claimVersionAt(tableDir, base)
+        writeAndCommit(tableDir, next, "compact", df, None, carried)
+        next
+      }
     }
   }
 
