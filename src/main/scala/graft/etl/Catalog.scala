@@ -181,17 +181,16 @@ final case class Catalog(root: String, messageBuckets: Int = 16) {
     }
 
   /** Fold append-accumulated small files: bucketed tables compact only
-    * their fragmented buckets; unbucketed append logs (multi-segment)
-    * are folded into one segment via a full publish. */
+    * their fragmented buckets; unbucketed append logs fold with the
+    * two-tier geometric policy (small-segment tail vs the large base) so
+    * the maintenance cadence does NOT rewrite the whole log every pass —
+    * that would make cumulative compaction I/O quadratic in stream
+    * lifetime. Both paths re-plan at the claimed base on a conflict, so
+    * a compact racing a streaming append folds the appended rows instead
+    * of committing a stale pre-append snapshot over them. */
   def compact(spark: SparkSession, table: String): Long =
     bucketOf(table) match {
       case Some(bs) => MergeWriter.compact(spark, dir(table), tables(table), bs)
-      case None =>
-        if (MergeWriter.manifestEntries(dir(table)).size > 1)
-          // planner re-reads at the claimed base, so a compact racing a
-          // streaming append folds the appended rows instead of
-          // committing a stale pre-append snapshot over them
-          MergeWriter.publish(spark, dir(table), readAt(spark, table, _))
-        else MergeWriter.currentVersion(dir(table)).getOrElse(0L)
+      case None => MergeWriter.compactAppends(spark, dir(table), tables(table))
     }
 }

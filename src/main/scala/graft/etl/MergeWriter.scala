@@ -2,6 +2,7 @@ package graft.etl
 
 import java.nio.file.{Files, Path, Paths, StandardCopyOption}
 import scala.jdk.CollectionConverters._
+import scala.util.Using
 import org.apache.spark.sql.{Column, DataFrame, Observation, SparkSession}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
@@ -91,6 +92,19 @@ object MergeWriter {
   val MaxClaimAttempts = 6
 
   private def pointer(tableDir: Path): Path = tableDir.resolve("_CURRENT")
+
+  /** Children of `p`, materialized with the directory stream CLOSED —
+    * `Files.list`/`Files.walk` hold an open handle until closed, and the
+    * maintenance paths (vacuum/compact) walk every segment of every
+    * table on a streaming cadence, so a leak here exhausts descriptors. */
+  private def listDir(p: Path): Seq[Path] =
+    if (!Files.exists(p)) Seq.empty
+    else Using.resource(Files.list(p))(_.iterator().asScala.toSeq)
+
+  /** Recursive contents of `p` (including `p`), stream closed. */
+  private def walkAll(p: Path): Seq[Path] =
+    if (!Files.exists(p)) Seq.empty
+    else Using.resource(Files.walk(p))(_.iterator().asScala.toSeq)
 
   /** Bucket id of a key column — CRC32 of the UTF-8 bytes mod buckets.
     * CRC32 (not Spark's murmur3 `hash`) because it is bit-identical and
@@ -242,8 +256,7 @@ object MergeWriter {
           .sortWithinPartitions((BucketCol +: bs.sortBy).map(col): _*)
         sorted.write.mode("overwrite").partitionBy(BucketCol).parquet(abs)
         val segDir = Paths.get(abs)
-        if (!Files.exists(segDir)) Seq.empty
-        else Files.list(segDir).iterator().asScala.toSeq
+        listDir(segDir)
           .map(_.getFileName.toString)
           .filter(_.startsWith(s"$BucketCol="))
           .map(d => (d.stripPrefix(s"$BucketCol=").toInt, s"$rel/$d"))
@@ -434,27 +447,33 @@ object MergeWriter {
   }
 
   /** On-disk bytes of one segment (driver metadata walk, no job). */
-  private def segmentBytes(tableDir: String, rel: String): Long = {
-    val p = Paths.get(tableDir, rel)
-    if (!Files.exists(p)) 0L
-    else Files.walk(p).iterator().asScala
+  private def segmentBytes(tableDir: String, rel: String): Long =
+    walkAll(Paths.get(tableDir, rel))
       .filter(Files.isRegularFile(_)).map(Files.size).sum
-  }
 
   /** Fold an unbucketed append stack with a two-tier geometric policy so
     * a streaming append log is NOT rewritten in full every maintenance
-    * pass (that would make cumulative compaction I/O quadratic in stream
-    * lifetime). The largest segment is the "base" tier and is carried by
+    * pass. The largest segment is the "base" tier and is carried by
     * path, untouched; the small-segment tail is folded into one segment
     * only once `minSegments` of them accumulate; and the base itself is
     * only re-absorbed when the tail has grown to its size (the doubling
-    * rule), which bounds total compaction I/O at O(N log N) over the
-    * table's life. Returns the committed version (current one when below
-    * the threshold — no-op, no commit). */
+    * rule). The re-absorbs are geometric (base doubles each time), so
+    * their lifetime cost is O(N); the tail re-folds still grow toward
+    * base size within each doubling epoch, so cumulative I/O is not the
+    * LSM O(N log N) bound but ~1/minSegments of the naive
+    * rewrite-everything-every-pass cost — the right trade for a
+    * maintenance cadence of every-N-batches (an LSM tier ladder would
+    * only matter if compaction ran per batch). Returns the committed
+    * version (current one when below the threshold — no-op, no commit).
+    * Bucketed tables must use [[compact]] — folding here would commit a
+    * bucket=None segment and silently de-bucket the layout. */
   def compactAppends(spark: SparkSession, tableDir: String,
       schema: StructType, minSegments: Int = 16): Long = retryClaim(tableDir) {
     val base = currentVersion(tableDir)
     val entries = base.map(manifestEntriesAt(tableDir, _)).getOrElse(Seq.empty)
+    require(entries.forall(_._1 == -1),
+      s"compactAppends is for unbucketed append logs; $tableDir has bucketed " +
+        "segments — use compact, which preserves the bucket layout")
     if (entries.size <= 1) base.getOrElse(0L)
     else {
       val sized = entries.map(e => (e, segmentBytes(tableDir, e._2)))
@@ -476,7 +495,7 @@ object MergeWriter {
   }
 
   private def deleteRecursively(p: Path): Unit =
-    Files.walk(p).iterator().asScala.toSeq.reverse.foreach(Files.deleteIfExists(_))
+    walkAll(p).reverse.foreach(Files.deleteIfExists(_))
 
   /** Snapshot retention: keep the `keepVersions` most recent committed
     * versions; delete older version dirs and every segment no longer
@@ -495,7 +514,7 @@ object MergeWriter {
       case Some(cur) =>
         val dir = Paths.get(tableDir)
         val minKeep = math.max(0L, cur - (keepVersions - 1))
-        val versionDirs = Files.list(dir).iterator().asScala.toSeq
+        val versionDirs = listDir(dir)
           .filter(p => p.getFileName.toString.matches("v\\d+"))
         val present = versionDirs.map(_.getFileName.toString.drop(1).toLong)
         val retained = present.filter(v => v >= minKeep && v <= cur)
@@ -518,7 +537,7 @@ object MergeWriter {
         val segRoot = dir.resolve("seg")
         val segName = "v(\\d+)-.*".r
         if (Files.exists(segRoot)) {
-          Files.list(segRoot).iterator().asScala.toSeq.foreach { segDir =>
+          listDir(segRoot).foreach { segDir =>
             val segRel = s"seg/${segDir.getFileName}"
             // a segment ABOVE the current version is a live writer's
             // in-flight write (it holds the v{cur+1} claim, so _CURRENT
@@ -532,7 +551,7 @@ object MergeWriter {
               case _ => Long.MaxValue
             }
             if (segVersion <= cur && !referenced.contains(segRel)) {
-              val leaves = Files.list(segDir).iterator().asScala.toSeq
+              val leaves = listDir(segDir)
                 .filter(_.getFileName.toString.startsWith(s"$BucketCol="))
               if (leaves.isEmpty) { // unbucketed, unreferenced: drop whole segment
                 deleteRecursively(segDir); droppedS += 1
@@ -543,7 +562,7 @@ object MergeWriter {
                   }
                 }
                 // drop the husk once no bucket leaf remains
-                if (!Files.list(segDir).iterator().asScala
+                if (!listDir(segDir)
                     .exists(_.getFileName.toString.startsWith(s"$BucketCol=")))
                   deleteRecursively(segDir)
               }

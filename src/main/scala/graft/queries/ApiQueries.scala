@@ -61,8 +61,11 @@ object ApiQueries {
   private def deleteRecursively(p: java.nio.file.Path): Unit =
     if (java.nio.file.Files.exists(p)) {
       import scala.jdk.CollectionConverters._
-      java.nio.file.Files.walk(p).sorted(java.util.Comparator.reverseOrder())
-        .iterator().asScala.foreach(java.nio.file.Files.delete)
+      // materialize + close the walk stream before deleting (leaked
+      // directory handles otherwise; same hygiene as MergeWriter)
+      val all = scala.util.Using.resource(java.nio.file.Files.walk(p))(
+        _.sorted(java.util.Comparator.reverseOrder()).iterator().asScala.toSeq)
+      all.foreach(java.nio.file.Files.delete)
     }
 
   private def build(s: SparkSession, dir: String, cat: Catalog): Unit = {

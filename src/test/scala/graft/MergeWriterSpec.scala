@@ -320,13 +320,62 @@ class MergeWriterSpec extends AnyFunSuite {
     assert(snap(dir).keySet == Set("e1", "e2"))
   }
 
+  test("compactAppends: below threshold is a no-op; at threshold folds the tail, base carried by path") {
+    val dir = tmp()
+    // large base segment: distinct contents so parquet can't collapse it
+    // below the tail's size via dictionary/RLE
+    val baseRows = (1 to 1000).map(i => (s"k$i", i.toLong, s"content-$i-" * 8))
+    MergeWriter.appendSegment(spark, dir, df(baseRows)) // v0
+    MergeWriter.appendSegment(spark, dir, df(Seq(("a1", 1L, "t")))) // v1
+    MergeWriter.appendSegment(spark, dir, df(Seq(("a2", 2L, "t")))) // v2
+    // tail.size = 2 < minSegments and tail bytes << base bytes -> no-op
+    val vNoop = MergeWriter.compactAppends(spark, dir, df(Nil).schema, minSegments = 3)
+    assert(vNoop == 2L, "below both thresholds must not commit")
+    assert(MergeWriter.manifestEntries(dir).size == 3, "manifest untouched by the no-op")
+    // third small append crosses the count threshold -> fold ONLY the tail
+    MergeWriter.appendSegment(spark, dir, df(Seq(("a3", 3L, "t")))) // v3
+    val baseFiles = listDataFiles(s"$dir/seg/v0-append")
+    val vFold = MergeWriter.compactAppends(spark, dir, df(Nil).schema, minSegments = 3)
+    assert(vFold == 4L)
+    val after = MergeWriter.manifestEntries(dir)
+    assert(after.size == 2, s"base + folded tail, got $after")
+    assert(after.contains((-1, "seg/v0-append")), "base segment must be carried by path")
+    // the base tier's files are byte-identical (never read or rewritten)
+    listDataFiles(s"$dir/seg/v0-append").foreach { case (p, sig) =>
+      assert(baseFiles.get(p).contains(sig), s"$p must be untouched by the tail fold")
+    }
+    assert(MergeWriter.readSnapshot(spark, dir, df(Nil).schema).count() == 1003)
+  }
+
+  test("compactAppends: re-absorbs the base once the tail outgrows it (fold to one segment)") {
+    val dir = tmp()
+    // four equal-size appends: tail bytes (3x) >= largest (1x) -> fold all
+    (1 to 4).foreach(i =>
+      MergeWriter.appendSegment(spark, dir, df(Seq((s"e$i", i.toLong, "v")))))
+    val v = MergeWriter.compactAppends(spark, dir, df(Nil).schema, minSegments = 16)
+    assert(v == 4L, "byte-ratio trigger must fire even below the count threshold")
+    assert(MergeWriter.manifestEntries(dir) == Seq((-1, "seg/v4-compact")))
+    assert(MergeWriter.readSnapshot(spark, dir, df(Nil).schema).count() == 4)
+  }
+
+  test("compactAppends rejects bucketed tables loudly (would de-bucket the layout)") {
+    val dir = tmp()
+    val seed = (1 to 20).map(i => (s"k$i", 1L, s"v$i"))
+    MergeWriter.merge(spark, dir, df(seed), Seq("event_id"), Seq("timestamp"), bucket = bucket)
+    MergeWriter.appendSegment(spark, dir, df(Seq(("a1", 2L, "x"))), bucket)
+    intercept[IllegalArgumentException] {
+      MergeWriter.compactAppends(spark, dir, df(Nil).schema)
+    }
+  }
+
   /** parquet data files under dir -> (size, mtime) signature */
   private def listDataFiles(dir: String): Map[String, (Long, Long)] = {
     import scala.jdk.CollectionConverters._
-    java.nio.file.Files.walk(java.nio.file.Paths.get(dir)).iterator().asScala
-      .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
-      .map(p => p.toString ->
-        ((Files.size(p), Files.getLastModifiedTime(p).toMillis)))
-      .toMap
+    scala.util.Using.resource(java.nio.file.Files.walk(java.nio.file.Paths.get(dir)))(
+      _.iterator().asScala
+        .filter(p => p.toString.endsWith(".parquet") && Files.isRegularFile(p))
+        .map(p => p.toString ->
+          ((Files.size(p), Files.getLastModifiedTime(p).toMillis)))
+        .toMap)
   }
 }
