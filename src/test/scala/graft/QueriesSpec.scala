@@ -58,6 +58,27 @@ class QueriesSpec extends AnyFunSuite {
     assert(df.count() == 20, "exact top-20 unchanged")
   }
 
+  test("suite-wide plan guard: no cartesian products; nested-loop joins only where documented") {
+    // The scale-killer a 100 TB plan cannot contain is an unbounded
+    // nested-loop join. Allowlist = the sanctioned nested loops, all
+    // with a provably tiny build side (single-row aggregate combines,
+    // the 8-row hyperplane set); everything else must plan bounded
+    // hash/sort-merge equi-joins. A new query that accidentally plans a
+    // cartesian fails here at sf0.001 instead of at cluster scale.
+    val bnljAllowed = Set(
+      "api_q6_stats",       // crossJoin of five 1-row aggregate panels (Api.scala)
+      "sim_lsh_bucket_topk", // 8-row broadcast hyperplane set (Similarity.scala)
+      "sim_cosine_topk")     // broadcast ~50-row query set — the declared exact baseline
+    val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
+      val plan = fn(spark, sf).queryExecution.executedPlan.toString
+      val cart = if (plan.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
+      val bnlj = if (!bnljAllowed(name) && plan.contains("BroadcastNestedLoopJoin"))
+        Seq(s"$name: BroadcastNestedLoopJoin") else Nil
+      cart ++ bnlj
+    }
+    assert(violations.isEmpty, s"unbounded join plans:\n${violations.mkString("\n")}")
+  }
+
   test("sketch queries stay within 5% of their exact twins (sf0.01)") {
     import org.apache.spark.sql.functions.countDistinct
     val sf01 = "/root/testdata/sf0.01"
