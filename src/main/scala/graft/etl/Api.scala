@@ -46,12 +46,26 @@ final case class Api(catalog: Catalog) {
     * (readForKey) scans ONLY room_id's hash bucket — the Spark analog of
     * the reference's `(room_id, timestamp)` B-tree probe (schema.ts:81);
     * within the bucket, rows are timestamp-sorted so parquet rowgroup
-    * min/max stats prune the keyset predicate too. */
+    * min/max stats prune the keyset predicate too.
+    *
+    * `beforeEvent` extends the reference's timestamp-only cursor to the
+    * full sort key (timestamp, event_id): the reference's `timestamp <
+    * $before` skips every row TIED on the boundary timestamp when a tie
+    * straddles a page break — at millisecond granularity a real room
+    * hits this constantly. With the composite cursor, concatenating
+    * successive pages equals the full sorted prefix (ApiSpec property);
+    * omitting it preserves the reference's exact behavior. */
   def messagesPage(spark: SparkSession, roomId: String,
-      before: Option[Long] = None, limit: Int = 50): DataFrame = {
+      before: Option[Long] = None, limit: Int = 50,
+      beforeEvent: Option[String] = None): DataFrame = {
     val base = catalog.readForKey(spark, "messages", roomId)
       .filter(col("room_id") === roomId)
-    val paged = before.fold(base)(b => base.filter(col("timestamp") < b))
+    val paged = before.fold(base) { b =>
+      beforeEvent.fold(base.filter(col("timestamp") < b)) { e =>
+        base.filter(col("timestamp") < b ||
+          (col("timestamp") === b && col("event_id") < e))
+      }
+    }
     paged.orderBy(col("timestamp").desc, col("event_id").desc).limit(limit)
   }
 

@@ -56,6 +56,46 @@ class ApiSpec extends AnyFunSuite {
     assert(got.length == 5)
   }
 
+  test("keyset pagination property: successive pages concatenate to the full sorted prefix, even across timestamp ties") {
+    val cat = Catalog(Files.createTempDirectory("graft-api3").toString)
+    cat.bootstrap()
+    // 30 messages where every timestamp is shared by 3 events — the tie
+    // case the reference's timestamp-only cursor silently skips when a
+    // tie straddles a page break (limit 7 guarantees mid-tie breaks)
+    val rows = (0 until 30).map(i => (s"e-$i", "room0", 1000L + i / 3))
+    cat.upsert(spark, "messages", messages(rows), Seq("event_id"), Seq("timestamp", "id"))
+    val api = Api(cat)
+
+    val full = cat.read(spark, "messages")
+      .orderBy(col("timestamp").desc, col("event_id").desc)
+      .select("event_id", "timestamp").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSeq
+
+    var cursor: Option[(Long, String)] = None
+    var pages = Seq.empty[(String, Long)]
+    var done = false
+    while (!done) {
+      val page = api.messagesPage(spark, "room0",
+        before = cursor.map(_._1), limit = 7, beforeEvent = cursor.map(_._2))
+        .select("event_id", "timestamp").collect()
+        .map(r => (r.getString(0), r.getLong(1))).toSeq
+      pages ++= page
+      if (page.size < 7) done = true
+      else cursor = Some((page.last._2, page.last._1))
+    }
+    assert(pages == full, "pages must concatenate to the sorted whole — no skips, no dupes")
+
+    // and the reference's ts-only cursor really does lose the tied rows
+    // (documented behavior parity, not a bug in our engine): page 1 ends
+    // mid-tie at full(6); full(7) shares its timestamp, so a ts-only
+    // next page (timestamp < boundary) can never return it
+    assert(full(7)._2 == full(6)._2, "fixture must tie across the page break")
+    val nextTsOnly = api.messagesPage(spark, "room0", before = Some(full(6)._2), limit = 7)
+      .select("event_id").collect().map(_.getString(0)).toSet
+    assert(!nextTsOnly.contains(full(7)._1),
+      "ts-only cursor skips boundary ties by construction")
+  }
+
   test("an incremental 1-room upsert leaves other rooms' bucket files untouched and pages correctly") {
     val cat = Catalog(Files.createTempDirectory("graft-api2").toString)
     cat.bootstrap()
