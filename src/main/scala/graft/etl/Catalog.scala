@@ -91,17 +91,26 @@ final case class Catalog(root: String, messageBuckets: Int = 16) {
     * nothing matched — db.utils.ts:240-269). Rows in `updates` whose key
     * is absent from the snapshot are rejected, not inserted.
     *
-    * Single pass: the snapshot is scanned once, by the publish write
-    * itself — the duplicate-key guard and the matched count ride the
-    * same job as Observation metrics, checked AFTER the segment write
-    * but BEFORE the pointer swap, so a violation aborts loudly without
-    * committing (the reference's UPDATE errors the statement, never
-    * half-applies). A duplicate matched key fans the left_outer join
-    * out (output rows > snapshot rows), which is exactly the corruption
-    * the guard exists to stop. */
+    * ANY duplicate key in the updates batch is ambiguous and rejected up
+    * front — matched or not (a dup whose key misses the snapshot today
+    * would half-apply arbitrarily after the row appears). The guard
+    * scans only the small admin-path updates frame (O(batch), never the
+    * snapshot) and runs BEFORE the segment write, so a bad batch costs
+    * no table rewrite. The snapshot itself is still scanned once, by
+    * the publish write — the matched count and a defense-in-depth
+    * fan-out check ride that job as Observation metrics, checked AFTER
+    * the segment write but BEFORE the pointer swap, so a violation
+    * aborts loudly without committing (the reference's UPDATE errors
+    * the statement, never half-applies). */
   def updateOnly(spark: SparkSession, table: String, updates: DataFrame,
       keys: Seq[String], setCols: Seq[String]): Long = {
     import org.apache.spark.sql.Observation
+    val hasDup = updates.groupBy(keys.map(col): _*)
+      .agg(count(lit(1)).as("__n")).filter(col("__n") > 1).limit(1)
+      .count() > 0
+    if (hasDup)
+      throw new IllegalArgumentException(
+        s"updateOnly batch has duplicate keys $keys for $table — ambiguous UPDATE rejected")
     val updCols = keys ++ setCols
     var obsSnap: Observation = null
     var obsOut: Observation = null

@@ -127,6 +127,19 @@ class PipelineSpec extends AnyFunSuite {
           .toDF("user_id", "room_id", "avatar_url"),
         keys = Seq("user_id", "room_id"), setCols = Seq("avatar_url"))
     }
+    // ... including duplicates whose key matches NO snapshot row (they
+    // would otherwise be silently dropped as non-matching, and the
+    // snapshot must not be rewritten before the rejection)
+    val vBefore = MergeWriter.currentVersion(cat.dir("participants"))
+    intercept[IllegalArgumentException] {
+      cat.updateOnly(spark, "participants",
+        Seq(("@alice:x", "!r1:x", "a"),
+          ("@ghost:x", "!r9:x", "b"), ("@ghost:x", "!r9:x", "c"))
+          .toDF("user_id", "room_id", "avatar_url"),
+        keys = Seq("user_id", "room_id"), setCols = Seq("avatar_url"))
+    }
+    assert(MergeWriter.currentVersion(cat.dir("participants")) == vBefore,
+      "rejected batch must not commit a new version")
     // an explicit NULL in a set column must be written (not coalesced away)
     cat.updateOnly(spark, "participants",
       Seq(("@alice:x", "!r1:x", null: String)).toDF("user_id", "room_id", "avatar_url"),
