@@ -70,11 +70,16 @@ final case class Catalog(root: String, messageBuckets: Int = 16) {
       bucketOf(table))
 
   /** Bucket-pruned point read: only the segment files that can contain
-    * `key` (one bucket + any unbucketed segments). */
+    * `key` (one bucket + any unbucketed segments). Validates this
+    * catalog's bucket count against the table's persisted layout first —
+    * a catalog opened with the wrong count would prune with the wrong
+    * modulus and silently return missing rows. */
   def readForKey(spark: SparkSession, table: String, key: String): DataFrame =
     bucketOf(table) match {
-      case Some(bs) => MergeWriter.readBuckets(spark, dir(table), tables(table),
-        Set(MergeWriter.bucketIdOf(key, bs.buckets)))
+      case Some(bs) =>
+        MergeWriter.requireBucketLayout(dir(table), bs)
+        MergeWriter.readBuckets(spark, dir(table), tables(table),
+          Set(MergeWriter.bucketIdOf(key, bs.buckets)))
       case None => read(spark, table)
     }
 

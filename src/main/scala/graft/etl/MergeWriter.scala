@@ -120,6 +120,36 @@ object MergeWriter {
     (crc.getValue % buckets).toInt
   }
 
+  /** Persisted bucket layout of a table dir: (bucket column, count).
+    * Written on every bucketed commit; the manifest records bucket IDS
+    * but not the modulus that produced them, so without this file a
+    * reader/writer configured with a different count would prune with
+    * the wrong modulus and silently miss rows — the layout must be a
+    * property of the DATA, not of whoever opens it. */
+  def readBucketLayout(tableDir: String): Option[(String, Int)] = {
+    val p = Paths.get(tableDir, "_BUCKETS")
+    if (!Files.exists(p)) None
+    else {
+      val Array(c, n) = new String(Files.readAllBytes(p)).trim.split("\t", 2)
+      Some((c, n.toInt))
+    }
+  }
+
+  /** Loud-fail unless `bs` matches the persisted layout (no-op when the
+    * table has never committed a bucketed segment). sortBy may evolve
+    * freely — only column+count decide which file a key lives in. */
+  def requireBucketLayout(tableDir: String, bs: BucketSpec): Unit =
+    readBucketLayout(tableDir).foreach { case (c, n) =>
+      require(c == bs.col && n == bs.buckets,
+        s"$tableDir is bucketed ($c, $n buckets) but caller expects " +
+          s"(${bs.col}, ${bs.buckets}) — reads would prune with the wrong " +
+          "modulus and miss rows; use rebucket to migrate the layout")
+    }
+
+  private def writeBucketLayout(tableDir: String, bs: BucketSpec): Unit =
+    Files.write(Paths.get(tableDir, "_BUCKETS"),
+      s"${bs.col}\t${bs.buckets}".getBytes)
+
   /** Current snapshot version, or None before the first commit. */
   def currentVersion(tableDir: String): Option[Long] = {
     val p = pointer(Paths.get(tableDir))
@@ -291,7 +321,24 @@ object MergeWriter {
     try {
       val newEntries = writeSegment(df, tableDir, next, tag, bucket)
       beforeCommit()
-      commit(tableDir, next, carried ++ newEntries)
+      // record the layout BEFORE the pointer swap: a crash in between
+      // leaves old data with a new layout record, which fails loudly on
+      // the next old-spec write — the reverse order could leave NEW
+      // data with the OLD record, silently mis-pruning reads. Callers
+      // validated via requireBucketLayout; rebucket is the one writer
+      // allowed to change it.
+      val priorLayout = if (bucket.isDefined) readBucketLayout(tableDir) else None
+      bucket.foreach(writeBucketLayout(tableDir, _))
+      try commit(tableDir, next, carried ++ newEntries)
+      catch {
+        case e: Throwable =>
+          priorLayout match { // un-publish the layout record
+            case Some((c, n)) => writeBucketLayout(tableDir, BucketSpec(c, n))
+            case None => bucket.foreach(_ =>
+              Files.deleteIfExists(Paths.get(tableDir, "_BUCKETS")))
+          }
+          throw e
+      }
     } catch {
       case e: Throwable =>
         val seg = Paths.get(tableDir, s"seg/v$next-$tag")
@@ -326,6 +373,7 @@ object MergeWriter {
       .filter(col("__rn") === 1).drop("__rn")
 
     retryClaim(tableDir) {
+      bucket.foreach(requireBucketLayout(tableDir, _))
       val base = currentVersion(tableDir)
       val entries = base.map(manifestEntriesAt(tableDir, _)).getOrElse(Seq.empty)
       // A bucketed merge can skip untouched buckets only when every prior
@@ -387,6 +435,7 @@ object MergeWriter {
     * `merge` touching the bucket) folds each back to one sorted file. */
   def appendSegment(spark: SparkSession, tableDir: String, batch: DataFrame,
       bucket: Option[BucketSpec] = None): Long = retryClaim(tableDir) {
+    bucket.foreach(requireBucketLayout(tableDir, _))
     val base = currentVersion(tableDir)
     val prior = base.map(manifestEntriesAt(tableDir, _)).getOrElse(Seq.empty)
     val next = claimVersionAt(tableDir, base)
@@ -408,10 +457,28 @@ object MergeWriter {
       plan: Option[Long] => DataFrame,
       bucket: Option[BucketSpec] = None,
       beforeCommit: () => Unit = () => ()): Long = retryClaim(tableDir) {
+    bucket.foreach(requireBucketLayout(tableDir, _))
     val base = currentVersion(tableDir)
     val df = plan(base)
     val next = claimVersionAt(tableDir, base)
     writeAndCommit(tableDir, next, "full", df, bucket, Seq.empty, beforeCommit)
+    next
+  }
+
+  /** Migrate a table to a new bucket layout — the operational need a
+    * growing table hits (bucket counts sized for 1 TB are hot-spots at
+    * 100 TB): full rewrite of the current snapshot under `newBucket`,
+    * recording the new layout with the commit. The ONE writer allowed
+    * to change `_BUCKETS`; a merge racing the migration loses the
+    * claim, re-plans, and then fails the layout check loudly if it
+    * still carries the old spec. */
+  def rebucket(spark: SparkSession, tableDir: String, schema: StructType,
+      newBucket: BucketSpec): Long = retryClaim(tableDir) {
+    val base = currentVersion(tableDir)
+    val entries = base.map(manifestEntriesAt(tableDir, _)).getOrElse(Seq.empty)
+    val df = readPaths(spark, tableDir, schema, entries.map(_._2))
+    val next = claimVersionAt(tableDir, base)
+    writeAndCommit(tableDir, next, "rebucket", df, Some(newBucket), Seq.empty)
     next
   }
 
@@ -423,6 +490,7 @@ object MergeWriter {
     * the current one when nothing is fragmented — no-op, no commit). */
   def compact(spark: SparkSession, tableDir: String, schema: StructType,
       bucket: BucketSpec): Long = retryClaim(tableDir) {
+    requireBucketLayout(tableDir, bucket)
     val base = currentVersion(tableDir)
     val entries = base.map(manifestEntriesAt(tableDir, _)).getOrElse(Seq.empty)
     val byBucket = entries.groupBy(_._1)

@@ -50,6 +50,28 @@ class CatalogSpec extends AnyFunSuite {
     assert(rows == 3, "append must keep full history")
   }
 
+  test("a catalog reopened with the wrong bucket count fails loudly instead of mis-pruning") {
+    val root = Files.createTempDirectory("graft-cat4").toString
+    val cat16 = Catalog(root, messageBuckets = 16)
+    cat16.bootstrap()
+    import spark.implicits._
+    val msgs = (0 until 8).map(i =>
+      (s"id$i", s"e$i", s"room$i", "@u:x", "{}", "m.room.message",
+        1000L + i, false, null.asInstanceOf[String], null.asInstanceOf[String],
+        new java.sql.Timestamp(0L)))
+      .toDF("id", "event_id", "room_id", "sender", "content", "event_type",
+        "timestamp", "is_encrypted", "relates_to", "error", "processed_at")
+    cat16.upsert(spark, "messages", msgs, Seq("event_id"), Seq("timestamp", "id"))
+    val cat8 = Catalog(root, messageBuckets = 8)
+    intercept[IllegalArgumentException] { cat8.readForKey(spark, "messages", "room3") }
+    intercept[IllegalArgumentException] {
+      cat8.upsert(spark, "messages", msgs.limit(1), Seq("event_id"), Seq("timestamp", "id"))
+    }
+    // the right count still reads through
+    assert(cat16.readForKey(spark, "messages", "room3")
+      .filter(org.apache.spark.sql.functions.col("room_id") === "room3").count() == 1)
+  }
+
   test("compact + vacuum: append log folds to one segment, old versions GC'd") {
     val cat = Catalog(Files.createTempDirectory("graft-cat3").toString)
     cat.bootstrap()

@@ -320,6 +320,56 @@ class MergeWriterSpec extends AnyFunSuite {
     assert(snap(dir).keySet == Set("e1", "e2"))
   }
 
+  test("bucket layout is persisted with the data; a writer with a different count fails loudly") {
+    val dir = tmp()
+    val seed = (1 to 20).map(i => (s"k$i", 1L, s"v$i"))
+    MergeWriter.merge(spark, dir, df(seed), Seq("event_id"), Seq("timestamp"), bucket = bucket)
+    assert(MergeWriter.readBucketLayout(dir).contains(("event_id", 8)))
+    // the modulus is a property of the DATA: a writer or reader opened
+    // with a different count must fail, not prune with the wrong modulus
+    val wrong = Some(MergeWriter.BucketSpec("event_id", 4))
+    intercept[IllegalArgumentException] {
+      MergeWriter.merge(spark, dir, df(Seq(("k1", 2L, "x"))),
+        Seq("event_id"), Seq("timestamp"), bucket = wrong)
+    }
+    intercept[IllegalArgumentException] {
+      MergeWriter.appendSegment(spark, dir, df(Seq(("a1", 2L, "x"))), wrong)
+    }
+    intercept[IllegalArgumentException] {
+      MergeWriter.compact(spark, dir, df(Nil).schema, wrong.get)
+    }
+    // same count, evolved sortBy: allowed (within-bucket order only)
+    MergeWriter.merge(spark, dir, df(Seq(("k1", 2L, "x"))),
+      Seq("event_id"), Seq("timestamp"),
+      bucket = Some(MergeWriter.BucketSpec("event_id", 8, Seq("timestamp", "content"))))
+    assert(snap(dir)("k1") == ((2L, "x")))
+  }
+
+  test("rebucket migrates the layout; point reads prune with the new modulus") {
+    val dir = tmp()
+    val seed = (1 to 40).map(i => (s"k$i", 1L, s"v$i"))
+    MergeWriter.merge(spark, dir, df(seed), Seq("event_id"), Seq("timestamp"), bucket = bucket)
+    val newSpec = MergeWriter.BucketSpec("event_id", 4, Seq("timestamp"))
+    MergeWriter.rebucket(spark, dir, df(Nil).schema, newSpec)
+    assert(MergeWriter.readBucketLayout(dir).contains(("event_id", 4)))
+    val entries = MergeWriter.manifestEntries(dir)
+    assert(entries.map(_._1).forall(b => b >= 0 && b < 4), s"all ids under the new modulus: $entries")
+    assert(snap(dir).size == 40, "migration preserves every row")
+    // point read under the new modulus finds its key in a file subset
+    val b = MergeWriter.bucketIdOf("k7", 4)
+    val pruned = MergeWriter.readBuckets(spark, dir, df(Nil).schema, Set(b))
+      .filter(col("event_id") === "k7").collect()
+    assert(pruned.map(_.getString(0)).toSeq == Seq("k7"))
+    // the old spec now fails loudly; the new spec merges fine
+    intercept[IllegalArgumentException] {
+      MergeWriter.merge(spark, dir, df(Seq(("k1", 2L, "x"))),
+        Seq("event_id"), Seq("timestamp"), bucket = bucket)
+    }
+    MergeWriter.merge(spark, dir, df(Seq(("k1", 2L, "x"))),
+      Seq("event_id"), Seq("timestamp"), bucket = Some(newSpec))
+    assert(snap(dir)("k1") == ((2L, "x")))
+  }
+
   test("compactAppends: below threshold is a no-op; at threshold folds the tail, base carried by path") {
     val dir = tmp()
     // large base segment: distinct contents so parquet can't collapse it
