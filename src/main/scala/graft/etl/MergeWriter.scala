@@ -184,7 +184,11 @@ object MergeWriter {
 
   /** Driver-side log of the segment paths each read resolved — lets
     * specs pin the no-full-scan property (a bucketed merge must never
-    * read untouched buckets). A few strings per job; always on. */
+    * read untouched buckets). Bounded: a streaming driver calls
+    * readPaths every micro-batch forever, so an uncapped log is a slow
+    * driver-memory leak; specs clear() it right before the read they
+    * assert on, so eviction of old entries never affects them. */
+  private[graft] val ReadLogCap = 1024
   private[graft] val readLog =
     java.util.Collections.synchronizedList(
       new java.util.ArrayList[(String, Seq[String])]())
@@ -192,7 +196,10 @@ object MergeWriter {
   private def readPaths(spark: SparkSession, tableDir: String,
       schema: StructType,
       rels: Seq[String]): DataFrame = {
-    readLog.add((tableDir, rels))
+    readLog.synchronized {
+      while (readLog.size() >= ReadLogCap) readLog.remove(0)
+      readLog.add((tableDir, rels))
+    }
     if (rels.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row], schema)
