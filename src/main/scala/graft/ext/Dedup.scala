@@ -69,13 +69,16 @@ object Dedup {
     "dedup_minhash_lsh" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        // no cache/checkpoint: the shingle subtree is recomputed per
-        // consumer, which measures FASTER than materializing it —
-        // localCheckpoint(eager) of the exploded table was tried at
-        // sf0.1 and cost 4.0-4.6s vs 3.4-3.8s recomputed (writing ~1M
-        // exploded rows to block storage beats a codegen'd
-        // tokenize+explode only at much larger shingle payloads; at
-        // real scale checkpoint the compact SIGNATURE table instead)
+        // no cache/checkpoint anywhere, re-examined round 7: persisting
+        // the exploded shingle table costs more than re-running the
+        // codegen'd tokenize+explode (3.7-4.3s vs 3.4-3.8s at sf0.1;
+        // eager localCheckpoint worse still at 4.0-4.6s), and persisting
+        // the compact per-doc SIGNATURE table showed no reliable win
+        // under bench isolation either — the physical plan already
+        // dedups the repeated aggregation subtree via exchange reuse, so
+        // a cache only adds materialization cost and an AQE barrier.
+        // Checkpoint only across JOBS (a signature table consumed by
+        // several downstream pipelines), never inside this one.
         val sh = shingles(s, dir)
         val sigCols = (0 until 8).map(k =>
           min(md5(concat_ws("|", lit(k), $"sh"))).as(s"h$k"))
