@@ -43,6 +43,50 @@ object TextStats {
         FROM t"""),
       doc = "token counting: whitespace tokens, type-token ratio, avg token length"),
 
+    // PII scrubbing: email/phone redaction — the standard pre-training
+    // cleanup pass. The synthetic corpus carries no PII, so the query
+    // plants one deterministic contact line per document and the oracle
+    // proves the scrub removes exactly that (plus anything
+    // pattern-shaped already in the text). Patterns stay in the
+    // Java-regex ∩ RE2 dialect (no backrefs/lookarounds) so Spark and
+    // DuckDB match identically; the scan is shuffle-free.
+    "txt_pii_scrub" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val email = "[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}"
+        val phone = "\\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}"
+        Tables.documents(s, dir)
+          .withColumn("raw", concat($"text",
+            lit(" contact u"), $"doc_id".cast("string"),
+            lit("@example.com or +1 555-"),
+            lpad(pmod($"doc_id", lit(10000)).cast("string"), 4, "0")))
+          .withColumn("n_emails", size(regexp_extract_all($"raw", lit(email), lit(0))))
+          .withColumn("n_phones", size(regexp_extract_all($"raw", lit(phone), lit(0))))
+          .withColumn("scrubbed",
+            regexp_replace(regexp_replace($"raw", email, "<EMAIL>"), phone, "<PHONE>"))
+          .select($"doc_id", $"n_emails", $"n_phones",
+            (!($"scrubbed".rlike(email) || $"scrubbed".rlike(phone))).as("clean"),
+            md5($"scrubbed").as("scrub_hash"))
+      },
+      oracle = Some("""
+        WITH r AS (SELECT doc_id,
+                          text || ' contact u' || doc_id || '@example.com or +1 555-' ||
+                            lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS raw
+                   FROM documents),
+        sc AS (SELECT doc_id, raw,
+                      regexp_replace(regexp_replace(raw,
+                        '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}', '<EMAIL>', 'g'),
+                        '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}', '<PHONE>', 'g') AS scrubbed
+               FROM r)
+        SELECT doc_id,
+               len(regexp_extract_all(raw, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_emails,
+               len(regexp_extract_all(raw, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}')) AS n_phones,
+               NOT (regexp_matches(scrubbed, '[A-Za-z0-9._%+-]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')
+                    OR regexp_matches(scrubbed, '\+[0-9]{1,3}[- ][0-9]{3}[- ][0-9]{4}')) AS clean,
+               md5(scrubbed) AS scrub_hash
+        FROM sc"""),
+      doc = "PII scrubbing: email/phone redaction with per-doc planted PII, proof-of-removal flags"),
+
     // quality scoring: length/repetition/stopword-profile composite
     "txt_quality_score" -> QueryDef(
       build = (s, dir) => {
