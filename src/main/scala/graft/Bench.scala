@@ -24,8 +24,8 @@ import java.nio.file.{Files, Paths}
   * ref_* queries regress 3.5–9× from exactly that residue. After every
   * timed query we unpersist all persistent RDDs, clear the relation
   * cache, and GC, so each measurement starts from a clean session.
-  * Short queries (<5 s) additionally run twice (fresh plan each rep)
-  * and report the min, shaving off residual JIT/GC jitter.
+  * Every query runs twice (fresh plan each rep) and reports the min,
+  * shaving off residual JIT/GC jitter and one-off load spikes.
   */
 object Bench {
 
@@ -77,11 +77,14 @@ object Bench {
         isolate(spark)
         (sec, err)
       }
+      // every query runs twice and reports the min: a one-off GC/load
+      // spike on a single rep would otherwise be recorded as the
+      // query's cost — the longest queries are exactly the ones where
+      // that misreads worst (formerly only <5s queries re-ran)
       val (s1, e1) = rep()
       val (sec, err) =
         if (e1.isDefined) (s1, e1)
-        else if (s1 < 5.0) { val (s2, e2) = rep(); if (e2.isDefined) (s1, e1) else (math.min(s1, s2), e1) }
-        else (s1, e1)
+        else { val (s2, e2) = rep(); if (e2.isDefined) (s1, e1) else (math.min(s1, s2), e1) }
       (name, if (err.isDefined) -1.0 else sec, err)
     }
     def jq(s: String): String = "\"" + s.flatMap {
