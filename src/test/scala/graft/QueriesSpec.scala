@@ -79,6 +79,20 @@ class QueriesSpec extends AnyFunSuite {
     assert(violations.isEmpty, s"unbounded join plans:\n${violations.mkString("\n")}")
   }
 
+  test("pushdown reaches the scan: q6 predicates and ref_q3 keyset predicate in PushedFilters") {
+    // PLANS.md documents these as the pushdown showcases; pin them so a
+    // refactor that silently breaks pushdown (e.g. an opaque UDF wrapped
+    // around the filter column) fails here, not at 100 TB
+    val q6 = SparkEntry.queries("q6_revenue_forecast")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q6.contains("PushedFilters: [") && q6.contains("l_shipdate"),
+      s"q6 date predicates must reach the parquet scan:\n$q6")
+    val q3 = SparkEntry.queries("ref_q3_message_page")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(q3.contains("PushedFilters: [") && q3.contains("LessThan"),
+      s"ref_q3 keyset predicate must reach the parquet scan:\n$q3")
+  }
+
   test("sketch queries stay within 5% of their exact twins (sf0.01)") {
     import org.apache.spark.sql.functions.countDistinct
     val sf01 = "/root/testdata/sf0.01"
