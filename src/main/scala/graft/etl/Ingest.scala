@@ -13,6 +13,38 @@ import org.apache.spark.sql.functions._
   */
 object Ingest {
 
+  /** Source boundary: raw events as JSON lines — the wire shape of the
+    * SDK's MatrixEvent (FIXTURES.md A1 ≙ client.ts:272-276 field reads).
+    * Works identically over `spark.read.text` and `readStream.text`
+    * (from_json over a text source rather than the JSON reader, exactly
+    * so batch and streaming share one parse path). A malformed line, or
+    * a valid object missing its identity fields, surfaces through the
+    * same in-row error channel the decrypt path uses (schema.ts:66): it
+    * becomes a row with a synthetic event_id, event_type
+    * 'm.graft.corrupt', and the offending line in `error` — so
+    * [[quarantine]] splits it off to the logs table and a bad line can
+    * never kill the batch. */
+  def rawFromJsonLines(lines: DataFrame): DataFrame = {
+    val e = from_json(col("value"), Schemas.rawEvent)
+    val ok = e.isNotNull &&
+      e.getField("event_id").isNotNull && e.getField("room_id").isNotNull
+    lines.select(
+      when(ok, e.getField("event_id"))
+        .otherwise(concat(lit("$corrupt-"), md5(col("value")))).as("event_id"),
+      when(ok, e.getField("room_id")).otherwise(lit("")).as("room_id"),
+      when(ok, e.getField("sender")).as("sender"),
+      when(ok, e.getField("event_type")).otherwise(lit("m.graft.corrupt")).as("event_type"),
+      when(ok, e.getField("origin_server_ts")).as("origin_server_ts"),
+      when(ok, e.getField("content")).as("content"),
+      when(ok, e.getField("relates_to")).as("relates_to"),
+      coalesce(when(ok, e.getField("is_encrypted")), lit(false)).as("is_encrypted"),
+      // absent flag must read as "live timeline", not null — a null
+      // would silently drop the row at the T1 filter
+      coalesce(when(ok, e.getField("to_start_of_timeline")), lit(false))
+        .as("to_start_of_timeline"),
+      when(ok, e.getField("error")).otherwise(col("value")).as("error"))
+  }
+
   /** T1 — drop backfill/paginated events (client.ts:272-274). */
   def dropBackfill(raw: DataFrame): DataFrame =
     raw.filter(!col("to_start_of_timeline"))

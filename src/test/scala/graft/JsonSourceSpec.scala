@@ -1,0 +1,68 @@
+package graft
+
+import java.nio.file.Files
+import graft.etl.Ingest
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.execution.streaming.runtime.MemoryStream
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** JSON-lines source boundary (FIXTURES.md A1): well-formed events parse
+  * to the raw-event schema; malformed lines and objects missing identity
+  * fields become quarantine rows (error = the offending line) instead of
+  * failing the batch; the same parse path runs under readStream. */
+class JsonSourceSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Sessions.local(cores = 4, appName = "graft-jsonl")
+
+  private val good =
+    """{"event_id":"$e1:x","room_id":"!r1:x","sender":"@a:x","event_type":"m.room.message","origin_server_ts":1000,"content":"{\"body\":\"hi\"}","relates_to":null,"is_encrypted":false,"to_start_of_timeline":false,"error":null}"""
+  private val member =
+    """{"event_id":"$e2:x","room_id":"!r1:x","sender":"@a:x","event_type":"m.room.member","origin_server_ts":1001,"content":"{\"membership\":\"join\"}","is_encrypted":false,"to_start_of_timeline":false}"""
+  private val backfill =
+    """{"event_id":"$e3:x","room_id":"!r1:x","sender":"@a:x","event_type":"m.room.message","origin_server_ts":900,"content":"{}","is_encrypted":false,"to_start_of_timeline":true}"""
+  private val noFlag = // to_start_of_timeline absent: must read as live, not drop
+    """{"event_id":"$e4:x","room_id":"!r1:x","sender":"@b:x","event_type":"m.room.message","origin_server_ts":1002,"content":"{}","is_encrypted":false}"""
+  private val malformed = """{"event_id": "$broken" this is not json"""
+  private val missingId = """{"room_id":"!r1:x","event_type":"m.room.message"}"""
+
+  test("batch: parse, quarantine corrupt lines, feed the T1-T3 pipeline") {
+    val dir = Files.createTempDirectory("graft-jsonl")
+    Files.write(dir.resolve("events.jsonl"),
+      Seq(good, member, backfill, noFlag, malformed, missingId)
+        .mkString("\n").getBytes)
+
+    val raw = Ingest.rawFromJsonLines(spark.read.text(dir.toString))
+    val (clean, corrupt) = Ingest.quarantine(raw)
+
+    assert(corrupt.count() == 2, "malformed + missing-identity lines quarantined")
+    val errs = corrupt.select("error").collect().map(_.getString(0)).toSet
+    assert(errs == Set(malformed, missingId), "error carries the offending line verbatim")
+    assert(corrupt.filter(col("event_id").startsWith("$corrupt-")).count() == 2,
+      "synthetic identity so downstream merges never collide on null")
+
+    // the clean side flows through the steady-state message path:
+    // backfill dropped (T1), member filtered (T2), 2 messages survive
+    val msgs = Ingest.messagesFromRaw(clean)
+    val got = msgs.select("event_id", "timestamp").collect()
+      .map(r => (r.getString(0), r.getLong(1))).toSet
+    assert(got == Set(("$e1:x", 1000L), ("$e4:x", 1002L)),
+      s"absent to_start_of_timeline must count as live, got $got")
+  }
+
+  test("streaming: the same parse path runs under readStream") {
+    import spark.implicits._
+    implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
+    val ms = MemoryStream[String]
+    val raw = Ingest.rawFromJsonLines(ms.toDF())
+    val q = Ingest.messagesFromRaw(raw.filter(col("error").isNull))
+      .writeStream.format("memory").queryName("jsonl_out")
+      .outputMode("append").start()
+    try {
+      ms.addData(good, malformed, backfill)
+      q.processAllAvailable()
+      val out = spark.table("jsonl_out").select("event_id").as[String].collect()
+      assert(out.toSeq == Seq("$e1:x"),
+        "one live message; corrupt + backfill never reach the sink")
+    } finally q.stop()
+  }
+}
