@@ -38,6 +38,19 @@ final case class Pipeline(catalog: Catalog, crypto: Option[CryptoConfig] = None)
         concat_ws(": ", col("event_id"), coalesce(col("error"), lit("quarantined")))
           .as("message")))
 
+  /** Source-boundary dead letters (unparseable JSON lines from
+    * [[Ingest.rawFromJsonLines]]): raw-shaped rows whose event_type
+    * marks them corrupt — they never reach the message path (the T2
+    * filter would silently drop them), so the ingest wiring routes
+    * them here before applyBatch. */
+  def logCorrupt(spark: SparkSession, corruptRaw: DataFrame): Unit =
+    if (!corruptRaw.isEmpty)
+      catalog.append(spark, "logs", corruptRaw.select(
+        current_timestamp().as("timestamp"),
+        lit("error").as("level"),
+        concat_ws(": ", col("event_id"), coalesce(col("error"), lit("corrupt")))
+          .as("message")))
+
   /** First-run batch backfill from a raw-event DataFrame (S5 snapshot
     * branch). Incremental runs skip this exactly like the reference:
     * the existence of a sync token (here: any messages snapshot)

@@ -119,4 +119,40 @@ object Streaming {
     startFullIngest(spark, sourceDir, checkpointDir, pipeline,
       maintainEvery = maintainEvery, keepVersions = keepVersions)
       .awaitTermination()
+
+  /** [[startFullIngest]] over the JSON-lines wire format instead of
+    * parquet: text file-stream → [[Ingest.rawFromJsonLines]] → split.
+    * Unparseable lines go to `logs` via [[Pipeline.logCorrupt]] (the T2
+    * filter inside applyBatch would otherwise drop them silently — a
+    * dead letter must be queryable, never invisible); well-formed rows
+    * run the identical micro-batch body, so every semantics spec for
+    * the parquet path holds verbatim here. */
+  def startFullIngestJsonl(
+      spark: SparkSession,
+      sourceDir: String,
+      checkpointDir: String,
+      pipeline: Pipeline,
+      maxFilesPerTrigger: Int = 50,
+      maintainEvery: Int = 16,
+      keepVersions: Int = 2): StreamingQuery = {
+    val lines = spark.readStream
+      .option("maxFilesPerTrigger", maxFilesPerTrigger)
+      .text(sourceDir)
+
+    Ingest.rawFromJsonLines(lines).writeStream
+      .outputMode("append")
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import org.apache.spark.sql.functions.col
+        val s = batch.sparkSession
+        pipeline.logCorrupt(s, batch.filter(col("event_type") === "m.graft.corrupt"))
+        pipeline.applyBatch(s,
+          batch.filter(col("event_type") =!= "m.graft.corrupt"), batchId)
+        if (maintainEvery > 0 && batchId % maintainEvery == (maintainEvery - 1))
+          pipeline.catalog.maintain(s, keepVersions)
+        ()
+      }
+      .start()
+  }
 }

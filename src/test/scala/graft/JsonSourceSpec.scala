@@ -49,6 +49,32 @@ class JsonSourceSpec extends AnyFunSuite {
       s"absent to_start_of_timeline must count as live, got $got")
   }
 
+  test("full JSONL ingest stream: messages merged, corrupt line lands in logs, resume re-reads nothing") {
+    import graft.etl.{Catalog, Pipeline, Streaming}
+    val root = Files.createTempDirectory("graft-jsonl-e2e")
+    val src = root.resolve("src"); val ckpt = root.resolve("ckpt")
+    Files.createDirectories(src)
+    val cat = Catalog(root.resolve("cat").toString)
+    cat.bootstrap()
+    val pipe = Pipeline(cat)
+
+    Files.write(src.resolve("b1.jsonl"),
+      Seq(good, member, backfill, malformed).mkString("\n").getBytes)
+    Streaming.startFullIngestJsonl(spark, src.toString, ckpt.toString, pipe)
+      .awaitTermination()
+    assert(cat.read(spark, "messages").count() == 1, "one live message merged")
+    val logged = cat.read(spark, "logs").select("message").collect().map(_.getString(0))
+    assert(logged.exists(_.contains("this is not json")),
+      "the corrupt line must be queryable in logs, not silently dropped")
+
+    // second file; checkpoint resume processes ONLY it
+    Files.write(src.resolve("b2.jsonl"), noFlag.getBytes)
+    Streaming.startFullIngestJsonl(spark, src.toString, ckpt.toString, pipe)
+      .awaitTermination()
+    assert(cat.read(spark, "messages").count() == 2, "resume adds only the new file's row")
+    assert(cat.read(spark, "logs").count() == 1, "no duplicate dead letters on resume")
+  }
+
   test("streaming: the same parse path runs under readStream") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
