@@ -102,14 +102,20 @@ object Streaming {
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
-      .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val s = batch.sparkSession
-        pipeline.applyBatch(s, batch, batchId)
-        if (maintainEvery > 0 && batchId % maintainEvery == (maintainEvery - 1))
-          pipeline.catalog.maintain(s, keepVersions)
-        ()
-      }
+      .foreachBatch(fullIngestBody(pipeline, maintainEvery, keepVersions))
       .start()
+  }
+
+  /** The shared E2 micro-batch body: applyBatch + maintenance cadence.
+    * Both full-ingest sources (parquet, JSONL) run exactly this, so the
+    * semantics specs for one hold for the other. */
+  private def fullIngestBody(pipeline: Pipeline, maintainEvery: Int,
+      keepVersions: Int): (DataFrame, Long) => Unit = { (batch, batchId) =>
+    val s = batch.sparkSession
+    pipeline.applyBatch(s, batch, batchId)
+    if (maintainEvery > 0 && batchId % maintainEvery == (maintainEvery - 1))
+      pipeline.catalog.maintain(s, keepVersions)
+    ()
   }
 
   /** Blocking convenience: full-pipeline twin of [[runOnce]]. */
@@ -139,19 +145,16 @@ object Streaming {
       .option("maxFilesPerTrigger", maxFilesPerTrigger)
       .text(sourceDir)
 
+    val body = fullIngestBody(pipeline, maintainEvery, keepVersions)
     Ingest.rawFromJsonLines(lines).writeStream
       .outputMode("append")
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         import org.apache.spark.sql.functions.col
-        val s = batch.sparkSession
-        pipeline.logCorrupt(s, batch.filter(col("event_type") === "m.graft.corrupt"))
-        pipeline.applyBatch(s,
-          batch.filter(col("event_type") =!= "m.graft.corrupt"), batchId)
-        if (maintainEvery > 0 && batchId % maintainEvery == (maintainEvery - 1))
-          pipeline.catalog.maintain(s, keepVersions)
-        ()
+        pipeline.logCorrupt(batch.sparkSession,
+          batch.filter(col("event_type") === "m.graft.corrupt"))
+        body(batch.filter(col("event_type") =!= "m.graft.corrupt"), batchId)
       }
       .start()
   }
