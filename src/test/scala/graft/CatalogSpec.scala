@@ -72,6 +72,37 @@ class CatalogSpec extends AnyFunSuite {
       .filter(org.apache.spark.sql.functions.col("room_id") === "room3").count() == 1)
   }
 
+  test("rebucket migration: the catalog reopened with the new count reads and writes; the old one fails loudly") {
+    import graft.etl.MergeWriter
+    val root = Files.createTempDirectory("graft-cat5").toString
+    val cat16 = Catalog(root, messageBuckets = 16)
+    cat16.bootstrap()
+    import spark.implicits._
+    def msg(eid: String, room: String, ts: Long) =
+      Seq((eid, eid, room, "@u:x", "{}", "m.room.message", ts, false,
+        null.asInstanceOf[String], null.asInstanceOf[String],
+        new java.sql.Timestamp(0L)))
+        .toDF("id", "event_id", "room_id", "sender", "content", "event_type",
+          "timestamp", "is_encrypted", "relates_to", "error", "processed_at")
+    (0 until 8).foreach(i => cat16.upsert(spark, "messages",
+      msg(s"e$i", s"room$i", 1000L + i), Seq("event_id"), Seq("timestamp", "id")))
+
+    // operational path: bucket count outgrown -> migrate the DATA, then
+    // reopen the catalog with the new count
+    MergeWriter.rebucket(spark, cat16.dir("messages"), cat16.tables("messages"),
+      MergeWriter.BucketSpec("room_id", 8, Seq("timestamp")))
+    val cat8 = Catalog(root, messageBuckets = 8)
+    import org.apache.spark.sql.functions.col
+    assert(cat8.readForKey(spark, "messages", "room3")
+      .filter(col("room_id") === "room3").count() == 1, "point read under the new modulus")
+    cat8.upsert(spark, "messages", msg("e9", "room3", 2000L),
+      Seq("event_id"), Seq("timestamp", "id"))
+    assert(cat8.read(spark, "messages").count() == 9, "writes continue under the new layout")
+    intercept[IllegalArgumentException] {
+      cat16.readForKey(spark, "messages", "room3")
+    }
+  }
+
   test("compact + vacuum: append log folds to one segment, old versions GC'd") {
     val cat = Catalog(Files.createTempDirectory("graft-cat3").toString)
     cat.bootstrap()
