@@ -75,6 +75,27 @@ class JsonSourceSpec extends AnyFunSuite {
     assert(cat.read(spark, "logs").count() == 1, "no duplicate dead letters on resume")
   }
 
+  test("property: any schema-valid event round-trips through to_json -> rawFromJsonLines") {
+    import spark.implicits._
+    // adversarial field content: quotes, backslashes, unicode, JSON-in-
+    // string, embedded newline (escaped by to_json, so still one line)
+    val nasty = Seq("""say "hi"""", """back\slash""", "emoji ☃ snow",
+      """{"nested":"json"}""", "line1\nline2", null)
+    val rows = nasty.zipWithIndex.map { case (content, i) =>
+      (s"$$e$i:x", s"!r${i % 2}:x", s"@u$i:x", "m.room.message",
+        1000L + i, content, if (i % 2 == 0) """{"rel_type":"m.replace"}""" else null,
+        i % 3 == 0, false, null.asInstanceOf[String])
+    }
+    val df = rows.toDF(etl.Schemas.rawEvent.fieldNames.toSeq: _*)
+    val lines = df.select(to_json(struct(df.columns.map(col): _*)).as("value"))
+    val back = etl.Ingest.rawFromJsonLines(lines)
+    assert(back.filter(col("event_type") === "m.graft.corrupt").count() == 0,
+      "every generated event is schema-valid")
+    val orig = df.collect().map(_.toSeq).toSet
+    val got = back.select(df.columns.map(col): _*).collect().map(_.toSeq).toSet
+    assert(got == orig, s"round-trip must be lossless:\n${(orig -- got).mkString("\n")}")
+  }
+
   test("streaming: the same parse path runs under readStream") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext
