@@ -80,11 +80,25 @@ object Bench {
       // every query runs twice and reports the min: a one-off GC/load
       // spike on a single rep would otherwise be recorded as the
       // query's cost — the longest queries are exactly the ones where
-      // that misreads worst (formerly only <5s queries re-ran)
+      // that misreads worst (formerly only <5s queries re-ran). Queries
+      // still above 1 s after two reps get a THIRD: the heavy hitters
+      // dominate the total, and two reps left the same jar swinging
+      // ±6 % round-over-round — more than any single-query win.
       val (s1, e1) = rep()
       val (sec, err) =
         if (e1.isDefined) (s1, e1)
-        else { val (s2, e2) = rep(); if (e2.isDefined) (s1, e1) else (math.min(s1, s2), e1) }
+        else {
+          val (s2, e2) = rep()
+          if (e2.isDefined) (s1, e1)
+          else {
+            val m2 = math.min(s1, s2)
+            if (m2 <= 1.0) (m2, e1)
+            else {
+              val (s3, e3) = rep()
+              if (e3.isDefined) (m2, e1) else (math.min(m2, s3), e1)
+            }
+          }
+        }
       (name, if (err.isDefined) -1.0 else sec, err)
     }
     def jq(s: String): String = "\"" + s.flatMap {

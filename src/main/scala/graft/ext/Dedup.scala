@@ -257,10 +257,22 @@ object Dedup {
         // orderings of an intra-block pair and keep a_id < b_id;
         // cross-block pairs arrive once in arbitrary id order and are
         // normalized with least/greatest (cosine is symmetric).
-        // Pair-parallelism is P(P+1)/2 keys of ~(n/P)² pairs each; at
-        // cluster scale set spark.graft.cosineBlocks so that exceeds
-        // the executor cores (the result is P-invariant).
-        val P = s.conf.get("spark.graft.cosineBlocks", "16").toInt
+        // Pair-parallelism is P(P+1)/2 keys of ~(n/P)² pairs each. P is
+        // auto-derived (spark.graft.cosineBlocks overrides): large
+        // enough that (a) each block-pair task holds ≤ ~4M candidate
+        // pairs (bounded task memory/runtime at any corpus size) and
+        // (b) the P(P+1)/2 keys exceed the cluster's cores (no idle
+        // executors), capped at 512 to keep task counts sane — beyond
+        // that an exact global top-k is the wrong tool anyway (the
+        // sub-quadratic path is sim_lsh_bucket_topk). The result is
+        // P-invariant by construction (spec-pinned at P ∈ {4,16,64});
+        // the count() feeding the derivation is a parquet-metadata job.
+        val P = s.conf.getOption("spark.graft.cosineBlocks").map(_.toInt).getOrElse {
+          val n = Tables.embeddings(s, dir).count()
+          val byTaskPairs = math.ceil(n / math.sqrt(4e6)).toInt
+          val byCores = math.ceil(math.sqrt(2.0 * s.sparkContext.defaultParallelism)).toInt
+          math.min(512, math.max(4, math.max(byTaskPairs, byCores)))
+        }
         val e = Tables.embeddings(s, dir)
           .select($"vec_id", $"embedding", pmod($"vec_id", lit(P)).as("blk"))
         val a = e.select($"vec_id".as("a_id"), $"embedding".as("va"), $"blk")

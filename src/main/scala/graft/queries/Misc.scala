@@ -58,23 +58,39 @@ object Misc {
     // sketch quantiles: the 100 TB path next to qx_exact_quantiles.
     // approx_percentile keeps O(1/accuracy) state per group (Greenwald-
     // Khanna) instead of buffering every distinct value, so a high-
-    // cardinality value column can't OOM an executor. Sketch internals
-    // aren't ANSI-expressible → rows-only gate (like qx_approx_distinct);
-    // the exact twin above stays the correctness anchor.
+    // cardinality value column can't OOM an executor. Sketch VALUES are
+    // engine-specific (GK internals aren't ANSI-expressible), so the
+    // hash-gated output is (group, exact percentiles, within_5pct): the
+    // exact values come from the ANSI-expressible percentile path and
+    // the boolean compares the sketch against them IN the query — DuckDB
+    // emits the same exact values and literal TRUE, so a sketch that
+    // drifts out of bound flips the boolean and fails the hash gate.
     "qx_approx_quantiles" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
         Tables.lineitem(s, dir)
           .groupBy($"l_returnflag")
-          .agg(expr(
-            "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.9), 10000)").as("ps"))
+          .agg(
+            expr("percentile(l_extendedprice, array(0.25, 0.5, 0.9))").as("ex"),
+            expr(
+              "approx_percentile(l_extendedprice, array(0.25, 0.5, 0.9), 10000)").as("ap"))
           .select($"l_returnflag",
-            round($"ps".getItem(0), 4).as("p25"),
-            round($"ps".getItem(1), 4).as("p50"),
-            round($"ps".getItem(2), 4).as("p90"))
+            round($"ex".getItem(0), 4).as("p25"),
+            round($"ex".getItem(1), 4).as("p50"),
+            round($"ex".getItem(2), 4).as("p90"),
+            expr("""aggregate(sequence(0, 2),
+                    true,
+                    (acc, i) -> acc AND abs(ap[i] - ex[i]) / ex[i] <= 0.05)""")
+              .as("within_5pct"))
       },
-      oracle = None, // GK-sketch quantiles differ from exact interpolation
-      doc = "approx quantiles: bounded-state sketch twin of qx_exact_quantiles"),
+      oracle = Some("""
+        SELECT l_returnflag,
+               round(quantile_cont(l_extendedprice, 0.25), 4) AS p25,
+               round(quantile_cont(l_extendedprice, 0.5), 4) AS p50,
+               round(quantile_cont(l_extendedprice, 0.9), 4) AS p90,
+               TRUE AS within_5pct
+        FROM lineitem GROUP BY 1"""),
+      doc = "approx quantiles: GK sketch hash-gated against its exact twin (within_5pct)"),
 
     // skew mitigation: two-phase salted aggregation (5 hot keys across
     // the whole table ⇒ the classic hot-partition shape). Salting
@@ -162,22 +178,32 @@ object Misc {
         GROUP BY 1"""),
       doc = "range join via time-bucket equi-join + refine (no pair blowup)"),
 
-    // approximate sketches: HLL++ distinct counts, sketch ALONE — one
-    // pass, bounded state per group, no Expand double-shuffle. (The
-    // earlier form computed the exact countDistinct inline for a
-    // rel_err column, which made the bench number mostly the cost of
-    // the exact path the sketch exists to avoid; the 5 %-accuracy
-    // comparison lives in QueriesSpec, where it belongs.) Not
-    // ANSI-expressible → rows-only gate; deterministic for fixed input.
+    // approximate sketches: HLL++ distinct counts. Sketch VALUES are
+    // engine-specific, so (like qx_approx_quantiles) the hash-gated
+    // output is (group, exact count, within_5pct): the exact
+    // countDistinct is ANSI-expressible, and the boolean compares the
+    // HLL estimate against it IN the query — DuckDB emits the exact
+    // count and literal TRUE, making the entry hash-gated end-to-end
+    // (Spark's HLL++ is deterministic for fixed input). The exact path
+    // rides along only to anchor the gate; at 100 TB a user runs the
+    // sketch alone — bounded state per group, no Expand double-shuffle.
     "qx_approx_distinct" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
         Tables.lineitem(s, dir)
           .groupBy($"l_returnflag")
-          .agg(approx_count_distinct($"l_partkey", 0.02).as("approx_parts"))
+          .agg(countDistinct($"l_partkey").as("exact_parts"),
+            approx_count_distinct($"l_partkey", 0.02).as("__approx"))
+          .select($"l_returnflag", $"exact_parts",
+            (abs($"__approx" - $"exact_parts").cast("double")
+              / $"exact_parts" <= 0.05).as("within_5pct"))
       },
-      oracle = None, // HLL sketch values are engine-specific; rows-only
-      doc = "HLL++ approx distinct (sketch path for 100TB cardinalities; accuracy bounded in spec)"),
+      oracle = Some("""
+        SELECT l_returnflag,
+               count(DISTINCT l_partkey) AS exact_parts,
+               TRUE AS within_5pct
+        FROM lineitem GROUP BY 1"""),
+      doc = "HLL++ approx distinct hash-gated against exact countDistinct (within_5pct)"),
 
     // moment statistics computed from EXACT integer sums (cents-scaled
     // longs), so stddev/corr are IEEE-deterministic — the built-in

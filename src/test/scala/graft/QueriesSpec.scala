@@ -58,6 +58,22 @@ class QueriesSpec extends AnyFunSuite {
     assert(df.count() == 20, "exact top-20 unchanged")
   }
 
+  test("dedup_embedding_cosine top-20 is block-count invariant (P in {4,16,64} + auto)") {
+    // the triangular block-pair sharding is a physical distribution
+    // choice; the answer must not depend on it (nor on the auto-derived
+    // default P, which varies with corpus size and core count)
+    def run(): Seq[(Long, Long, Double)] =
+      SparkEntry.queries("dedup_embedding_cosine")(spark, sf)
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2))).toSeq
+    val auto = run()
+    assert(auto.size == 20)
+    Seq(4, 16, 64).foreach { p =>
+      spark.conf.set("spark.graft.cosineBlocks", p.toString)
+      try assert(run() == auto, s"P=$p changed the top-20")
+      finally spark.conf.unset("spark.graft.cosineBlocks")
+    }
+  }
+
   test("suite-wide plan guard: no cartesian products; nested-loop joins only where documented") {
     // The scale-killer a 100 TB plan cannot contain is an unbounded
     // nested-loop join. Allowlist = the sanctioned nested loops, all
@@ -94,29 +110,17 @@ class QueriesSpec extends AnyFunSuite {
   }
 
   test("sketch queries stay within 5% of their exact twins (sf0.01)") {
-    import org.apache.spark.sql.functions.countDistinct
+    // The 5 %-bound comparison is computed INSIDE each query since
+    // round 11 (the within_5pct column — a drifting sketch flips it and
+    // fails the driver's hash gate against DuckDB's literal TRUE). This
+    // spec is the belt-and-braces twin of that gate at a second SF.
     val sf01 = "/root/testdata/sf0.01"
-    // HLL++ distinct vs the exact answer (the shipped query runs the
-    // sketch ALONE — the exact path it exists to avoid is computed here)
-    val hll = SparkEntry.queries("qx_approx_distinct")(spark, sf01)
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    val exact = Tables.lineitem(spark, sf01)
-      .groupBy("l_returnflag").agg(countDistinct("l_partkey").as("n"))
-      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-    assert(hll.keySet == exact.keySet && hll.nonEmpty)
-    exact.foreach { case (g, e) =>
-      val a = hll(g)
-      assert(math.abs(a - e).toDouble / e <= 0.05, s"HLL group $g: exact $e approx $a")
-    }
-    // GK quantiles vs exact interpolation, per group and percentile
-    val ex = SparkEntry.queries("qx_exact_quantiles")(spark, sf01).collect()
-      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    val ap = SparkEntry.queries("qx_approx_quantiles")(spark, sf01).collect()
-      .map(r => r.getString(0) -> Seq(r.getDouble(1), r.getDouble(2), r.getDouble(3))).toMap
-    assert(ex.keySet == ap.keySet)
-    ex.foreach { case (g, exact) =>
-      exact.zip(ap(g)).zipWithIndex.foreach { case ((e, a), i) =>
-        assert(math.abs(a - e) / e <= 0.05, s"group $g p$i: exact $e approx $a")
+    Seq("qx_approx_distinct", "qx_approx_quantiles").foreach { q =>
+      val rows = SparkEntry.queries(q)(spark, sf01).collect()
+      assert(rows.nonEmpty, s"$q returned no groups")
+      rows.foreach { r =>
+        assert(r.getBoolean(r.fieldIndex("within_5pct")),
+          s"$q group ${r.get(0)}: sketch outside the 5% bound")
       }
     }
   }
