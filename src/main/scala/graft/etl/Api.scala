@@ -58,7 +58,12 @@ final case class Api(catalog: Catalog) {
   def messagesPage(spark: SparkSession, roomId: String,
       before: Option[Long] = None, limit: Int = 50,
       beforeEvent: Option[String] = None): DataFrame = {
-    val base = catalog.readForKey(spark, "messages", roomId)
+    // the keyset cursor doubles as a manifest zone-map bound: segments
+    // whose recorded min timestamp is already past `before` are never
+    // opened (inclusive bound — the composite cursor keeps rows TIED on
+    // the boundary timestamp). The row-level filter below remains the
+    // source of truth; pruning only drops provably-disjoint segments.
+    val base = catalog.readForKey(spark, "messages", roomId, maxSort = before)
       .filter(col("room_id") === roomId)
     val paged = before.fold(base) { b =>
       beforeEvent.fold(base.filter(col("timestamp") < b)) { e =>

@@ -73,13 +73,24 @@ final case class Catalog(root: String, messageBuckets: Int = 16) {
     * `key` (one bucket + any unbucketed segments). Validates this
     * catalog's bucket count against the table's persisted layout first —
     * a catalog opened with the wrong count would prune with the wrong
-    * modulus and silently return missing rows. */
-  def readForKey(spark: SparkSession, table: String, key: String): DataFrame =
+    * modulus and silently return missing rows.
+    *
+    * `minSort`/`maxSort` (inclusive, in the sort column's own units —
+    * epoch millis for messages.timestamp) additionally prune on the
+    * manifest's per-segment zone maps: at 100 TB a hot key's bucket
+    * holds thousands of append segments between compactions, and a
+    * time-bounded page should open only the segments whose recorded
+    * [min, max] intersects the range — the manifest analog of the
+    * reference's `(room_id, timestamp)` composite B-tree
+    * (schema.ts:81). Unmapped segments are always read; the caller's
+    * row-level predicate stays the source of truth. */
+  def readForKey(spark: SparkSession, table: String, key: String,
+      minSort: Option[Long] = None, maxSort: Option[Long] = None): DataFrame =
     bucketOf(table) match {
       case Some(bs) =>
         MergeWriter.requireBucketLayout(dir(table), bs)
-        MergeWriter.readBuckets(spark, dir(table), tables(table),
-          Set(MergeWriter.bucketIdOf(key, bs.buckets)))
+        MergeWriter.readBucketsRanged(spark, dir(table), tables(table),
+          Set(MergeWriter.bucketIdOf(key, bs.buckets)), minSort, maxSort)
       case None => read(spark, table)
     }
 

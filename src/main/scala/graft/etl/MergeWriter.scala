@@ -16,7 +16,9 @@ import org.apache.spark.sql.types.StructType
   * {{{
   * tableDir/
   *   _CURRENT              current version number (atomic pointer swap)
-  *   v{n}/_MANIFEST        lines "bucketId<TAB>relativeSegmentPath"
+  *   v{n}/_MANIFEST        lines "bucketId<TAB>relativeSegmentPath
+  *                         [<TAB>sortMin<TAB>sortMax]" — the optional
+  *                         zone map of the head sortBy column
   *   seg/v{n}-{tag}/       immutable parquet segments; bucketed segments
   *                         hold one __bucket=k/ leaf dir per bucket
   * }}}
@@ -80,6 +82,25 @@ object MergeWriter {
     * bucket count (thousands at cluster scale; small here), `sortBy`
     * orders rows within each bucket for rowgroup min/max pruning. */
   final case class BucketSpec(col: String, buckets: Int, sortBy: Seq[String] = Nil)
+
+  /** One manifest line: a segment (or bucket leaf) of the snapshot,
+    * with optional ZONE-MAP stats — min/max of the head `sortBy` column
+    * across the segment's files, harvested from the parquet FOOTERS at
+    * commit time (driver metadata read, no job, no data scan). At
+    * 100 TB a hot bucket accumulates thousands of segments between
+    * compactions; a time-bounded keyset page (Api.messagesPage) prunes
+    * on these before handing paths to the reader — the manifest analog
+    * of the reference's `(room_id, timestamp)` B-tree range probe
+    * (src/server/db/schema.ts:81) one level above parquet's own
+    * rowgroup stats (which still require opening every footer). */
+  final case class ManifestEntry(bucket: Int, path: String,
+      min: Option[Long] = None, max: Option[Long] = None) {
+    /** Can this segment hold a row with sort-col value <= `bound`?
+      * Unknown stats (legacy lines, unbucketed segments) never prune. */
+    def mayContainAtMost(bound: Long): Boolean = min.forall(_ <= bound)
+    /** Can this segment hold a row with sort-col value >= `bound`? */
+    def mayContainAtLeast(bound: Long): Boolean = max.forall(_ >= bound)
+  }
 
   /** Internal partition-directory column name for bucketed segments. */
   val BucketCol = "__bucket"
@@ -157,30 +178,45 @@ object MergeWriter {
     else None
   }
 
-  /** Manifest of version `v`: (bucketId, segmentPath-relative-to-
-    * tableDir). bucketId -1 = unbucketed segment (may hold any key).
-    * A round-1 layout version (no _MANIFEST) is one unbucketed segment.
-    * Throws NoSuchElementException for a version that does not exist —
-    * never committed, or dropped by [[vacuum]] retention. */
-  def manifestEntriesAt(tableDir: String, v: Long): Seq[(Int, String)] = {
+  /** Full manifest of version `v`: one [[ManifestEntry]] per line —
+    * "bucketId TAB segmentPath [TAB min TAB max]", the zone-map fields
+    * present only when footer stats were harvestable at commit time.
+    * bucketId -1 = unbucketed segment (may hold any key). A round-1
+    * layout version (no _MANIFEST) is one unbucketed segment. Throws
+    * NoSuchElementException for a version that does not exist — never
+    * committed, or dropped by [[vacuum]] retention. Two-field lines
+    * (pre-zone-map manifests) parse with stats = None and never prune. */
+  def manifestFullAt(tableDir: String, v: Long): Seq[ManifestEntry] = {
     val vdir = Paths.get(tableDir, s"v$v")
     val mf = vdir.resolve("_MANIFEST")
     if (Files.exists(mf))
       Files.readAllLines(mf).asScala.toSeq.filter(_.nonEmpty).map { line =>
-        val Array(b, p) = line.split("\t", 2)
-        (b.toInt, p)
+        line.split("\t") match {
+          case Array(b, p) => ManifestEntry(b.toInt, p)
+          case Array(b, p, mn, mx) =>
+            ManifestEntry(b.toInt, p, Some(mn.toLong), Some(mx.toLong))
+          case _ => sys.error(s"malformed manifest line in $mf: $line")
+        }
       }
-    else if (Files.exists(vdir)) Seq((-1, s"v$v"))
+    else if (Files.exists(vdir)) Seq(ManifestEntry(-1, s"v$v"))
     else throw new NoSuchElementException(
       s"version v$v of $tableDir does not exist (never committed, or outside vacuum retention)")
   }
 
-  /** Manifest of the current version (empty before the first commit). */
-  def manifestEntries(tableDir: String): Seq[(Int, String)] =
+  /** Full manifest of the current version (empty before first commit). */
+  def manifestFull(tableDir: String): Seq[ManifestEntry] =
     currentVersion(tableDir) match {
       case None => Seq.empty
-      case Some(v) => manifestEntriesAt(tableDir, v)
+      case Some(v) => manifestFullAt(tableDir, v)
     }
+
+  /** (bucketId, path) projection of [[manifestFullAt]]. */
+  def manifestEntriesAt(tableDir: String, v: Long): Seq[(Int, String)] =
+    manifestFullAt(tableDir, v).map(e => (e.bucket, e.path))
+
+  /** (bucketId, path) projection of the current manifest. */
+  def manifestEntries(tableDir: String): Seq[(Int, String)] =
+    manifestFull(tableDir).map(e => (e.bucket, e.path))
 
   /** Driver-side log of the segment paths each read resolved — lets
     * specs pin the no-full-scan property (a bucketed merge must never
@@ -224,11 +260,8 @@ object MergeWriter {
     * the table. */
   def readBuckets(spark: SparkSession, tableDir: String,
       schema: StructType,
-      bucketIds: Set[Int]): DataFrame = {
-    val rels = manifestEntries(tableDir)
-      .collect { case (b, p) if b == -1 || bucketIds.contains(b) => p }
-    readPaths(spark, tableDir, schema, rels)
-  }
+      bucketIds: Set[Int]): DataFrame =
+    readBucketsRanged(spark, tableDir, schema, bucketIds, None, None)
 
   /** Atomically claim version base+1 — the writer lock. Throws
     * ConcurrentModificationException when the pointer no longer reads
@@ -279,11 +312,50 @@ object MergeWriter {
     sys.error("unreachable")
   }
 
+  /** Zone-map harvest: min/max of `column` across every parquet file
+    * under `absDir`, read from the file FOOTERS on the driver — pure
+    * metadata, no Spark job, no data pages touched. Returns None (no
+    * zone map, segment never pruned) when any non-empty rowgroup lacks
+    * usable stats — conservative by construction. Only integral
+    * physical types are harvested (the sort columns this layout
+    * declares are epoch-millis longs, Schemas.messages.timestamp). */
+  private def footerRange(absDir: String, column: String,
+      conf: org.apache.hadoop.conf.Configuration): Option[(Long, Long)] = {
+    import org.apache.parquet.hadoop.ParquetFileReader
+    import org.apache.parquet.hadoop.util.HadoopInputFile
+    val files = walkAll(Paths.get(absDir)).filter(p =>
+      Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
+    var lo = Long.MaxValue
+    var hi = Long.MinValue
+    var ok = files.nonEmpty
+    files.foreach { f =>
+      if (ok) Using.resource(ParquetFileReader.open(
+          HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.toUri), conf))) { r =>
+        r.getFooter.getBlocks.asScala.filter(_.getRowCount > 0).foreach { blk =>
+          blk.getColumns.asScala.find(_.getPath.toDotString == column) match {
+            case Some(cc) =>
+              val st = cc.getStatistics
+              if (st == null || st.isEmpty || !st.hasNonNullValue) ok = false
+              else (st.genericGetMin, st.genericGetMax) match {
+                case (mn: Number, mx: Number) =>
+                  lo = math.min(lo, mn.longValue); hi = math.max(hi, mx.longValue)
+                case _ => ok = false
+              }
+            case None => ok = false
+          }
+        }
+      }
+    }
+    if (ok && lo <= hi) Some((lo, hi)) else None
+  }
+
   /** Write `df` as one immutable segment for version `v`; returns its
     * manifest entries. Bucketed segments repartition ON the bucket id so
-    * each bucket is exactly one task → one sorted file per bucket dir. */
+    * each bucket is exactly one task → one sorted file per bucket dir;
+    * when the spec declares an integral head sort column, each leaf's
+    * footer stats become the entry's zone map. */
   private def writeSegment(df: DataFrame, tableDir: String, v: Long,
-      tag: String, bucket: Option[BucketSpec]): Seq[(Int, String)] = {
+      tag: String, bucket: Option[BucketSpec]): Seq[ManifestEntry] = {
     val rel = s"seg/v$v-$tag"
     val abs = s"$tableDir/$rel"
     bucket match {
@@ -292,22 +364,37 @@ object MergeWriter {
         val sorted = withB.repartition(bs.buckets, col(BucketCol))
           .sortWithinPartitions((BucketCol +: bs.sortBy).map(col): _*)
         sorted.write.mode("overwrite").partitionBy(BucketCol).parquet(abs)
-        val segDir = Paths.get(abs)
-        listDir(segDir)
+        val statsCol = bs.sortBy.headOption.filter(c =>
+          df.schema.fields.exists(f => f.name == c &&
+            (f.dataType == org.apache.spark.sql.types.LongType ||
+              f.dataType == org.apache.spark.sql.types.IntegerType)))
+        val conf = df.sparkSession.sparkContext.hadoopConfiguration
+        listDir(Paths.get(abs))
           .map(_.getFileName.toString)
           .filter(_.startsWith(s"$BucketCol="))
-          .map(d => (d.stripPrefix(s"$BucketCol=").toInt, s"$rel/$d"))
-          .sortBy(_._1)
+          .map { d =>
+            val leafRel = s"$rel/$d"
+            val range = statsCol.flatMap(footerRange(s"$tableDir/$leafRel", _, conf))
+            ManifestEntry(d.stripPrefix(s"$BucketCol=").toInt, leafRel,
+              range.map(_._1), range.map(_._2))
+          }
+          .sortBy(_.bucket)
       case None =>
         df.write.mode("overwrite").parquet(abs)
-        Seq((-1, rel))
+        Seq(ManifestEntry(-1, rel))
     }
   }
 
   /** Commit `entries` as version `v`: write _MANIFEST, swap the pointer. */
-  private def commit(tableDir: String, v: Long, entries: Seq[(Int, String)]): Unit = {
+  private def commit(tableDir: String, v: Long, entries: Seq[ManifestEntry]): Unit = {
     val dir = Paths.get(tableDir)
-    val body = entries.map { case (b, p) => s"$b\t$p" }.mkString("\n")
+    val body = entries.map { e =>
+      val base = s"${e.bucket}\t${e.path}"
+      (e.min, e.max) match {
+        case (Some(mn), Some(mx)) => s"$base\t$mn\t$mx"
+        case _ => base
+      }
+    }.mkString("\n")
     Files.write(dir.resolve(s"v$v").resolve("_MANIFEST"), body.getBytes)
     val tmp = dir.resolve(s"_CURRENT.tmp$v")
     Files.write(tmp, v.toString.getBytes)
@@ -323,7 +410,7 @@ object MergeWriter {
     * the backstop for whole-process crashes). */
   private def writeAndCommit(tableDir: String, next: Long, tag: String,
       df: DataFrame, bucket: Option[BucketSpec],
-      carried: Seq[(Int, String)],
+      carried: Seq[ManifestEntry],
       beforeCommit: () => Unit = () => ()): Unit =
     try {
       val newEntries = writeSegment(df, tableDir, next, tag, bucket)
@@ -382,22 +469,22 @@ object MergeWriter {
     retryClaim(tableDir) {
       bucket.foreach(requireBucketLayout(tableDir, _))
       val base = currentVersion(tableDir)
-      val entries = base.map(manifestEntriesAt(tableDir, _)).getOrElse(Seq.empty)
+      val entries = base.map(manifestFullAt(tableDir, _)).getOrElse(Seq.empty)
       // A bucketed merge can skip untouched buckets only when every prior
       // segment is bucketed; any unbucketed (legacy/append) segment may
       // hold rows of a touched key, so it forces a one-time full rewrite
       // that migrates the table to the bucketed layout.
-      val allBucketed = entries.forall(_._1 >= 0)
+      val allBucketed = entries.forall(_.bucket >= 0)
       val (oldSide0, carried) = bucket match {
         case Some(bs) if allBucketed =>
           val touched = deduped
             .select(bucketExpr(col(bs.col), bs.buckets).as(BucketCol))
             .distinct().collect().map(_.getInt(0)).toSet // ≤ buckets ints — metadata
-          val (touchedE, untouchedE) = entries.partition(e => touched.contains(e._1))
-          (readPaths(spark, tableDir, batch.schema, touchedE.map(_._2)), untouchedE)
+          val (touchedE, untouchedE) = entries.partition(e => touched.contains(e.bucket))
+          (readPaths(spark, tableDir, batch.schema, touchedE.map(_.path)), untouchedE)
         case _ =>
-          (readPaths(spark, tableDir, batch.schema, entries.map(_._2)),
-            Seq.empty[(Int, String)])
+          (readPaths(spark, tableDir, batch.schema, entries.map(_.path)),
+            Seq.empty[ManifestEntry])
       }
       val snapshot = oldSide0.select(cols.map(col): _*)
 
@@ -444,7 +531,7 @@ object MergeWriter {
       bucket: Option[BucketSpec] = None): Long = retryClaim(tableDir) {
     bucket.foreach(requireBucketLayout(tableDir, _))
     val base = currentVersion(tableDir)
-    val prior = base.map(manifestEntriesAt(tableDir, _)).getOrElse(Seq.empty)
+    val prior = base.map(manifestFullAt(tableDir, _)).getOrElse(Seq.empty)
     val next = claimVersionAt(tableDir, base)
     writeAndCommit(tableDir, next, "append", batch, bucket, prior)
     next
@@ -472,6 +559,23 @@ object MergeWriter {
     next
   }
 
+  /** Zone-map-pruned variant of [[readBuckets]]: also drops segments
+    * whose recorded [min, max] of the head sort column cannot intersect
+    * the requested inclusive range. Segments without stats (legacy
+    * manifests, unbucketed appends) are always read — pruning is only
+    * ever an optimization, never a correctness filter; the query's own
+    * predicate still applies to every row read. */
+  def readBucketsRanged(spark: SparkSession, tableDir: String,
+      schema: StructType, bucketIds: Set[Int],
+      minSort: Option[Long], maxSort: Option[Long]): DataFrame = {
+    val rels = manifestFull(tableDir)
+      .filter(e => e.bucket == -1 || bucketIds.contains(e.bucket))
+      .filter(e => minSort.forall(e.mayContainAtLeast) &&
+        maxSort.forall(e.mayContainAtMost))
+      .map(_.path)
+    readPaths(spark, tableDir, schema, rels)
+  }
+
   /** Migrate a table to a new bucket layout — the operational need a
     * growing table hits (bucket counts sized for 1 TB are hot-spots at
     * 100 TB): full rewrite of the current snapshot under `newBucket`,
@@ -482,8 +586,8 @@ object MergeWriter {
   def rebucket(spark: SparkSession, tableDir: String, schema: StructType,
       newBucket: BucketSpec): Long = retryClaim(tableDir) {
     val base = currentVersion(tableDir)
-    val entries = base.map(manifestEntriesAt(tableDir, _)).getOrElse(Seq.empty)
-    val df = readPaths(spark, tableDir, schema, entries.map(_._2))
+    val entries = base.map(manifestFullAt(tableDir, _)).getOrElse(Seq.empty)
+    val df = readPaths(spark, tableDir, schema, entries.map(_.path))
     val next = claimVersionAt(tableDir, base)
     writeAndCommit(tableDir, next, "rebucket", df, Some(newBucket), Seq.empty)
     next
@@ -499,22 +603,22 @@ object MergeWriter {
       bucket: BucketSpec): Long = retryClaim(tableDir) {
     requireBucketLayout(tableDir, bucket)
     val base = currentVersion(tableDir)
-    val entries = base.map(manifestEntriesAt(tableDir, _)).getOrElse(Seq.empty)
-    val byBucket = entries.groupBy(_._1)
+    val entries = base.map(manifestFullAt(tableDir, _)).getOrElse(Seq.empty)
+    val byBucket = entries.groupBy(_.bucket)
     val hasUnbucketed = byBucket.contains(-1)
     val fragmented = byBucket.filter { case (b, es) => b >= 0 && es.size > 1 }
     if (entries.isEmpty || (!hasUnbucketed && fragmented.isEmpty))
       base.getOrElse(0L) // nothing to compact
     else if (hasUnbucketed) {
       // migration path: bucket everything
-      val df = readPaths(spark, tableDir, schema, entries.map(_._2))
+      val df = readPaths(spark, tableDir, schema, entries.map(_.path))
       val next = claimVersionAt(tableDir, base)
       writeAndCommit(tableDir, next, "compact", df, Some(bucket), Seq.empty)
       next
     } else {
-      val carried = entries.filterNot(e => fragmented.contains(e._1))
+      val carried = entries.filterNot(e => fragmented.contains(e.bucket))
       val df = readPaths(spark, tableDir, schema,
-        fragmented.values.flatten.map(_._2).toSeq)
+        fragmented.values.flatten.map(_.path).toSeq)
       val next = claimVersionAt(tableDir, base)
       writeAndCommit(tableDir, next, "compact", df, Some(bucket), carried)
       next
@@ -545,13 +649,13 @@ object MergeWriter {
   def compactAppends(spark: SparkSession, tableDir: String,
       schema: StructType, minSegments: Int = 16): Long = retryClaim(tableDir) {
     val base = currentVersion(tableDir)
-    val entries = base.map(manifestEntriesAt(tableDir, _)).getOrElse(Seq.empty)
-    require(entries.forall(_._1 == -1),
+    val entries = base.map(manifestFullAt(tableDir, _)).getOrElse(Seq.empty)
+    require(entries.forall(_.bucket == -1),
       s"compactAppends is for unbucketed append logs; $tableDir has bucketed " +
         "segments — use compact, which preserves the bucket layout")
     if (entries.size <= 1) base.getOrElse(0L)
     else {
-      val sized = entries.map(e => (e, segmentBytes(tableDir, e._2)))
+      val sized = entries.map(e => (e, segmentBytes(tableDir, e.path)))
       val largest = sized.maxBy(_._2)
       val tail = sized.filterNot(_ eq largest)
       if (tail.size < minSegments && tail.map(_._2).sum < largest._2)
@@ -559,9 +663,9 @@ object MergeWriter {
       else {
         val foldAll = tail.map(_._2).sum >= largest._2
         val (folded, carried) =
-          if (foldAll) (sized.map(_._1), Seq.empty[(Int, String)])
+          if (foldAll) (sized.map(_._1), Seq.empty[ManifestEntry])
           else (tail.map(_._1), Seq(largest._1))
-        val df = readPaths(spark, tableDir, schema, folded.map(_._2))
+        val df = readPaths(spark, tableDir, schema, folded.map(_.path))
         val next = claimVersionAt(tableDir, base)
         writeAndCommit(tableDir, next, "compact", df, None, carried)
         next

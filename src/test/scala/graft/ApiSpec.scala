@@ -96,6 +96,50 @@ class ApiSpec extends AnyFunSuite {
       "ts-only cursor skips boundary ties by construction")
   }
 
+  test("manifest zone maps: a time-bounded page opens only segments whose [min,max] can match the cursor") {
+    import scala.jdk.CollectionConverters._
+    val cat = Catalog(Files.createTempDirectory("graft-api4").toString)
+    cat.bootstrap()
+    // seed epoch (ts 1000-1009 per room), then two later append epochs
+    // for room3 — each lands as its OWN segment in room3's bucket, the
+    // thousands-of-segments-between-compactions shape at 100 TB
+    val seed = for { r <- 0 until 4; i <- 0 until 10 } yield (s"a$r-$i", s"room$r", 1000L + i)
+    cat.upsert(spark, "messages", messages(seed), Seq("event_id"), Seq("timestamp", "id"))
+    cat.append(spark, "messages",
+      messages((0 until 10).map(i => (s"b-$i", "room3", 2000L + i))))
+    cat.append(spark, "messages",
+      messages((0 until 10).map(i => (s"c-$i", "room3", 3000L + i))))
+
+    val dir = cat.dir("messages")
+    val bucket = graft.etl.MergeWriter.bucketIdOf("room3",
+      cat.bucketOf("messages").get.buckets)
+    val inBucket = graft.etl.MergeWriter.manifestFull(dir).filter(_.bucket == bucket)
+    assert(inBucket.size == 3, s"room3's bucket must hold 3 segments: $inBucket")
+    assert(inBucket.forall(e => e.min.isDefined && e.max.isDefined),
+      s"every commit must record footer-stat zone maps: $inBucket")
+
+    val api = Api(cat)
+    def readCount(before: Option[Long]): (Int, Set[String]) = {
+      graft.etl.MergeWriter.readLog.clear()
+      val page = api.messagesPage(spark, "room3", before = before, limit = 50)
+      val rels = graft.etl.MergeWriter.readLog.asScala.toSeq
+        .filter(_._1 == dir).flatMap(_._2)
+      (rels.size, page.select("event_id").collect().map(_.getString(0)).toSet)
+    }
+    // cursor below epoch 2: only the seed segment is opened
+    val (n1, got1) = readCount(Some(1500L))
+    assert(n1 == 1, s"bound 1500 must prune room3's bucket to 1 segment, read $n1")
+    assert(got1 == (0 until 10).map(i => s"a3-$i").toSet)
+    // cursor below epoch 3: two segments
+    val (n2, got2) = readCount(Some(2500L))
+    assert(n2 == 2, s"bound 2500 must prune to 2 segments, read $n2")
+    assert(got2 == ((0 until 10).map(i => s"a3-$i") ++
+      (0 until 10).map(i => s"b-$i")).toSet)
+    // no cursor: all three (pruning is strictly the bound's doing)
+    val (n3, got3) = readCount(None)
+    assert(n3 == 3 && got3.size == 30)
+  }
+
   test("an incremental 1-room upsert leaves other rooms' bucket files untouched and pages correctly") {
     val cat = Catalog(Files.createTempDirectory("graft-api2").toString)
     cat.bootstrap()
