@@ -27,6 +27,11 @@ object Sessions {
       // surfaced as raw nanos LongType (converted at the reader, Tables.scala).
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
+      // INT64 micros, not the legacy INT96 default: INT96 carries no
+      // usable min/max footer stats, which would blind both parquet
+      // rowgroup pruning and the manifest zone maps on timestamp
+      // columns (MergeWriter.footerRange)
+      .config("spark.sql.parquet.outputTimestampType", "TIMESTAMP_MICROS")
       .config("spark.sql.parquet.compression.codec", "zstd")
       .config("spark.ui.enabled", "false")
       .config("spark.sql.extensions", "graft.functions.GraftExtensions")

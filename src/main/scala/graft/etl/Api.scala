@@ -115,9 +115,14 @@ final case class Api(catalog: Catalog) {
     msgs.crossJoin(rooms).crossJoin(parts).crossJoin(sync)
   }
 
-  /** Q7 — GET /logs (routes.ts:238-241; default limit 100). */
+  /** Q7 — GET /logs (routes.ts:238-241; default limit 100). The scan
+    * goes through the zone-map tail read: an append-only log otherwise
+    * costs a FULL scan for a 100-row page — the manifest's per-segment
+    * max(timestamp) bounds which segments can still reach the page, so
+    * a long-running stream's log channel reads its newest segments
+    * only. */
   def logsTail(spark: SparkSession, limit: Int = 100): DataFrame =
-    catalog.read(spark, "logs")
+    catalog.readTail(spark, "logs", limit)
       .orderBy(col("timestamp").desc, col("message")).limit(limit)
 
   /** Q8 — GET /config singleton (routes.ts:251): latest sync token row. */

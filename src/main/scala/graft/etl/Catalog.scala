@@ -40,6 +40,12 @@ final case class Catalog(root: String, messageBuckets: Int = 16) {
 
   def bucketOf(table: String): Option[MergeWriter.BucketSpec] = bucketSpecs.get(table)
 
+  /** Unbucketed append logs whose segments should carry a manifest
+    * zone map on this column, enabling [[readTail]]'s pruned scan
+    * (`logs` ≙ the reference's ever-growing log table read only by
+    * `ORDER BY timestamp DESC LIMIT n`, routes.ts:238-241). */
+  val appendSortHints: Map[String, String] = Map("logs" -> "timestamp")
+
   def dir(table: String): String = s"$root/$table"
 
   /** Idempotent create-if-absent of every table dir (≙ L9). */
@@ -57,9 +63,20 @@ final case class Catalog(root: String, messageBuckets: Int = 16) {
     * plain INSERT, no conflict handling). O(batch): writes only the new
     * rows as a segment; existing files are never read or rewritten. */
   def append(spark: SparkSession, table: String, batch: DataFrame): Unit = {
-    MergeWriter.appendSegment(spark, dir(table), batch, bucketOf(table))
+    MergeWriter.appendSegment(spark, dir(table), batch, bucketOf(table),
+      statsCol = appendSortHints.get(table))
     ()
   }
+
+  /** Zone-map-pruned tail scan: the physical read behind "top `limit`
+    * rows by the table's append-sort column, descending". Opens only
+    * the newest segments whose manifest stats can still reach the
+    * page (see MergeWriter.readTailByStats for the bound proof);
+    * tables without a sort hint or stats degrade to a full read. The
+    * caller still applies its own orderBy/limit — pruning never
+    * changes results. */
+  def readTail(spark: SparkSession, table: String, limit: Int): DataFrame =
+    MergeWriter.readTailByStats(spark, dir(table), tables(table), limit.toLong)
 
   /** Upsert with the table's natural key (≙ L1/L2/L3/L8). Bucketed
     * tables rewrite only the buckets the batch touches. */
@@ -216,6 +233,7 @@ final case class Catalog(root: String, messageBuckets: Int = 16) {
   def compact(spark: SparkSession, table: String): Long =
     bucketOf(table) match {
       case Some(bs) => MergeWriter.compact(spark, dir(table), tables(table), bs)
-      case None => MergeWriter.compactAppends(spark, dir(table), tables(table))
+      case None => MergeWriter.compactAppends(spark, dir(table), tables(table),
+        statsCol = appendSortHints.get(table))
     }
 }

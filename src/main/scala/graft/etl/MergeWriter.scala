@@ -94,12 +94,15 @@ object MergeWriter {
     * (src/server/db/schema.ts:81) one level above parquet's own
     * rowgroup stats (which still require opening every footer). */
   final case class ManifestEntry(bucket: Int, path: String,
-      min: Option[Long] = None, max: Option[Long] = None) {
+      min: Option[Long] = None, max: Option[Long] = None,
+      rows: Option[Long] = None) {
     /** Can this segment hold a row with sort-col value <= `bound`?
       * Unknown stats (legacy lines, unbucketed segments) never prune. */
     def mayContainAtMost(bound: Long): Boolean = min.forall(_ <= bound)
     /** Can this segment hold a row with sort-col value >= `bound`? */
     def mayContainAtLeast(bound: Long): Boolean = max.forall(_ >= bound)
+    /** Zone map + row count all present (required by the tail bound). */
+    def mapped: Boolean = min.isDefined && max.isDefined && rows.isDefined
   }
 
   /** Internal partition-directory column name for bucketed segments. */
@@ -179,13 +182,14 @@ object MergeWriter {
   }
 
   /** Full manifest of version `v`: one [[ManifestEntry]] per line —
-    * "bucketId TAB segmentPath [TAB min TAB max]", the zone-map fields
-    * present only when footer stats were harvestable at commit time.
-    * bucketId -1 = unbucketed segment (may hold any key). A round-1
-    * layout version (no _MANIFEST) is one unbucketed segment. Throws
-    * NoSuchElementException for a version that does not exist — never
-    * committed, or dropped by [[vacuum]] retention. Two-field lines
-    * (pre-zone-map manifests) parse with stats = None and never prune. */
+    * "bucketId TAB segmentPath [TAB min TAB max [TAB rows]]", the
+    * zone-map fields present only when footer stats were harvestable at
+    * commit time. bucketId -1 = unbucketed segment (may hold any key).
+    * A round-1 layout version (no _MANIFEST) is one unbucketed segment.
+    * Throws NoSuchElementException for a version that does not exist —
+    * never committed, or dropped by [[vacuum]] retention. Shorter
+    * legacy lines parse with the missing fields = None and never
+    * prune. */
   def manifestFullAt(tableDir: String, v: Long): Seq[ManifestEntry] = {
     val vdir = Paths.get(tableDir, s"v$v")
     val mf = vdir.resolve("_MANIFEST")
@@ -195,6 +199,9 @@ object MergeWriter {
           case Array(b, p) => ManifestEntry(b.toInt, p)
           case Array(b, p, mn, mx) =>
             ManifestEntry(b.toInt, p, Some(mn.toLong), Some(mx.toLong))
+          case Array(b, p, mn, mx, rc) =>
+            ManifestEntry(b.toInt, p, Some(mn.toLong), Some(mx.toLong),
+              Some(rc.toLong))
           case _ => sys.error(s"malformed manifest line in $mf: $line")
         }
       }
@@ -312,26 +319,33 @@ object MergeWriter {
     sys.error("unreachable")
   }
 
-  /** Zone-map harvest: min/max of `column` across every parquet file
-    * under `absDir`, read from the file FOOTERS on the driver — pure
-    * metadata, no Spark job, no data pages touched. Returns None (no
-    * zone map, segment never pruned) when any non-empty rowgroup lacks
-    * usable stats — conservative by construction. Only integral
-    * physical types are harvested (the sort columns this layout
-    * declares are epoch-millis longs, Schemas.messages.timestamp). */
+  /** Zone-map harvest: (min, max, rowCount) of `column` across every
+    * parquet file under `absDir`, read from the file FOOTERS on the
+    * driver — pure metadata, no Spark job, no data pages touched.
+    * Returns None (no zone map, segment never pruned) when any
+    * non-empty rowgroup lacks usable stats — conservative by
+    * construction. Only integral physical types are harvested: the
+    * sort columns this layout declares are epoch-millis longs
+    * (Schemas.messages.timestamp) or INT64-micros timestamps
+    * (Schemas.logs.timestamp — Sessions writes TIMESTAMP_MICROS, the
+    * legacy INT96 default carries no stats at all); the recorded
+    * bounds live in the column's own physical unit and are only ever
+    * compared against bounds derived from the same stats space. */
   private def footerRange(absDir: String, column: String,
-      conf: org.apache.hadoop.conf.Configuration): Option[(Long, Long)] = {
+      conf: org.apache.hadoop.conf.Configuration): Option[(Long, Long, Long)] = {
     import org.apache.parquet.hadoop.ParquetFileReader
     import org.apache.parquet.hadoop.util.HadoopInputFile
     val files = walkAll(Paths.get(absDir)).filter(p =>
       Files.isRegularFile(p) && p.getFileName.toString.endsWith(".parquet"))
     var lo = Long.MaxValue
     var hi = Long.MinValue
+    var n = 0L
     var ok = files.nonEmpty
     files.foreach { f =>
       if (ok) Using.resource(ParquetFileReader.open(
           HadoopInputFile.fromPath(new org.apache.hadoop.fs.Path(f.toUri), conf))) { r =>
         r.getFooter.getBlocks.asScala.filter(_.getRowCount > 0).foreach { blk =>
+          n += blk.getRowCount
           blk.getColumns.asScala.find(_.getPath.toDotString == column) match {
             case Some(cc) =>
               val st = cc.getStatistics
@@ -346,42 +360,55 @@ object MergeWriter {
         }
       }
     }
-    if (ok && lo <= hi) Some((lo, hi)) else None
+    if (ok && lo <= hi) Some((lo, hi, n)) else None
+  }
+
+  /** Is `c` a column whose parquet footer stats we can use as a zone
+    * map? (integral physical types; timestamps are INT64 micros under
+    * the session's TIMESTAMP_MICROS output setting) */
+  private def statsHarvestable(df: DataFrame, c: String): Boolean = {
+    import org.apache.spark.sql.types.{IntegerType, LongType, TimestampType}
+    df.schema.fields.exists(f => f.name == c &&
+      (f.dataType == LongType || f.dataType == IntegerType ||
+        f.dataType == TimestampType))
   }
 
   /** Write `df` as one immutable segment for version `v`; returns its
     * manifest entries. Bucketed segments repartition ON the bucket id so
     * each bucket is exactly one task → one sorted file per bucket dir;
     * when the spec declares an integral head sort column, each leaf's
-    * footer stats become the entry's zone map. */
+    * footer stats become the entry's zone map. Unbucketed segments
+    * harvest stats when the caller names a `statsCol` (the append-log
+    * tail-read path, Catalog.appendSortHints). */
   private def writeSegment(df: DataFrame, tableDir: String, v: Long,
-      tag: String, bucket: Option[BucketSpec]): Seq[ManifestEntry] = {
+      tag: String, bucket: Option[BucketSpec],
+      statsCol: Option[String] = None): Seq[ManifestEntry] = {
     val rel = s"seg/v$v-$tag"
     val abs = s"$tableDir/$rel"
+    val conf = df.sparkSession.sparkContext.hadoopConfiguration
     bucket match {
       case Some(bs) =>
         val withB = df.withColumn(BucketCol, bucketExpr(col(bs.col), bs.buckets))
         val sorted = withB.repartition(bs.buckets, col(BucketCol))
           .sortWithinPartitions((BucketCol +: bs.sortBy).map(col): _*)
         sorted.write.mode("overwrite").partitionBy(BucketCol).parquet(abs)
-        val statsCol = bs.sortBy.headOption.filter(c =>
-          df.schema.fields.exists(f => f.name == c &&
-            (f.dataType == org.apache.spark.sql.types.LongType ||
-              f.dataType == org.apache.spark.sql.types.IntegerType)))
-        val conf = df.sparkSession.sparkContext.hadoopConfiguration
+        val sc = bs.sortBy.headOption.filter(statsHarvestable(df, _))
         listDir(Paths.get(abs))
           .map(_.getFileName.toString)
           .filter(_.startsWith(s"$BucketCol="))
           .map { d =>
             val leafRel = s"$rel/$d"
-            val range = statsCol.flatMap(footerRange(s"$tableDir/$leafRel", _, conf))
+            val range = sc.flatMap(footerRange(s"$tableDir/$leafRel", _, conf))
             ManifestEntry(d.stripPrefix(s"$BucketCol=").toInt, leafRel,
-              range.map(_._1), range.map(_._2))
+              range.map(_._1), range.map(_._2), range.map(_._3))
           }
           .sortBy(_.bucket)
       case None =>
         df.write.mode("overwrite").parquet(abs)
-        Seq(ManifestEntry(-1, rel))
+        val range = statsCol.filter(statsHarvestable(df, _))
+          .flatMap(footerRange(abs, _, conf))
+        Seq(ManifestEntry(-1, rel,
+          range.map(_._1), range.map(_._2), range.map(_._3)))
     }
   }
 
@@ -390,8 +417,9 @@ object MergeWriter {
     val dir = Paths.get(tableDir)
     val body = entries.map { e =>
       val base = s"${e.bucket}\t${e.path}"
-      (e.min, e.max) match {
-        case (Some(mn), Some(mx)) => s"$base\t$mn\t$mx"
+      (e.min, e.max, e.rows) match {
+        case (Some(mn), Some(mx), Some(rc)) => s"$base\t$mn\t$mx\t$rc"
+        case (Some(mn), Some(mx), None) => s"$base\t$mn\t$mx"
         case _ => base
       }
     }.mkString("\n")
@@ -411,9 +439,10 @@ object MergeWriter {
   private def writeAndCommit(tableDir: String, next: Long, tag: String,
       df: DataFrame, bucket: Option[BucketSpec],
       carried: Seq[ManifestEntry],
-      beforeCommit: () => Unit = () => ()): Unit =
+      beforeCommit: () => Unit = () => (),
+      statsCol: Option[String] = None): Unit =
     try {
-      val newEntries = writeSegment(df, tableDir, next, tag, bucket)
+      val newEntries = writeSegment(df, tableDir, next, tag, bucket, statsCol)
       beforeCommit()
       // record the layout BEFORE the pointer swap: a crash in between
       // leaves old data with a new layout record, which fails loudly on
@@ -528,12 +557,14 @@ object MergeWriter {
     * bucketed table accumulate per-bucket files; `compact` (or the next
     * `merge` touching the bucket) folds each back to one sorted file. */
   def appendSegment(spark: SparkSession, tableDir: String, batch: DataFrame,
-      bucket: Option[BucketSpec] = None): Long = retryClaim(tableDir) {
+      bucket: Option[BucketSpec] = None,
+      statsCol: Option[String] = None): Long = retryClaim(tableDir) {
     bucket.foreach(requireBucketLayout(tableDir, _))
     val base = currentVersion(tableDir)
     val prior = base.map(manifestFullAt(tableDir, _)).getOrElse(Seq.empty)
     val next = claimVersionAt(tableDir, base)
-    writeAndCommit(tableDir, next, "append", batch, bucket, prior)
+    writeAndCommit(tableDir, next, "append", batch, bucket, prior,
+      statsCol = statsCol)
     next
   }
 
@@ -574,6 +605,41 @@ object MergeWriter {
         maxSort.forall(e.mayContainAtMost))
       .map(_.path)
     readPaths(spark, tableDir, schema, rels)
+  }
+
+  /** Tail read over an append log: the physical scan for "top `limit`
+    * rows by the stats column, descending" (Api.logsTail). An unbounded
+    * append log otherwise forces a FULL scan for a 100-row tail — at
+    * 100 TB that is the single worst read in the system.
+    *
+    * The pruning bound is proven from the manifest alone: sort mapped
+    * segments by max desc and take the shortest prefix whose row counts
+    * sum to >= `limit`; every row in that prefix is >= its segment's
+    * min, so L = min over the prefix of seg.min is a lower bound on the
+    * limit-th largest value in the table (>= limit rows exist at >= L —
+    * rows outside the prefix can only push the true cutoff HIGHER).
+    * A mapped segment with max < L therefore cannot contribute to the
+    * tail and is never opened. Unmapped segments (legacy manifests, a
+    * publish rewrite that recorded no stats) are always read, and they
+    * neither join the prefix nor weaken the bound. Time-ordered appends
+    * (a streaming quarantine/log channel) give near-perfect pruning:
+    * the newest segment usually covers the whole page. */
+  def readTailByStats(spark: SparkSession, tableDir: String,
+      schema: StructType, limit: Long): DataFrame = {
+    val entries = manifestFull(tableDir)
+    val (mapped, unmapped) = entries.partition(_.mapped)
+    val sorted = mapped.sortBy(e => -e.max.get)
+    var cum = 0L
+    val prefix = sorted.takeWhile { e =>
+      val need = cum < limit; cum += e.rows.get; need
+    }
+    val kept =
+      if (cum < limit) mapped // fewer mapped rows than the page — all
+      else {
+        val bound = prefix.map(_.min.get).min
+        mapped.filter(_.max.get >= bound)
+      }
+    readPaths(spark, tableDir, schema, (kept ++ unmapped).map(_.path))
   }
 
   /** Migrate a table to a new bucket layout — the operational need a
@@ -647,7 +713,8 @@ object MergeWriter {
     * Bucketed tables must use [[compact]] — folding here would commit a
     * bucket=None segment and silently de-bucket the layout. */
   def compactAppends(spark: SparkSession, tableDir: String,
-      schema: StructType, minSegments: Int = 16): Long = retryClaim(tableDir) {
+      schema: StructType, minSegments: Int = 16,
+      statsCol: Option[String] = None): Long = retryClaim(tableDir) {
     val base = currentVersion(tableDir)
     val entries = base.map(manifestFullAt(tableDir, _)).getOrElse(Seq.empty)
     require(entries.forall(_.bucket == -1),
@@ -667,7 +734,8 @@ object MergeWriter {
           else (tail.map(_._1), Seq(largest._1))
         val df = readPaths(spark, tableDir, schema, folded.map(_.path))
         val next = claimVersionAt(tableDir, base)
-        writeAndCommit(tableDir, next, "compact", df, None, carried)
+        writeAndCommit(tableDir, next, "compact", df, None, carried,
+          statsCol = statsCol)
         next
       }
     }

@@ -1,7 +1,7 @@
 package graft
 
 import java.nio.file.Files
-import graft.etl.{Catalog, Decrypt}
+import graft.etl.{Api, Catalog, Decrypt}
 import org.apache.spark.sql.{Row, SparkSession}
 import org.scalatest.funsuite.AnyFunSuite
 
@@ -101,6 +101,55 @@ class CatalogSpec extends AnyFunSuite {
     intercept[IllegalArgumentException] {
       cat16.readForKey(spark, "messages", "room3")
     }
+  }
+
+  test("logs tail read opens only the newest segments that can reach the page") {
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    val cat = Catalog(Files.createTempDirectory("graft-cat-tail").toString)
+    cat.bootstrap()
+    // three append epochs of 50 rows each, time-ordered like a real
+    // streaming log channel (epoch k covers ts [k*1000, k*1000+49])
+    def epoch(k: Int) = (0 until 50).map(i =>
+      (new java.sql.Timestamp(k * 1000L + i), "info", s"m$k-$i"))
+      .toDF("timestamp", "level", "message")
+    (1 to 3).foreach(k => cat.append(spark, "logs", epoch(k)))
+    val dir = cat.dir("logs")
+    val entries = graft.etl.MergeWriter.manifestFull(dir)
+    assert(entries.size == 3 && entries.forall(_.mapped),
+      s"3 append segments, each with footer-stat zone map + row count: $entries")
+
+    val api = Api(cat)
+    def tail(limit: Int): (Int, Seq[String]) = {
+      graft.etl.MergeWriter.readLog.clear()
+      val rows = api.logsTail(spark, limit)
+        .select("message").collect().map(_.getString(0)).toSeq
+      val read = graft.etl.MergeWriter.readLog.asScala.toSeq
+        .filter(_._1 == dir).flatMap(_._2)
+      (read.size, rows)
+    }
+    // page fits in the newest epoch → ONLY that segment is opened
+    val (n1, got1) = tail(30)
+    assert(n1 == 1, s"a 30-row tail must open 1 of 3 segments, opened $n1")
+    assert(got1 == (49 to 20 by -1).map(i => s"m3-$i"),
+      "tail rows identical to a full-scan ORDER BY ts DESC LIMIT 30")
+    // page spans two epochs → two segments
+    val (n2, got2) = tail(80)
+    assert(n2 == 2, s"an 80-row tail must open 2 segments, opened $n2")
+    assert(got2.size == 80 && got2.take(50).forall(_.startsWith("m3-")) &&
+      got2.drop(50).forall(_.startsWith("m2-")))
+    // page larger than the table → everything, still correct
+    val (n3, got3) = tail(500)
+    assert(n3 == 3 && got3.size == 150)
+
+    // compaction folds the stack and re-harvests stats, so the pruned
+    // tail keeps working on the folded layout
+    cat.compact(spark, "logs")
+    val folded = graft.etl.MergeWriter.manifestFull(dir)
+    assert(folded.size == 1 && folded.head.mapped,
+      s"folded segment must carry a re-harvested zone map: $folded")
+    val (_, got4) = tail(30)
+    assert(got4 == got1, "identical page after compaction")
   }
 
   test("compact + vacuum: append log folds to one segment, old versions GC'd") {
