@@ -1,0 +1,118 @@
+package graft.ext
+
+import graft.{QueryDef, Tables}
+import org.apache.spark.sql.functions._
+
+/** Corpus-organization operators — the steps between a cleaned document
+  * set and a training run: deterministic split assignment (sampling /
+  * sharding) and sequence packing. Both are pure functions of the data
+  * (hash- and id-driven, no RNG), so re-running a 100 TB pipeline
+  * reproduces byte-identical shards — the property that makes ablations
+  * and resumed runs comparable.
+  */
+object Corpus {
+
+  import TextExpr.toksE
+
+  /** Tokens per packed sequence for [[txt_pack_chunks]]. */
+  val SeqLen = 2048
+
+  val defs: Map[String, QueryDef] = Map(
+    // ---- deterministic train/validation/test assignment: bucket each
+    // doc by a hash of its id (md5 — bit-identical in Spark and DuckDB)
+    // and carve 80/10/10. Hash-based assignment is the scalable form of
+    // "random split": shuffle-free, stable under corpus growth (a doc
+    // never migrates between splits when new docs arrive), and exactly
+    // reproducible across engines — TABLESAMPLE/rand() are neither.
+    "txt_hash_split" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .withColumn("toks", expr(toksE))
+          .withColumn("bucket", expr(
+            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT) % 100"))
+          .withColumn("split",
+            when($"bucket" < 80, "train")
+              .when($"bucket" < 90, "validation")
+              .otherwise("test"))
+          .groupBy($"split")
+          .agg(count(lit(1)).as("n_docs"),
+            sum(size($"toks").cast("long")).as("n_tokens"),
+            min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id,
+                          len(string_split_regex(trim(text), '\s+')) AS n,
+                          ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 4))::INT % 100 AS bucket
+                   FROM documents)
+        SELECT CASE WHEN bucket < 80 THEN 'train'
+                    WHEN bucket < 90 THEN 'validation'
+                    ELSE 'test' END AS split,
+               count(*) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM t GROUP BY 1"""),
+      doc = "deterministic 80/10/10 split assignment via id-hash buckets (shuffle-free, engine-reproducible)"),
+
+    // ---- sequence packing, concat-then-chunk: documents are laid out
+    // end to end in doc_id order and cut into SeqLen-token chunks; each
+    // doc is assigned to the chunk its START offset falls in. The
+    // offsets are a GLOBAL prefix sum — the naive formulation is a
+    // window over one unpartitioned ORDER BY, i.e. a single task
+    // holding the whole corpus, the exact shape the suite's plan
+    // standards exist to prevent. Implemented as the classic
+    // distributed prefix sum instead: docs are range-bucketed on
+    // doc_id (≤ ~1k buckets regardless of corpus size), per-bucket
+    // token subtotals are collected driver-side (≤ bucket-count rows —
+    // the same bounded-metadata pattern as the merge planner's
+    // touched-bucket collect), cumulative bucket offsets broadcast
+    // back, and the within-bucket window runs partitioned — every
+    // stage parallel, no global sort, no single-task window.
+    "txt_pack_chunks" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+          .withColumn("toks", expr(toksE))
+          .select($"doc_id", size($"toks").cast("long").as("n_tokens"))
+        // range buckets: width sized so bucket count stays ~1k at any
+        // corpus size (metadata-scale driver state, like a manifest)
+        val bounds = Tables.documents(s, dir)
+          .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx")).head()
+        val mn = bounds.getLong(0)
+        val width = math.max(1L, (bounds.getLong(1) - mn + 1) / 1024L)
+        val withB = docs.withColumn("pbucket", expr(s"(doc_id - $mn) DIV $width"))
+        // per-bucket subtotals -> cumulative start offset per bucket
+        val subtotals = withB.groupBy($"pbucket")
+          .agg(sum($"n_tokens").as("bt"))
+          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
+        val offsets = subtotals.scanLeft((0L, 0L)) {
+          case ((_, acc), (b, bt)) => (b, acc + bt)
+        }.sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
+        val offDf = offsets.toDF("pbucket", "bucket_off")
+        val w = Window.partitionBy($"pbucket").orderBy($"doc_id")
+          .rowsBetween(Window.unboundedPreceding, -1)
+        withB.join(broadcast(offDf), Seq("pbucket"))
+          .withColumn("start_off",
+            $"bucket_off" + coalesce(sum($"n_tokens").over(w), lit(0L)))
+          .withColumn("chunk_id", expr(s"start_off DIV $SeqLen"))
+          .groupBy($"chunk_id")
+          .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
+            min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
+      },
+      oracle = Some(s"""
+        WITH t AS (SELECT doc_id,
+                          CAST(len(string_split_regex(trim(text), '\\s+')) AS BIGINT) AS n
+                   FROM documents),
+        c AS (SELECT doc_id, n,
+                     COALESCE(sum(n) OVER (ORDER BY doc_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
+              FROM t)
+        SELECT so // $SeqLen AS chunk_id,
+               count(*) AS n_docs,
+               CAST(sum(n) AS BIGINT) AS n_tokens,
+               min(doc_id) AS first_doc, max(doc_id) AS last_doc
+        FROM c GROUP BY 1"""),
+      doc = s"sequence packing (concat-then-chunk, $SeqLen tokens): global token offsets via distributed two-phase prefix sum, no single-task window")
+  )
+}
