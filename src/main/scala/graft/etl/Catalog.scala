@@ -41,10 +41,16 @@ final case class Catalog(root: String, messageBuckets: Int = 16) {
   def bucketOf(table: String): Option[MergeWriter.BucketSpec] = bucketSpecs.get(table)
 
   /** Unbucketed append logs whose segments should carry a manifest
-    * zone map on this column, enabling [[readTail]]'s pruned scan
-    * (`logs` ≙ the reference's ever-growing log table read only by
-    * `ORDER BY timestamp DESC LIMIT n`, routes.ts:238-241). */
-  val appendSortHints: Map[String, String] = Map("logs" -> "timestamp")
+    * zone map on this column, enabling [[readTail]]'s pruned scan.
+    * Every ever-growing append shape read by recency is listed:
+    * `logs` ≙ the reference's log table read only by `ORDER BY
+    * timestamp DESC LIMIT n` (routes.ts:238-241) — the streaming
+    * quarantine channel also lands there (Pipeline.quarantineToLogs),
+    * so it rides the same hint; `key_backup_status` ≙ the append-only
+    * status history whose consumer wants the latest row (L5,
+    * schema.ts:72-78, routes.ts "ORDER BY created_at DESC LIMIT 1"). */
+  val appendSortHints: Map[String, String] =
+    Map("logs" -> "timestamp", "key_backup_status" -> "created_at")
 
   def dir(table: String): String = s"$root/$table"
 

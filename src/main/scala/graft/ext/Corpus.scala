@@ -17,6 +17,26 @@ object Corpus {
   /** Tokens per packed sequence for [[txt_pack_chunks]]. */
   val SeqLen = 2048
 
+  /** Derived range-bucket count for the distributed prefix sum —
+    * sized from the corpus, not a constant (a fixed count means
+    * per-bucket window size grows linearly with the corpus): enough
+    * buckets that each holds ≤ [[TargetDocsPerBucket]] docs (bounded
+    * per-task window work at any scale), at least the cluster's cores
+    * (the window stage stays parallel on small corpora), capped at
+    * [[MaxPackBuckets]] so the driver-side subtotal collect stays
+    * metadata-sized (≤64k rows — the same bounded-collect discipline
+    * as the merge planner and auto-`cosineBlocks`, Dedup.scala).
+    * 64k buckets × 2M docs/bucket ≈ 128G docs before the cap binds.
+    * The packing is bucket-count-invariant by construction
+    * (CorpusSpec pins it at {256, 1024, 4096}). */
+  val TargetDocsPerBucket: Long = 2L * 1024 * 1024
+  val MaxPackBuckets: Int = 65536
+
+  def packBuckets(nDocs: Long, cores: Int): Int = {
+    val byWork = ((nDocs + TargetDocsPerBucket - 1) / TargetDocsPerBucket).toInt
+    math.min(MaxPackBuckets, math.max(math.max(1, cores), byWork))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     // ---- deterministic train/validation/test assignment: bucket each
     // doc by a hash of its id (md5 — bit-identical in Spark and DuckDB)
@@ -62,12 +82,14 @@ object Corpus {
     // holding the whole corpus, the exact shape the suite's plan
     // standards exist to prevent. Implemented as the classic
     // distributed prefix sum instead: docs are range-bucketed on
-    // doc_id (≤ ~1k buckets regardless of corpus size), per-bucket
-    // token subtotals are collected driver-side (≤ bucket-count rows —
-    // the same bounded-metadata pattern as the merge planner's
-    // touched-bucket collect), cumulative bucket offsets broadcast
-    // back, and the within-bucket window runs partitioned — every
-    // stage parallel, no global sort, no single-task window.
+    // doc_id (bucket count DERIVED from corpus size — see packBuckets —
+    // so both the driver collect and the per-bucket window stay
+    // bounded), per-bucket token subtotals are collected driver-side
+    // (≤ bucket-count rows — the same bounded-metadata pattern as the
+    // merge planner's touched-bucket collect), cumulative bucket
+    // offsets broadcast back, and the within-bucket window runs
+    // partitioned — every stage parallel, no global sort, no
+    // single-task window.
     "txt_pack_chunks" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
@@ -75,12 +97,23 @@ object Corpus {
         val docs = Tables.documents(s, dir)
           .withColumn("toks", expr(toksE))
           .select($"doc_id", size($"toks").cast("long").as("n_tokens"))
-        // range buckets: width sized so bucket count stays ~1k at any
-        // corpus size (metadata-scale driver state, like a manifest)
+        // range buckets: count derived from corpus size (packBuckets;
+        // spark.graft.packBuckets overrides for the invariance spec) so
+        // driver state stays metadata-scale AND per-bucket window work
+        // stays bounded as the corpus grows
         val bounds = Tables.documents(s, dir)
-          .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx")).head()
-        val mn = bounds.getLong(0)
-        val width = math.max(1L, (bounds.getLong(1) - mn + 1) / 1024L)
+          .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"),
+            count(lit(1)).as("n")).head()
+        // empty corpus: the min/max aggregates are NULL — fall through
+        // with mn=0/width=1 (everything downstream is empty-safe) rather
+        // than NPE on getLong
+        val (mn, nDocs) =
+          if (bounds.isNullAt(0)) (0L, 0L)
+          else (bounds.getLong(0), bounds.getLong(2))
+        val buckets = s.conf.getOption("spark.graft.packBuckets").map(_.toInt)
+          .getOrElse(packBuckets(nDocs, s.sparkContext.defaultParallelism))
+        val span = if (nDocs == 0) 1L else bounds.getLong(1) - mn + 1
+        val width = math.max(1L, (span + buckets - 1) / buckets)
         val withB = docs.withColumn("pbucket", expr(s"(doc_id - $mn) DIV $width"))
         // per-bucket subtotals -> cumulative start offset per bucket
         val subtotals = withB.groupBy($"pbucket")
@@ -108,7 +141,10 @@ object Corpus {
                      COALESCE(sum(n) OVER (ORDER BY doc_id
                        ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS so
               FROM t)
-        SELECT so // $SeqLen AS chunk_id,
+        -- CAST: so is a windowed sum, which DuckDB promotes to HUGEINT;
+        -- uncast, chunk_id would be HUGEINT vs Spark's BIGINT and fail
+        -- the driver's type-sensitive hash despite identical values
+        SELECT CAST(so // $SeqLen AS BIGINT) AS chunk_id,
                count(*) AS n_docs,
                CAST(sum(n) AS BIGINT) AS n_tokens,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc

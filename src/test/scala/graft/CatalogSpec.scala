@@ -152,6 +152,36 @@ class CatalogSpec extends AnyFunSuite {
     assert(got4 == got1, "identical page after compaction")
   }
 
+  test("key_backup_status tail read prunes on its created_at zone map") {
+    // L5's status history is the same ever-growing append shape as
+    // logs, read by recency ("latest backup status") — with the
+    // appendSortHints entry its segments carry zone maps too, so the
+    // tail read opens fewer segments than the table holds
+    import scala.jdk.CollectionConverters._
+    import spark.implicits._
+    import org.apache.spark.sql.functions.col
+    val cat = Catalog(Files.createTempDirectory("graft-cat-kbs-tail").toString)
+    cat.bootstrap()
+    def epoch(k: Int) = (0 until 10).map(i =>
+      (s"s$k-$i", i % 2 == 0, new java.sql.Timestamp(k * 1000L + i)))
+      .toDF("id", "status", "created_at")
+    (1 to 3).foreach(k => cat.append(spark, "key_backup_status", epoch(k)))
+    val dir = cat.dir("key_backup_status")
+    val entries = graft.etl.MergeWriter.manifestFull(dir)
+    assert(entries.size == 3 && entries.forall(_.mapped),
+      s"3 append segments, each zone-mapped on created_at: $entries")
+
+    graft.etl.MergeWriter.readLog.clear()
+    val latest = cat.readTail(spark, "key_backup_status", 1)
+      .orderBy(col("created_at").desc).limit(1)
+      .select("id").collect().map(_.getString(0)).toSeq
+    val opened = graft.etl.MergeWriter.readLog.asScala.toSeq
+      .filter(_._1 == dir).flatMap(_._2)
+    assert(latest == Seq("s3-9"), "the newest status row")
+    assert(opened.size == 1,
+      s"a latest-status read must open 1 of 3 segments, opened ${opened.size}")
+  }
+
   test("compact + vacuum: append log folds to one segment, old versions GC'd") {
     val cat = Catalog(Files.createTempDirectory("graft-cat3").toString)
     cat.bootstrap()

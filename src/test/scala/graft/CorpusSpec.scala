@@ -62,6 +62,47 @@ class CorpusSpec extends AnyFunSuite {
     }
   }
 
+  test("txt_pack_chunks is bucket-count-invariant: {256, 1024, 4096} pack identically") {
+    // the range-bucket count is a parallelism knob, not a semantic one —
+    // chunk assignment depends only on the global token offsets, which
+    // the two-phase prefix sum reconstructs exactly for ANY bucketing
+    def run(n: Int): Seq[(Long, Long, Long, Long, Long)] = {
+      spark.conf.set("spark.graft.packBuckets", n.toString)
+      try SparkEntry.queries("txt_pack_chunks")(spark, sf)
+        .orderBy("chunk_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+      finally spark.conf.unset("spark.graft.packBuckets")
+    }
+    val base = run(256)
+    assert(base.nonEmpty)
+    assert(run(1024) == base, "1024 buckets must pack identically to 256")
+    assert(run(4096) == base, "4096 buckets must pack identically to 256")
+  }
+
+  test("packBuckets derivation: floor at cores, grows with the corpus, capped for the driver collect") {
+    import graft.ext.Corpus
+    // small corpus -> parallelism floor, not 1 giant bucket
+    assert(Corpus.packBuckets(0L, 8) == 8)
+    assert(Corpus.packBuckets(500L, 32) == 32)
+    // big corpus -> ceil(nDocs / TargetDocsPerBucket), bounded per-task work
+    assert(Corpus.packBuckets(100L * 1024 * 1024, 8) == 50)
+    // astronomically big -> the 64k cap bounds the driver-side subtotal
+    // collect (bounded-metadata discipline), never more
+    assert(Corpus.packBuckets(1L << 42, 8) == Corpus.MaxPackBuckets)
+  }
+
+  test("txt_pack_chunks on an empty documents table returns an empty frame, not an NPE") {
+    // min/max aggregates are NULL on zero rows — the bounds read must
+    // guard, and every downstream stage is empty-safe
+    val tmp = java.nio.file.Files.createTempDirectory("graft-empty-docs").toString
+    Tables.documents(spark, sf).limit(0).write.parquet(s"$tmp/documents.parquet")
+    val out = SparkEntry.queries("txt_pack_chunks")(spark, tmp)
+    assert(out.columns.toSeq ==
+      Seq("chunk_id", "n_docs", "n_tokens", "first_doc", "last_doc"))
+    assert(out.count() == 0)
+  }
+
   test("txt_pack_chunks plans the prefix sum distributed: no single-partition exchange") {
     // the naive global-cumsum window would plan Exchange SinglePartition
     // (one task holds the corpus) — the two-phase formulation must not

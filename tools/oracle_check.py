@@ -7,12 +7,39 @@ Reads each <verifyOutDir>/<name>/ parquet (written by graft.Verify),
 reads <verifyOutDir>/oracle_sql.json, runs each oracle against DuckDB
 views over <sfDir>/*.parquet, and compares result multisets exactly
 (columns aligned by sorted name — same normalization the driver uses).
+
+Also compares DESCRIBE column TYPES between the Spark output and the
+oracle: the driver's hash gate is type-sensitive, so an oracle whose
+aggregate-derived column silently promotes (DuckDB sum(BIGINT) ->
+HUGEINT, avg -> DOUBLE vs DECIMAL, ...) must fail HERE, locally,
+not only at adjudication. Value multisets compare with implicit
+casts and cannot see that class of drift (the round-11 txt_pack_chunks
+escape).
 """
 import sys, os, json, glob
 import duckdb
 
 TABLES = ["region", "nation", "customer", "supplier", "part", "orders",
           "lineitem", "events", "documents", "embeddings"]
+
+def type_class(t):
+    """Driver-hash equivalence class of a DuckDB column type.
+
+    Calibrated against CORRECTNESS_r11: sibling integer WIDTHS hash
+    alike (15 entries with INTEGER-vs-BIGINT drift pass the driver's
+    gate), while representation changes do not (HUGEINT — DuckDB's
+    sum(BIGINT) promotion — failed txt_pack_chunks despite identical
+    values; it exports as decimal128, not an int). So int widths
+    collapse to one class; HUGEINT, DECIMAL(p,s), FLOAT/DOUBLE,
+    VARCHAR, TIMESTAMP..., remain distinct.
+    """
+    if t is None:
+        return None
+    u = t.upper()
+    if u in ("TINYINT", "SMALLINT", "INTEGER", "BIGINT",
+             "UTINYINT", "USMALLINT", "UINTEGER", "UBIGINT"):
+        return "INT"
+    return u
 
 def main(sf_dir, out_dir):
     con = duckdb.connect()
@@ -35,6 +62,22 @@ def main(sf_dir, out_dir):
                 "WHERE table_name='spark_out' ORDER BY column_name").fetchall()]
             collist = ", ".join(f'"{c}"' for c in cols)
             oracle = oracles[name]
+            # type gate first: DESCRIBE both sides, compare per column.
+            # A mismatch is a hard FAIL even when every value matches —
+            # the driver's hash covers types, so this is exactly what
+            # ships red while a value-only local check stays green.
+            stypes = {r[0]: r[1] for r in con.execute(
+                "DESCRIBE spark_out").fetchall()}
+            otypes = {r[0]: r[1] for r in con.execute(
+                f"DESCRIBE (SELECT * FROM ({oracle}))").fetchall()}
+            tdiff = sorted(c for c in (stypes.keys() | otypes.keys())
+                           if type_class(stypes.get(c)) != type_class(otypes.get(c)))
+            if tdiff:
+                print(f"FAIL {name}: column TYPE drift (spark vs oracle): " +
+                      "; ".join(f"{c}: {stypes.get(c)} vs {otypes.get(c)}"
+                                for c in tdiff))
+                n_fail += 1
+                continue
             a = con.execute(f"SELECT count(*) FROM spark_out").fetchone()[0]
             b = con.execute(f"SELECT count(*) FROM ({oracle})").fetchone()[0]
             d1 = con.execute(
