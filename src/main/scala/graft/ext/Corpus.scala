@@ -100,7 +100,13 @@ object Corpus {
         // range buckets: count derived from corpus size (packBuckets;
         // spark.graft.packBuckets overrides for the invariance spec) so
         // driver state stays metadata-scale AND per-bucket window work
-        // stays bounded as the corpus grows
+        // stays bounded as the corpus grows. Buckets carve the ID RANGE
+        // (contiguity in doc_id order is what makes the two-phase
+        // prefix sum exact), so the per-bucket bound assumes ids are
+        // roughly uniform over [min, max] — true for sequential or
+        // hash-assigned ids; pathological clustering degrades only
+        // parallelism (one fat bucket), never correctness, and the
+        // packing stays bucket-count-invariant either way
         val bounds = Tables.documents(s, dir)
           .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"),
             count(lit(1)).as("n")).head()
