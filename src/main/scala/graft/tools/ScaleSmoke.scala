@@ -77,8 +77,12 @@ object ScaleSmoke {
 
     // JIT warm-up (not timed)
     val warm = "/root/testdata/sf0.001"
+    // corpus organization rides along since round 12: per-doc scans +
+    // bounded-metadata prefix sum, expected ~K wall (the packing's
+    // derived bucket count and two-phase offsets must not introduce
+    // any super-linear stage)
     val linear = Seq("dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
-      "dedup_ngram_jaccard")
+      "dedup_ngram_jaccard", "txt_hash_split", "txt_pack_chunks")
     val quadratic = Seq("dedup_embedding_cosine", "sim_lsh_bucket_topk")
     (linear ++ quadratic).foreach(q =>
       try { SparkEntry.queries(q)(spark, warm).collect(); () }
