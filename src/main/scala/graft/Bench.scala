@@ -24,8 +24,27 @@ import java.nio.file.{Files, Paths}
   * ref_* queries regress 3.5–9× from exactly that residue. After every
   * timed query we unpersist all persistent RDDs, clear the relation
   * cache, and GC, so each measurement starts from a clean session.
-  * Every query runs twice (fresh plan each rep) and reports the min,
-  * shaving off residual JIT/GC jitter and one-off load spikes.
+  *
+  * Rep INTERLEAVING (round-13 lesson): reps used to run back-to-back
+  * per query, so a multi-second host-contention window (page-cache
+  * eviction, CPU steal, a background fsync storm) landed entirely on
+  * ONE query's two or three reps and min() couldn't shave it — the
+  * heavy dedup entries swung ±50 % between runs on identical code,
+  * masking any real regression smaller than that. Now the WHOLE suite
+  * runs as interleaved passes (q1,q2,…,qN, q1,q2,…) and each query
+  * reports the min across passes: a contention window minutes apart
+  * from its sibling reps hits each query at most once, so the min is
+  * taken over reps that saw independent host states. Measured: at 5
+  * passes, same-code runs agree within ±10 % on the multi-second
+  * entries when the host is steady (README round-13 note).
+  *
+  * The one mode interleaving can NOT mask is a slowdown spanning the
+  * ENTIRE run (this box occasionally runs every rep ~1.2–1.6× slow for
+  * many minutes — README r12/r13 notes). For that, each pass times a
+  * fixed CALIBRATION probe (same Spark job every pass, independent of
+  * the query set); its per-run min ships in the JSON as "calib_sec".
+  * Comparing rounds: if calib_sec moved with the totals, the host
+  * moved, not the code — read query/calib ratios instead of raw secs.
   */
 object Bench {
 
@@ -68,38 +87,54 @@ object Bench {
     // drop warm-up residue so the timed pass starts clean
     isolate(spark)
 
-    val results = SparkEntry.queries.toSeq.sortBy(_._1).map { case (name, fn) =>
-      // one rep = fresh plan build + full collect, then session cleanup
-      def rep(): (Double, Option[String]) = {
-        val t0 = System.nanoTime()
-        val err = try { fn(spark, sfDir).collect(); None }
-          catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
-        val sec = (System.nanoTime() - t0) / 1e9
-        isolate(spark)
-        (sec, err)
-      }
-      // every query runs twice and reports the min: a one-off GC/load
-      // spike on a single rep would otherwise be recorded as the
-      // query's cost — the longest queries are exactly the ones where
-      // that misreads worst (formerly only <5s queries re-ran). Queries
-      // still above 1 s after two reps get a THIRD: the heavy hitters
-      // dominate the total, and two reps left the same jar swinging
-      // ±6 % round-over-round — more than any single-query win.
-      val (s1, e1) = rep()
-      val (sec, err) =
-        if (e1.isDefined) (s1, e1)
-        else {
-          val (s2, e2) = rep()
-          if (e2.isDefined) (s1, e1)
-          else {
-            val m2 = math.min(s1, s2)
-            if (m2 <= 1.0) (m2, e1)
-            else {
-              val (s3, e3) = rep()
-              if (e3.isDefined) (m2, e1) else (math.min(m2, s3), e1)
-            }
+    val ordered = SparkEntry.queries.toSeq.sortBy(_._1)
+    // one rep = fresh plan build + full collect, then session cleanup
+    def rep(fn: (SparkSession, String) => org.apache.spark.sql.DataFrame)
+        : (Double, Option[String]) = {
+      val t0 = System.nanoTime()
+      val err = try { fn(spark, sfDir).collect(); None }
+        catch { case e: Throwable => Some(Option(e.getMessage).getOrElse(e.getClass.getName)) }
+      val sec = (System.nanoTime() - t0) / 1e9
+      isolate(spark)
+      (sec, err)
+    }
+    // 5 passes: with 3, a min could still land two of a query's reps
+    // inside one multi-minute contention window — measured agreement
+    // between same-code runs was ±34 % on the heavy entries at 3 passes
+    // and within ±10 % at 5 (README round-13 note)
+    val Passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
+    // fixed calibration probe: a pure-CPU shuffle-free Spark job whose
+    // cost depends only on the host, never on the query set or SF — the
+    // per-run min is the host-speed yardstick shipped as "calib_sec"
+    def calib(): Double = {
+      val t0 = System.nanoTime()
+      // bit_xor, not sum: a summed hash overflows Long under ANSI mode
+      spark.range(0L, 200000000L, 1, 32)
+        .selectExpr("bit_xor(xxhash64(id)) AS s").collect()
+      (System.nanoTime() - t0) / 1e9
+    }
+    var calibMin = Double.MaxValue
+    // best-so-far per query; a query that errors on its FIRST rep is
+    // recorded with the error and skipped on later passes (a broken
+    // query can't be rescued by a min); a transient error on a later
+    // rep keeps the earlier successful min — same forgiveness the old
+    // back-to-back scheme had
+    val best = scala.collection.mutable.LinkedHashMap[String, (Double, Option[String])]()
+    for (_ <- 1 to Passes) {
+      calibMin = math.min(calibMin, calib())
+      for ((name, fn) <- ordered) best.get(name) match {
+        case Some((_, Some(_))) => () // errored on first rep: keep the error
+        case prev =>
+          val (s, e) = rep(fn)
+          best(name) = prev match {
+            case None             => (s, e)
+            case Some((pMin, _))  => if (e.isDefined) (pMin, None)
+                                     else (math.min(pMin, s), None)
           }
-        }
+      }
+    }
+    val results = ordered.map { case (name, _) =>
+      val (sec, err) = best(name)
       (name, if (err.isDefined) -1.0 else sec, err)
     }
     def jq(s: String): String = "\"" + s.flatMap {
@@ -114,7 +149,7 @@ object Bench {
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"calib_sec":$calibMin,"sf":"$sfDir"}"""
     val outPath = Paths.get(sys.env.getOrElse("SPARK_GRAFT_OUT", "."), "bench.json")
     Files.writeString(outPath, line + "\n")
     // print the JSON first (before any shutdown noise), then the file path

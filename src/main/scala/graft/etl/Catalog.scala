@@ -47,8 +47,13 @@ final case class Catalog(root: String, messageBuckets: Int = 16) {
     * timestamp DESC LIMIT n` (routes.ts:238-241) — the streaming
     * quarantine channel also lands there (Pipeline.quarantineToLogs),
     * so it rides the same hint; `key_backup_status` ≙ the append-only
-    * status history whose consumer wants the latest row (L5,
-    * schema.ts:72-78, routes.ts "ORDER BY created_at DESC LIMIT 1"). */
+    * status history (L5, schema.ts:72-78). In the reference that table
+    * is write-only (INSERT only, db.utils.ts:206-213); the
+    * latest-status read pattern is INFERRED here from the reference's
+    * analogous recency reads, which live on sync_state (`ORDER BY
+    * created_at DESC LIMIT 1`, db.utils.ts:271-279) and sync_status
+    * (routes.ts:220-223) — any future consumer of this history gets
+    * the same pruned tail read they do. */
   val appendSortHints: Map[String, String] =
     Map("logs" -> "timestamp", "key_backup_status" -> "created_at")
 

@@ -33,7 +33,12 @@ object Corpus {
   val MaxPackBuckets: Int = 65536
 
   def packBuckets(nDocs: Long, cores: Int): Int = {
-    val byWork = ((nDocs + TargetDocsPerBucket - 1) / TargetDocsPerBucket).toInt
+    // clamp on the Long BEFORE narrowing: for nDocs ≳ 2^52 the Long
+    // quotient exceeds Int.MaxValue and a bare .toInt would wrap
+    // (possibly negative), collapsing the result to `cores` instead of
+    // the 64k cap
+    val byWork = math.min(MaxPackBuckets.toLong,
+      (nDocs + TargetDocsPerBucket - 1) / TargetDocsPerBucket).toInt
     math.min(MaxPackBuckets, math.max(math.max(1, cores), byWork))
   }
 

@@ -103,6 +103,48 @@ class CorpusSpec extends AnyFunSuite {
     assert(out.count() == 0)
   }
 
+  test("txt_pack_chunks packs correctly under pathological id skew (all ids in one range bucket)") {
+    // the range buckets carve the ID SPAN, so the per-bucket work bound
+    // assumes roughly uniform ids; the in-code analysis (Corpus.scala)
+    // claims clustering costs only parallelism, never correctness —
+    // this pins that claim: stretch the span with one far outlier so
+    // EVERY other doc lands in range-bucket 0, then require the packing
+    // to equal the serial ground truth and stay bucket-count-invariant
+    import spark.implicits._
+    import graft.ext.TextExpr.toksE
+    val tmp = java.nio.file.Files.createTempDirectory("graft-skew-docs").toString
+    val docs = Tables.documents(spark, sf)
+    val maxId = docs.agg(max($"doc_id")).head().getLong(0)
+    docs.withColumn("doc_id",
+        when($"doc_id" === maxId, lit(10000000000L)).otherwise($"doc_id"))
+      .write.parquet(s"$tmp/documents.parquet")
+    def run(n: Int): Seq[(Long, Long, Long, Long, Long)] = {
+      spark.conf.set("spark.graft.packBuckets", n.toString)
+      try SparkEntry.queries("txt_pack_chunks")(spark, tmp)
+        .orderBy("chunk_id").collect()
+        .map(r => (r.getLong(0), r.getLong(1), r.getLong(2), r.getLong(3), r.getLong(4)))
+        .toSeq
+      finally spark.conf.unset("spark.graft.packBuckets")
+    }
+    // serial ground truth: one cumulative offset pass in doc_id order
+    val perDoc = spark.read.parquet(s"$tmp/documents.parquet")
+      .withColumn("toks", expr(toksE))
+      .select($"doc_id", size($"toks").cast("long").as("n"))
+      .orderBy("doc_id").collect().map(r => (r.getLong(0), r.getLong(1)))
+    var off = 0L
+    val assigned = perDoc.map { case (id, n) =>
+      val chunk = off / graft.ext.Corpus.SeqLen; off += n; (id, n, chunk)
+    }
+    val expected = assigned.groupBy(_._3).toSeq.sortBy(_._1).map { case (chunk, ds) =>
+      (chunk, ds.length.toLong, ds.map(_._2).sum, ds.map(_._1).min, ds.map(_._1).max)
+    }
+    val got = run(1024)
+    assert(got == expected,
+      "skewed ids must pack exactly like the serial ground truth")
+    assert(run(4096) == got,
+      "bucket count stays a pure parallelism knob under skew")
+  }
+
   test("txt_pack_chunks plans the prefix sum distributed: no single-partition exchange") {
     // the naive global-cumsum window would plan Exchange SinglePartition
     // (one task holds the corpus) — the two-phase formulation must not

@@ -121,6 +121,62 @@ class StreamingSpec extends AnyFunSuite {
       "checkpoint resume must not re-merge old files")
   }
 
+  test("checkpoint resume across a Spark RESTART: new session + new pipeline objects, effectively-once holds") {
+    // S5/S7/L8 after a driver crash: session A ingests batch 1 and is
+    // abandoned; a NEW isolated SparkSession with NEW Catalog/Pipeline
+    // objects over the same on-disk checkpoint + catalog must (a) skip
+    // batch 1's files entirely, (b) ingest only the new files, (c) merge
+    // replayed duplicates instead of appending. A true SparkContext
+    // bounce isn't possible in the shared-JVM test harness, but
+    // newSession() resets everything a restart resets that matters for
+    // this contract — SQL conf, session catalog, streaming-query state,
+    // and every in-memory pipeline object — so the only state carried
+    // across the "crash" is the durable checkpoint + catalog dirs,
+    // which is exactly the contract under test.
+    import graft.etl.{Catalog, Pipeline}
+    import org.apache.spark.sql.functions._
+    val base = Files.createTempDirectory("graft-restart")
+    val src = base.resolve("src").toString
+    val ckpt = base.resolve("ckpt").toString
+    Files.createDirectories(Paths.get(src))
+
+    // --- session A: ingest 20 messages, then "crash"
+    val catA = Catalog(base.resolve("cat").toString)
+    catA.bootstrap()
+    rawRows(0 until 20, 1000L).coalesce(1).write.mode("append").parquet(src)
+    Streaming.runFullOnce(spark, src, ckpt, Pipeline(catA))
+    assert(catA.read(spark, "messages").count() == 20)
+    assert(catA.read(spark, "sync_state").count() == 1)
+
+    // --- restart: fresh session, fresh catalog/pipeline objects
+    val spark2 = spark.newSession()
+    val catB = Catalog(base.resolve("cat").toString)
+    val pipeB = Pipeline(catB)
+    // new data arrives while "down": 10 new + 5 replayed duplicates
+    rawRows(20 until 30, 2000L).coalesce(1).write.mode("append").parquet(src)
+    rawRows(0 until 5, 3000L).coalesce(1).write.mode("append").parquet(src)
+    Streaming.runFullOnce(spark2, src, ckpt, pipeB)
+
+    val msgs = catB.read(spark2, "messages")
+    assert(msgs.count() == 30,
+      "restart must skip batch-1 files and merge the 5 replays, not append")
+    assert(msgs.select(countDistinct(col("event_id"))).head().getLong(0) == 30,
+      "no duplicate event_ids after restart")
+    assert(msgs.filter(col("event_id") === "$evt0:x").head()
+      .getAs[Long]("timestamp") == 3000L, "LWW replay wins across the restart")
+    // exactly ONE new micro-batch ran post-restart (token count 1 → 2):
+    // had batch 1 been reprocessed the restarted source would have
+    // emitted it as an extra micro-batch and written an extra token
+    assert(catB.read(spark2, "sync_state").count() == 2,
+      "restarted stream must process only the new files")
+
+    // and a further restart with no new files reprocesses nothing
+    val vBefore = MergeWriter.currentVersion(catB.dir("messages"))
+    Streaming.runFullOnce(spark2, src, ckpt, pipeB)
+    assert(MergeWriter.currentVersion(catB.dir("messages")) == vBefore,
+      "idle restart must not re-merge old files")
+  }
+
   test("maintenance cadence keeps versions and segments bounded across batches") {
     import graft.etl.{Catalog, Pipeline}
     import scala.jdk.CollectionConverters._

@@ -32,6 +32,12 @@ def type_class(t):
     values; it exports as decimal128, not an int). So int widths
     collapse to one class; HUGEINT, DECIMAL(p,s), FLOAT/DOUBLE,
     VARCHAR, TIMESTAMP..., remain distinct.
+
+    DECIMAL(p,s) compares by the FULL type string, so precision-only
+    differences (DECIMAL(38,2) vs DECIMAL(12,2)) fail here. That
+    sensitivity is ASSUMED, not calibrated — no adjudicated row has
+    exercised it; conservative by design (a false FAIL locally is
+    cheap, a false PASS ships red).
     """
     if t is None:
         return None
@@ -70,11 +76,22 @@ def main(sf_dir, out_dir):
                 "DESCRIBE spark_out").fetchall()}
             otypes = {r[0]: r[1] for r in con.execute(
                 f"DESCRIBE (SELECT * FROM ({oracle}))").fetchall()}
-            tdiff = sorted(c for c in (stypes.keys() | otypes.keys())
-                           if type_class(stypes.get(c)) != type_class(otypes.get(c)))
+            # column-SET mismatch is a distinct failure from type drift:
+            # a column present on only one side is a schema-shape bug
+            # (wrong/missing alias), not a promotion issue, and reporting
+            # it as "BIGINT vs None" obscured that
+            only_s = sorted(stypes.keys() - otypes.keys())
+            only_o = sorted(otypes.keys() - stypes.keys())
+            if only_s or only_o:
+                print(f"FAIL {name}: column set mismatch: "
+                      f"spark-only={only_s} oracle-only={only_o}")
+                n_fail += 1
+                continue
+            tdiff = sorted(c for c in stypes
+                           if type_class(stypes[c]) != type_class(otypes[c]))
             if tdiff:
                 print(f"FAIL {name}: column TYPE drift (spark vs oracle): " +
-                      "; ".join(f"{c}: {stypes.get(c)} vs {otypes.get(c)}"
+                      "; ".join(f"{c}: {stypes[c]} vs {otypes[c]}"
                                 for c in tdiff))
                 n_fail += 1
                 continue
