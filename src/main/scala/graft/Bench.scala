@@ -133,6 +133,23 @@ object Bench {
           }
       }
     }
+    // heavy-tail refinement: the multi-second entries dominate both the
+    // total and the residual run-to-run scatter (their min-of-5 still
+    // bounced ±15 % while sub-second entries sat within ±6 %), so the
+    // ≥1 s subset gets extra interleaved passes — a fraction of a full
+    // pass's cost, spent exactly where the variance lives
+    val ExtraHeavyPasses =
+      sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_PASSES", "3").toInt
+    val heavy = ordered.filter { case (name, _) =>
+      best(name) match { case (sec, err) => err.isEmpty && sec >= 1.0 }
+    }
+    for (_ <- 1 to ExtraHeavyPasses; (name, fn) <- heavy) {
+      val (s, e) = rep(fn)
+      if (e.isEmpty) {
+        val (pMin, _) = best(name)
+        best(name) = (math.min(pMin, s), None)
+      }
+    }
     val results = ordered.map { case (name, _) =>
       val (sec, err) = best(name)
       (name, if (err.isDefined) -1.0 else sec, err)
