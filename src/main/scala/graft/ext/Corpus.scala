@@ -33,12 +33,14 @@ object Corpus {
   val MaxPackBuckets: Int = 65536
 
   def packBuckets(nDocs: Long, cores: Int): Int = {
-    // clamp on the Long BEFORE narrowing: for nDocs ≳ 2^52 the Long
-    // quotient exceeds Int.MaxValue and a bare .toInt would wrap
-    // (possibly negative), collapsing the result to `cores` instead of
-    // the 64k cap
-    val byWork = math.min(MaxPackBuckets.toLong,
-      (nDocs + TargetDocsPerBucket - 1) / TargetDocsPerBucket).toInt
+    // overflow-free ceiling division, then clamp on the Long BEFORE
+    // narrowing: the additive form (nDocs + Target - 1) wraps negative
+    // for nDocs near Long.MaxValue, and for nDocs ≳ 2^52 the quotient
+    // exceeds Int.MaxValue so a bare .toInt would wrap — either way the
+    // result would collapse to `cores` instead of the 64k cap
+    val ceilDiv =
+      nDocs / TargetDocsPerBucket + (if (nDocs % TargetDocsPerBucket == 0) 0 else 1)
+    val byWork = math.min(MaxPackBuckets.toLong, ceilDiv).toInt
     math.min(MaxPackBuckets, math.max(math.max(1, cores), byWork))
   }
 

@@ -90,6 +90,10 @@ class CorpusSpec extends AnyFunSuite {
     // astronomically big -> the 64k cap bounds the driver-side subtotal
     // collect (bounded-metadata discipline), never more
     assert(Corpus.packBuckets(1L << 42, 8) == Corpus.MaxPackBuckets)
+    // past 2^52 docs the Long quotient exceeds Int.MaxValue — the clamp
+    // must saturate at the cap, never wrap through toInt to `cores`
+    assert(Corpus.packBuckets(1L << 60, 8) == Corpus.MaxPackBuckets)
+    assert(Corpus.packBuckets(Long.MaxValue - 1, 8) == Corpus.MaxPackBuckets)
   }
 
   test("txt_pack_chunks on an empty documents table returns an empty frame, not an NPE") {
