@@ -47,6 +47,87 @@ class VectorFunctionsSpec extends AnyFunSuite {
     assert(total == df.count().toDouble)
   }
 
+  test("codegen and interpreted eval agree bit-for-bit on randomized and edge-case vectors") {
+    // the expressions carry TWO implementations of the same semantics:
+    // the Java emitted by doGenCode (whole-stage hot path) and the Scala
+    // nullSafeEval Spark silently falls back to when codegen is off or
+    // bails out. Any drift between them — the NULL-on-mismatch branch,
+    // null-element handling, accumulation order — would make results
+    // depend on which path the planner happened to pick. Randomized
+    // vectors plus every edge case (dimension mismatch, null elements,
+    // zero norms) must agree to the last bit across both paths.
+    import spark.implicits._
+    VectorFunctions.register(spark)
+    val rnd = new scala.util.Random(13)
+    def vec(n: Int): Seq[Option[Float]] =
+      Seq.fill(n)(Some((rnd.nextFloat() - 0.5f) * 4f))
+    val rows: Seq[(Int, Seq[Option[Float]], Seq[Option[Float]])] =
+      (1 to 200).map { id =>
+        val n = 1 + rnd.nextInt(8)
+        val a = vec(n)
+        val b = rnd.nextInt(10) match {
+          case 0 => vec(n + 1)                           // dim mismatch → NULL
+          case 1 => Seq.fill(n)(Some(0f))                // zero norm → cos 0.0
+          case 2 => vec(n).updated(rnd.nextInt(n), None) // null elem → NULL
+          case _ => vec(n)
+        }
+        (id, a, b)
+      } :+ ((201, Seq(Some(0f)), Seq(Some(0f))))         // both zero → cos 0.0
+    val tmp = java.nio.file.Files.createTempDirectory("graft-vec-prop").toString + "/data"
+    rows.toDF("id", "a", "b").write.parquet(tmp)
+
+    // bit-level comparison: None for SQL NULL, else the raw IEEE bits
+    def run(interpreted: Boolean): Seq[(Int, Option[Long], Option[Long])] = {
+      if (interpreted) {
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      }
+      try spark.read.parquet(tmp)
+        .selectExpr("id", "cosine_sim(a, b) AS c", "dot_product(a, b) AS d")
+        .collect()
+        .map { r =>
+          def bits(i: Int) = if (r.isNullAt(i)) None
+            else Some(java.lang.Double.doubleToLongBits(r.getDouble(i)))
+          (r.getInt(0), bits(1), bits(2))
+        }.toSeq.sortBy(_._1)
+      finally if (interpreted) {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    val gen = run(interpreted = false)
+    val int = run(interpreted = true)
+    assert(gen == int, "codegen and interpreted expression paths diverged")
+    // sanity on the edge-case coverage itself: the batch really exercised
+    // all three NULL/zero branches, not just the happy path
+    assert(gen.exists(_._2.isEmpty), "no NULL case was generated")
+    assert(gen.exists(r => r._2.contains(java.lang.Double.doubleToLongBits(0.0))),
+      "no zero-norm case was generated")
+
+    // branch-free path (containsNull = false schema, no per-element null
+    // checks emitted): both modes must still agree
+    val dense = (1 to 50).map { id =>
+      (id, Seq.fill(6)((rnd.nextFloat() - 0.5f) * 4f),
+           Seq.fill(6)((rnd.nextFloat() - 0.5f) * 4f))
+    }
+    def runDense(interpreted: Boolean): Seq[(Int, Long)] = {
+      if (interpreted) {
+        spark.conf.set("spark.sql.codegen.wholeStage", "false")
+        spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
+      }
+      try dense.toDF("id", "a", "b")
+        .selectExpr("id", "cosine_sim(a, b) AS c").collect()
+        .map(r => (r.getInt(0), java.lang.Double.doubleToLongBits(r.getDouble(1))))
+        .toSeq.sortBy(_._1)
+      finally if (interpreted) {
+        spark.conf.set("spark.sql.codegen.wholeStage", "true")
+        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+      }
+    }
+    assert(runDense(interpreted = false) == runDense(interpreted = true),
+      "branch-free (non-nullable-element) paths diverged")
+  }
+
   test("multimodal stub decode is deterministic and batch-shaped") {
     val d1 = ext.Multimodal.decode(spark, "/root/testdata/sf0.001").collect().sortBy(_.doc_id)
     val d2 = ext.Multimodal.decode(spark, "/root/testdata/sf0.001").collect().sortBy(_.doc_id)
