@@ -23,11 +23,20 @@ object Ingest {
     * becomes a row with a synthetic event_id, event_type
     * 'm.graft.corrupt', and the offending line in `error` — so
     * [[quarantine]] splits it off to the logs table and a bad line can
-    * never kill the batch. */
+    * never kill the batch.
+    *
+    * Identity = event_id, room_id, sender, origin_server_ts: all four
+    * are mandatory on every wire event, and the last two back NOT NULL
+    * columns of the reference's messages table (schema.ts:60,63) — its
+    * insert would reject them. The check matters beyond missing keys:
+    * from_json is PERMISSIVE, so a present-but-wrong-TYPE field (e.g. a
+    * string origin_server_ts) parses to a silent null that would
+    * otherwise flow a null timestamp into the LWW merge. */
   def rawFromJsonLines(lines: DataFrame): DataFrame = {
     val e = from_json(col("value"), Schemas.rawEvent)
     val ok = e.isNotNull &&
-      e.getField("event_id").isNotNull && e.getField("room_id").isNotNull
+      e.getField("event_id").isNotNull && e.getField("room_id").isNotNull &&
+      e.getField("sender").isNotNull && e.getField("origin_server_ts").isNotNull
     lines.select(
       when(ok, e.getField("event_id"))
         .otherwise(concat(lit("$corrupt-"), md5(col("value")))).as("event_id"),
