@@ -100,6 +100,59 @@ class MergeWriterSpec extends AnyFunSuite {
     }
   }
 
+  test("property: random interleavings of merge/compact/vacuum/rebucket preserve the LWW model") {
+    // the per-op laws above test each mechanism against its neighbor;
+    // this drives random SEQUENCES of them against one in-memory model,
+    // the shape a long-lived table actually sees (continuous merges with
+    // maintenance and an occasional layout migration mixed in). Any
+    // manifest bug that needs a specific op ORDER to trigger — a
+    // compact folding a segment vacuum was about to need, a rebucket
+    // racing stale stats — shows up as a model divergence here.
+    import scala.util.Random
+    for (seed <- 1 to 3) {
+      val rnd = new Random(seed)
+      val dir = tmp()
+      var spec = MergeWriter.BucketSpec("event_id", 8, Seq("timestamp"))
+      val model = scala.collection.mutable.Map[String, (Long, String)]()
+      var ts = 0L
+      def mergeBatch(): Unit = {
+        val rows = (1 to 1 + rnd.nextInt(12)).map { _ =>
+          ts += 1; (s"k${1 + rnd.nextInt(15)}", ts, s"c$ts")
+        }
+        // model: within-batch LWW by timestamp, then batch wins over
+        // the snapshot (the reference's latest-statement semantics)
+        rows.groupBy(_._1).foreach { case (k, rs) =>
+          val w = rs.maxBy(_._2); model(k) = (w._2, w._3)
+        }
+        MergeWriter.merge(spark, dir, df(rows),
+          Seq("event_id"), Seq("timestamp"), bucket = Some(spec))
+      }
+      mergeBatch() // establish the bucketed layout
+      for (step <- 1 to 9) {
+        rnd.nextInt(5) match {
+          case 0 | 1 => mergeBatch()
+          case 2 => MergeWriter.compact(spark, dir, df(Nil).schema, spec)
+          case 3 => MergeWriter.vacuum(dir, keepVersions = 1 + rnd.nextInt(2))
+          case 4 =>
+            val nb = Seq(4, 8, 16)(rnd.nextInt(3))
+            if (nb != spec.buckets) {
+              spec = MergeWriter.BucketSpec("event_id", nb, Seq("timestamp"))
+              MergeWriter.rebucket(spark, dir, df(Nil).schema, spec)
+            }
+        }
+        assert(snap(dir) == model.toMap, s"seed=$seed step=$step: snapshot diverged from model")
+      }
+      // pruned point reads agree under whatever layout the walk ended on
+      model.keys.take(5).foreach { k =>
+        val got = MergeWriter.readBuckets(spark, dir, df(Nil).schema,
+            Set(MergeWriter.bucketIdOf(k, spec.buckets)))
+          .filter(col("event_id") === k).collect()
+          .map(r => (r.getLong(1), r.getString(2))).toSeq
+        assert(got == Seq(model(k)), s"seed=$seed: pruned read of $k diverged")
+      }
+    }
+  }
+
   test("versioned snapshots survive pointer swap (old version still readable)") {
     val dir = tmp()
     MergeWriter.merge(spark, dir, df(Seq(("e1", 1L, "v0"))), Seq("event_id"), Seq("timestamp"))
