@@ -36,11 +36,18 @@ class PrunedReadPropertySpec extends AnyFunSuite {
       // epochs are NOT time-ordered: each draws from the same tiny ts
       // domain, so segment [min,max] ranges overlap heavily and the
       // manifest bound must be derived, not assumed from append order
+      // alternate a moderate-tie domain with a BRUTAL-tie domain (6
+      // distinct values): the brutal case forces segment max == derived
+      // bound collisions, where an exclusive-vs-inclusive slip in the
+      // bound comparison drops exactly the rows tied on the cutoff —
+      // a mutation proof showed the moderate domain alone misses it
+      // (PLANS.md §prune-gate red/green)
+      val tsDomain = if (seed % 2 == 0) 60 else 6
       val all = ArrayBuffer[(Long, String)]()
       val epochs = 2 + rnd.nextInt(4)
       for (k <- 1 to epochs) {
         val n = 1 + rnd.nextInt(40)
-        val rows = (1 to n).map(i => (rnd.nextInt(60).toLong, f"m$seed%02d-$k-$i%03d"))
+        val rows = (1 to n).map(i => (rnd.nextInt(tsDomain).toLong, f"m$seed%02d-$k-$i%03d"))
         all ++= rows
         cat.append(spark, "logs",
           rows.map { case (ts, m) => (new java.sql.Timestamp(ts), "info", m) }
@@ -58,6 +65,31 @@ class PrunedReadPropertySpec extends AnyFunSuite {
           s"seed=$seed limit=$limit: pruned tail diverged from full-scan tail")
       }
     }
+  }
+
+  test("tail read keeps segments whose max EQUALS the derived bound (constructed boundary tie)") {
+    // readTailByStats derives L = min over the prefix of segment mins
+    // and may only drop segments with max < L — max == L must be KEPT:
+    // when the page cutoff lands exactly on L, tied rows in such a
+    // segment can win the message tiebreak. Constructed so randomness
+    // isn't needed (a mutation proof showed random layouts rarely
+    // compose max == L with a tie-straddling page):
+    //   segment A: ts=5 × {z1,z2,z3}  → prefix for limit=3, L = 5
+    //   segment B: ts=5 × {a1,a2}     → max == L, holds the WINNING ties
+    // correct 3-row tail (ts desc, message asc) = a1, a2, z1; an
+    // exclusive bound drops B (and A) and returns the wrong page.
+    import spark.implicits._
+    val cat = Catalog(Files.createTempDirectory("graft-prune-boundary").toString)
+    cat.bootstrap()
+    def seg(msgs: Seq[String]) = cat.append(spark, "logs",
+      msgs.map(m => (new java.sql.Timestamp(5L), "info", m))
+        .toDF("timestamp", "level", "message"))
+    seg(Seq("z1", "z2", "z3"))
+    seg(Seq("a1", "a2"))
+    val got = Api(cat).logsTail(spark, 3)
+      .select("message").collect().map(_.getString(0)).toSeq
+    assert(got == Seq("a1", "a2", "z1"),
+      "rows tied on the boundary timestamp must come from EVERY segment whose max reaches it")
   }
 
   test("bucket+zone ranged point read equals the full-scan filter on random layouts") {
