@@ -60,6 +60,20 @@ object Bench {
   def main(args: Array[String]): Unit = {
     val sfDir = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
+    // parsed BEFORE the warm-up so a typo'd env var fails immediately
+    // with a clear message, not after minutes of JIT warm-up; clamped
+    // to >=1 passes (zero would leave `best` empty and best(name)
+    // would throw, with calib_sec serializing as Double.MaxValue)
+    def intEnv(key: String, default: Int, floor: Int): Int =
+      sys.env.get(key) match {
+        case None => default
+        case Some(raw) => raw.toIntOption match {
+          case Some(n) => math.max(floor, n)
+          case None => sys.error(s"$key must be an integer, got: '$raw'")
+        }
+      }
+    val Passes = intEnv("SPARK_GRAFT_BENCH_PASSES", 5, 1)
+    val ExtraHeavyPasses = intEnv("SPARK_GRAFT_BENCH_HEAVY_PASSES", 3, 0)
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
       .config("spark.sql.shuffle.partitions", cpus)
@@ -102,7 +116,6 @@ object Bench {
     // inside one multi-minute contention window — measured agreement
     // between same-code runs was ±34 % on the heavy entries at 3 passes
     // and within ±10 % at 5 (README round-13 note)
-    val Passes = sys.env.getOrElse("SPARK_GRAFT_BENCH_PASSES", "5").toInt
     // fixed calibration probe: a pure-CPU shuffle-free Spark job whose
     // cost depends only on the host, never on the query set or SF — the
     // per-run min is the host-speed yardstick shipped as "calib_sec"
@@ -120,6 +133,14 @@ object Bench {
     // rep keeps the earlier successful min — same forgiveness the old
     // back-to-back scheme had
     val best = scala.collection.mutable.LinkedHashMap[String, (Double, Option[String])]()
+    // a rep that errors AFTER a prior success keeps the successful min,
+    // but must not vanish: it's counted here and shipped as "flaky" so
+    // intermittent breakage in a query is visible in bench.json
+    val flaky = scala.collection.mutable.LinkedHashMap[String, Int]()
+    def noteFlaky(name: String, msg: String): Unit = {
+      flaky(name) = flaky.getOrElse(name, 0) + 1
+      System.err.println(s"[bench] FLAKY rep for $name (kept earlier min): ${msg.take(200)}")
+    }
     for (_ <- 1 to Passes) {
       calibMin = math.min(calibMin, calib())
       for ((name, fn) <- ordered) best.get(name) match {
@@ -128,7 +149,7 @@ object Bench {
           val (s, e) = rep(fn)
           best(name) = prev match {
             case None             => (s, e)
-            case Some((pMin, _))  => if (e.isDefined) (pMin, None)
+            case Some((pMin, _))  => if (e.isDefined) { noteFlaky(name, e.get); (pMin, None) }
                                      else (math.min(pMin, s), None)
           }
       }
@@ -138,8 +159,6 @@ object Bench {
     // bounced ±15 % while sub-second entries sat within ±6 %), so the
     // ≥1 s subset gets extra interleaved passes — a fraction of a full
     // pass's cost, spent exactly where the variance lives
-    val ExtraHeavyPasses =
-      sys.env.getOrElse("SPARK_GRAFT_BENCH_HEAVY_PASSES", "3").toInt
     val heavy = ordered.filter { case (name, _) =>
       best(name) match { case (sec, err) => err.isEmpty && sec >= 1.0 }
     }
@@ -148,7 +167,7 @@ object Bench {
       if (e.isEmpty) {
         val (pMin, _) = best(name)
         best(name) = (math.min(pMin, s), None)
-      }
+      } else noteFlaky(name, e.get)
     }
     val results = ordered.map { case (name, _) =>
       val (sec, err) = best(name)
@@ -164,9 +183,11 @@ object Bench {
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => jq(k) + ":" + jq(m.take(200)) }
       .mkString("{", ",", "}")
+    val flakyJson = flaky.map { case (k, n) => jq(k) + ":" + n }
+      .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
     val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"calib_sec":$calibMin,"sf":"$sfDir"}"""
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flakyJson,"calib_sec":$calibMin,"sf":"$sfDir"}"""
     val outPath = Paths.get(sys.env.getOrElse("SPARK_GRAFT_OUT", "."), "bench.json")
     Files.writeString(outPath, line + "\n")
     // print the JSON first (before any shutdown noise), then the file path

@@ -8,6 +8,15 @@ import org.scalatest.funsuite.AnyFunSuite
 class VectorFunctionsSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Sessions.local(cores = 4, appName = "graft-vec")
 
+  // restore a conf key to its pre-test state (set-back or unset), so a
+  // session-level override isn't clobbered for later tests sharing the
+  // session — restoring hard-coded defaults would erase it
+  private def restoreConf(key: String, saved: Option[String]): Unit =
+    saved match {
+      case Some(v) => spark.conf.set(key, v)
+      case None    => spark.conf.unset(key)
+    }
+
   test("cosine_sim and dot_product on known vectors") {
     import spark.implicits._
     VectorFunctions.register(spark)
@@ -78,6 +87,8 @@ class VectorFunctionsSpec extends AnyFunSuite {
 
     // bit-level comparison: None for SQL NULL, else the raw IEEE bits
     def run(interpreted: Boolean): Seq[(Int, Option[Long], Option[Long])] = {
+      val savedWs = spark.conf.getOption("spark.sql.codegen.wholeStage")
+      val savedFm = spark.conf.getOption("spark.sql.codegen.factoryMode")
       if (interpreted) {
         spark.conf.set("spark.sql.codegen.wholeStage", "false")
         spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
@@ -91,8 +102,8 @@ class VectorFunctionsSpec extends AnyFunSuite {
           (r.getInt(0), bits(1), bits(2))
         }.toSeq.sortBy(_._1)
       finally if (interpreted) {
-        spark.conf.set("spark.sql.codegen.wholeStage", "true")
-        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+        restoreConf("spark.sql.codegen.wholeStage", savedWs)
+        restoreConf("spark.sql.codegen.factoryMode", savedFm)
       }
     }
     val gen = run(interpreted = false)
@@ -111,6 +122,8 @@ class VectorFunctionsSpec extends AnyFunSuite {
            Seq.fill(6)((rnd.nextFloat() - 0.5f) * 4f))
     }
     def runDense(interpreted: Boolean): Seq[(Int, Long)] = {
+      val savedWs = spark.conf.getOption("spark.sql.codegen.wholeStage")
+      val savedFm = spark.conf.getOption("spark.sql.codegen.factoryMode")
       if (interpreted) {
         spark.conf.set("spark.sql.codegen.wholeStage", "false")
         spark.conf.set("spark.sql.codegen.factoryMode", "NO_CODEGEN")
@@ -120,8 +133,8 @@ class VectorFunctionsSpec extends AnyFunSuite {
         .map(r => (r.getInt(0), java.lang.Double.doubleToLongBits(r.getDouble(1))))
         .toSeq.sortBy(_._1)
       finally if (interpreted) {
-        spark.conf.set("spark.sql.codegen.wholeStage", "true")
-        spark.conf.set("spark.sql.codegen.factoryMode", "FALLBACK")
+        restoreConf("spark.sql.codegen.wholeStage", savedWs)
+        restoreConf("spark.sql.codegen.factoryMode", savedFm)
       }
     }
     assert(runDense(interpreted = false) == runDense(interpreted = true),

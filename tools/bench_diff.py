@@ -1,0 +1,202 @@
+#!/usr/bin/env python3
+"""Calibration-normalized bench comparator.
+
+Usage:
+    python3 tools/bench_diff.py OLD NEW [--threshold 1.2] [--min-sec 1.0]
+                                        [--fail-on-regression]
+
+OLD / NEW are bench result files in either of two shapes:
+
+  1. `bench.json` as written by graft.Bench — one JSON object with
+     "queries" {name: sec}, "calib_sec", "errors", optionally "flaky".
+  2. A driver `BENCH_r{N}.json` wrapper — {"n","rc","tail",...} where
+     "tail" holds the (possibly front-truncated) captured stdout that
+     contains the bench JSON line. Query times and calib_sec are
+     recovered from the tail by regex; a truncated tail yields a
+     partial query set, which is reported, and the diff runs over the
+     intersection.
+
+Why normalize: the bench host's speed drifts between rounds (measured
+~±10–60 % on this box — see Bench.scala's scaladoc). Each bench run
+times a fixed pure-CPU calibration probe and ships its min as
+"calib_sec"; if calib moved with the totals, the HOST moved, not the
+code. The comparable number is therefore
+
+    norm_ratio = (new_sec / new_calib) / (old_sec / old_calib)
+
+i.e. the query's cost in units of "calibration probes" on each host.
+When either side lacks calib_sec (rounds before r13), the tool falls
+back to raw ratios and says so.
+
+A ≥`--min-sec` (default 1.0 s on either side) entry whose normalized
+ratio exceeds `--threshold` (default 1.2×) is flagged REGRESSION;
+below 1/threshold is flagged IMPROVED. Sub-second entries are listed
+but never flagged: their run-to-run scatter (±10 % floor, worse under
+contention) exceeds any signal at this SF.
+"""
+
+import argparse
+import json
+import re
+import sys
+
+# keys that appear as "key":number in the bench JSON line but are not
+# query timings (used when recovering from a truncated driver tail)
+META_KEYS = {"metric", "value", "n", "rc", "cpus", "sf", "calib_sec", "unit"}
+
+NUM = r"-?\d+(?:\.\d+)?(?:[eE][+-]?\d+)?"
+
+
+def load_bench(path):
+    """Return (queries: dict name->sec, calib: float|None, meta: dict)."""
+    with open(path) as f:
+        data = json.load(f)
+
+    if "queries" in data:
+        q = {k: float(v) for k, v in data["queries"].items() if float(v) >= 0}
+        return q, data.get("calib_sec"), {
+            "source": "bench.json",
+            "partial": False,
+            "errors": data.get("errors", {}),
+            "flaky": data.get("flaky", {}),
+            "total": data.get("value"),
+        }
+
+    if "tail" in data:
+        tail = data["tail"]
+        # prefer the complete JSON line if the tail happens to hold one
+        for line in tail.splitlines():
+            line = line.strip()
+            if line.startswith('{"metric"'):
+                try:
+                    inner = json.loads(line)
+                    q = {k: float(v) for k, v in inner["queries"].items()
+                         if float(v) >= 0}
+                    return q, inner.get("calib_sec"), {
+                        "source": f"BENCH wrapper (full line, round {data.get('n')})",
+                        "partial": False,
+                        "errors": inner.get("errors", {}),
+                        "flaky": inner.get("flaky", {}),
+                        "total": inner.get("value"),
+                    }
+                except (json.JSONDecodeError, KeyError):
+                    pass
+        # front-truncated tail: recover "name":sec pairs by regex. Stop
+        # at "errors" if present so error-message contents can't be
+        # mistaken for timings.
+        cut = tail.find('"errors"')
+        body = tail if cut < 0 else tail[:cut]
+        q = {}
+        for m in re.finditer(r'"([A-Za-z0-9_]+)":(%s)(?=[,}])' % NUM, body):
+            name, sec = m.group(1), float(m.group(2))
+            if name not in META_KEYS and sec >= 0:
+                q[name] = sec
+        calib = None
+        mc = re.search(r'"calib_sec":(%s)' % NUM, tail)
+        if mc:
+            calib = float(mc.group(1))
+        return q, calib, {
+            "source": f"BENCH wrapper (truncated tail, round {data.get('n')})",
+            "partial": True,
+            "errors": {},
+            "flaky": {},
+            "total": None,
+        }
+
+    raise SystemExit(f"{path}: unrecognized format (no 'queries' or 'tail' key)")
+
+
+def main():
+    ap = argparse.ArgumentParser(description=__doc__.splitlines()[0])
+    ap.add_argument("old")
+    ap.add_argument("new")
+    ap.add_argument("--threshold", type=float, default=1.2,
+                    help="normalized ratio above which a >=min-sec entry is "
+                         "flagged REGRESSION (default 1.2)")
+    ap.add_argument("--min-sec", type=float, default=1.0,
+                    help="only entries at or above this duration (on either "
+                         "side) can be flagged (default 1.0)")
+    ap.add_argument("--fail-on-regression", action="store_true",
+                    help="exit 1 if any entry is flagged REGRESSION")
+    args = ap.parse_args()
+
+    old_q, old_c, old_m = load_bench(args.old)
+    new_q, new_c, new_m = load_bench(args.new)
+
+    print(f"OLD {args.old}: {len(old_q)} queries [{old_m['source']}]"
+          + (" — PARTIAL (truncated tail)" if old_m["partial"] else ""))
+    print(f"NEW {args.new}: {len(new_q)} queries [{new_m['source']}]"
+          + (" — PARTIAL (truncated tail)" if new_m["partial"] else ""))
+
+    normalized = old_c is not None and new_c is not None
+    if normalized:
+        host = new_c / old_c
+        print(f"calib_sec: old={old_c:.4f}  new={new_c:.4f}  "
+              f"host-speed ratio={host:.3f} "
+              f"({'new host slower' if host > 1 else 'new host faster' if host < 1 else 'same'})")
+        print(f"norm_ratio = (new/new_calib)/(old/old_calib); "
+              f"flag if >= {args.min_sec}s and ratio > {args.threshold}")
+    else:
+        missing = [n for n, c in (("OLD", old_c), ("NEW", new_c)) if c is None]
+        print(f"WARNING: {' and '.join(missing)} lack calib_sec — "
+              f"ratios below are RAW (host drift not removed)")
+
+    common = sorted(set(old_q) & set(new_q))
+    only_old = sorted(set(old_q) - set(new_q))
+    only_new = sorted(set(new_q) - set(old_q))
+    if only_old:
+        print(f"only in OLD ({len(only_old)}): {', '.join(only_old)}")
+    if only_new:
+        print(f"only in NEW ({len(only_new)}): {', '.join(only_new)}")
+
+    rows = []
+    for name in common:
+        o, n = old_q[name], new_q[name]
+        raw = n / o if o > 0 else float("inf")
+        norm = (n / new_c) / (o / old_c) if normalized and o > 0 else raw
+        eligible = max(o, n) >= args.min_sec
+        if eligible and norm > args.threshold:
+            flag = "REGRESSION"
+        elif eligible and norm < 1.0 / args.threshold:
+            flag = "IMPROVED"
+        else:
+            flag = ""
+        rows.append((name, o, n, raw, norm, flag))
+
+    rows.sort(key=lambda r: -r[4])
+    hdr = f"{'query':<28}{'old_s':>9}{'new_s':>9}{'raw':>7}{'norm':>7}  flag"
+    print()
+    print(hdr)
+    print("-" * len(hdr))
+    for name, o, n, raw, norm, flag in rows:
+        print(f"{name:<28}{o:>9.3f}{n:>9.3f}{raw:>7.2f}{norm:>7.2f}  {flag}")
+
+    tot_o = sum(old_q[n] for n in common)
+    tot_n = sum(new_q[n] for n in common)
+    raw_t = tot_n / tot_o if tot_o else float("nan")
+    norm_t = raw_t * (old_c / new_c) if normalized else raw_t
+    print("-" * len(hdr))
+    print(f"{'TOTAL (common)':<28}{tot_o:>9.3f}{tot_n:>9.3f}{raw_t:>7.2f}{norm_t:>7.2f}")
+
+    regs = [r for r in rows if r[5] == "REGRESSION"]
+    imps = [r for r in rows if r[5] == "IMPROVED"]
+    print()
+    print(f"summary: {len(common)} compared, "
+          f"{len(regs)} regression(s) (norm > {args.threshold}x at >= {args.min_sec}s), "
+          f"{len(imps)} improved"
+          + ("" if normalized else " [RAW — no calib normalization]"))
+    for name, o, n, raw, norm, _ in regs:
+        print(f"  REGRESSION {name}: {o:.3f}s -> {n:.3f}s "
+              f"(raw {raw:.2f}x, norm {norm:.2f}x)")
+    for side, meta in (("OLD", old_m), ("NEW", new_m)):
+        if meta["errors"]:
+            print(f"  {side} errors: {sorted(meta['errors'])}")
+        if meta["flaky"]:
+            print(f"  {side} flaky reps: {meta['flaky']}")
+
+    if args.fail_on_regression and regs:
+        sys.exit(1)
+
+
+if __name__ == "__main__":
+    main()
