@@ -83,20 +83,40 @@ object Ingest {
   def messagesFromRaw(raw: DataFrame): DataFrame =
     projectMessage(onlyMessages(dropBackfill(raw)))
 
-  /** T4 — member projection with null-coalesce defaults
-    * (db.utils.ts:89-97,186-194). Input: member events
-    * (event_type = 'm.room.member', content JSON with displayname/
-    * avatar_url/membership). */
-  def projectParticipant(raw: DataFrame): DataFrame =
+  /** T4 — member projection (db.utils.ts:89-97,186-194). Input: member
+    * events (event_type = 'm.room.member', content JSON with
+    * displayname/avatar_url/membership).
+    *
+    * Null-coalesce applies ONLY to the columns the reference itself
+    * defaults: avatar_url carries `?? ''` (db.utils.ts:92) and
+    * display_name is the SDK-computed non-null member.name — both land
+    * in nullable columns either way. `membership` is different: the
+    * reference passes member.membership straight into
+    * participants.membership TEXT NOT NULL (db.utils.ts:93,
+    * schema.ts:45) with no fallback, so a member event whose content
+    * yields no membership — absent key, JSON null, non-object or
+    * unparseable content (all of which get_json_object surfaces as
+    * null) — is REJECTED by its insert, never defaulted. Mirror that
+    * through the same in-row error channel as the JSONL boundary:
+    * such rows carry a non-null `error` (plus their event_id for the
+    * log line) and [[Pipeline]] routes them to `logs` instead of
+    * letting a silent "" reach the L2 change-detection merge. */
+  def projectParticipant(raw: DataFrame): DataFrame = {
+    val membership = get_json_object(col("content"), "$.membership")
     raw.filter(col("event_type") === "m.room.member").select(
+      col("event_id"),
       col("sender").as("user_id"),
       col("room_id"),
       coalesce(get_json_object(col("content"), "$.displayname"), lit("")).as("display_name"),
       coalesce(get_json_object(col("content"), "$.avatar_url"), lit("")).as("avatar_url"),
-      coalesce(get_json_object(col("content"), "$.membership"), lit("")).as("membership"),
+      membership.as("membership"),
       col("origin_server_ts").as("joined_ts"),
       current_timestamp().as("last_updated"),
-      current_timestamp().as("created_at"))
+      current_timestamp().as("created_at"),
+      when(membership.isNull,
+        lit("member_missing_membership: content has no usable membership"))
+        .as("error"))
+  }
 
   /** T5 — room-state extraction from state events (db.utils.ts:107-116):
     * name/topic/avatar from their state events, is_encrypted from the

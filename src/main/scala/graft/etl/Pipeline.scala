@@ -29,14 +29,28 @@ final case class Pipeline(catalog: Catalog, crypto: Option[CryptoConfig] = None)
     }
 
   /** Dead-letter rows are kept queryable — the reference persists the
-    * error column in-row (schema.ts:66); we land them in `logs`. */
-  private def quarantineToLogs(spark: SparkSession, quarantined: DataFrame): Unit =
+    * error column in-row (schema.ts:66); we land them in `logs`.
+    * `tsCol` names the quarantined frame's timestamp column (messages
+    * carry processed_at; participant rows carry last_updated). */
+  private def quarantineToLogs(spark: SparkSession, quarantined: DataFrame,
+      tsCol: String = "processed_at"): Unit =
     if (!quarantined.isEmpty) // don't commit an empty log segment per clean batch
       catalog.append(spark, "logs", quarantined.select(
-        col("processed_at").as("timestamp"),
+        col(tsCol).as("timestamp"),
         lit("error").as("level"),
         concat_ws(": ", col("event_id"), coalesce(col("error"), lit("quarantined")))
           .as("message")))
+
+  /** L2 input with the reference's NOT NULL membership rule applied:
+    * member events whose content yields no membership are rejected by
+    * the reference's insert (schema.ts:45), so here they go to `logs`
+    * — never as a silent "" into the participants merge. Returns the
+    * clean rows in the participants-table shape. */
+  private def participantsGated(spark: SparkSession, raw: DataFrame): DataFrame = {
+    val (ok, bad) = Ingest.quarantine(Ingest.projectParticipant(raw))
+    quarantineToLogs(spark, bad, tsCol = "last_updated")
+    ok.drop("event_id", "error")
+  }
 
   /** Source-boundary dead letters (unparseable JSON lines from
     * [[Ingest.rawFromJsonLines]]): raw-shaped rows whose event_type
@@ -62,7 +76,7 @@ final case class Pipeline(catalog: Catalog, crypto: Option[CryptoConfig] = None)
     catalog.upsert(spark, "messages", clean,
       keys = Seq("event_id"), orderBy = Seq("timestamp", "id"))
     quarantineToLogs(spark, quarantined)
-    val members = Ingest.projectParticipant(raw)
+    val members = participantsGated(spark, raw)
     if (!members.isEmpty)
       catalog.upsert(spark, "participants", members,
         keys = Seq("user_id", "room_id"), orderBy = Seq("joined_ts"),
@@ -84,7 +98,7 @@ final case class Pipeline(catalog: Catalog, crypto: Option[CryptoConfig] = None)
     catalog.upsert(spark, "messages", clean,
       keys = Seq("event_id"), orderBy = Seq("timestamp", "id"))
     quarantineToLogs(spark, quarantined)
-    val members = Ingest.projectParticipant(raw)
+    val members = participantsGated(spark, raw)
     if (!members.isEmpty)
       catalog.upsert(spark, "participants", members,
         keys = Seq("user_id", "room_id"), orderBy = Seq("joined_ts"),

@@ -135,6 +135,80 @@ class JsonSourceSpec extends AnyFunSuite {
       "no null identity may survive to the merge")
   }
 
+  test("wrong-TYPE member/room state events: membership NOT NULL rule quarantines; room defaults mirror the reference") {
+    // Same PERMISSIVE-null discipline as the message identity gate, now
+    // on the L2/L3 inputs. participants.membership is TEXT NOT NULL and
+    // the reference passes member.membership with no fallback
+    // (schema.ts:45, db.utils.ts:93): a member event whose content
+    // yields no membership is rejected by its insert — here it must
+    // carry the in-row error and never reach the participants merge.
+    // Rooms are the opposite case: every extracted room column is
+    // nullable and the reference itself coalesces topic/avatar with
+    // `?? ''` (db.utils.ts:110-114), so wrong-typed room content
+    // DEFAULTS, identity problems quarantine at the source gate.
+    def member(content: String, sender: String = "\"@a:x\"",
+        eid: String = "\"$m1:x\""): String =
+      s"""{"event_id":$eid,"room_id":"!r1:x","sender":$sender,""" +
+        s""""event_type":"m.room.member","origin_server_ts":1001,""" +
+        (if (content == null) "" else s""""content":$content,""") +
+        s""""is_encrypted":false,"to_start_of_timeline":false}"""
+    val badMembers = Seq(
+      member("\"{\\\"displayname\\\":\\\"X\\\"}\"", eid = "\"$m2:x\""), // membership key absent
+      member("\"{\\\"membership\\\":null}\"", eid = "\"$m3:x\""),       // explicit JSON null
+      member("\"not json at all\"", eid = "\"$m4:x\""),                 // unparseable content
+      member("\"[1,2,3]\"", eid = "\"$m5:x\""),                         // non-object content
+      member(null, eid = "\"$m6:x\""))                                  // content field absent
+    val okMember = member("\"{\\\"membership\\\":\\\"join\\\",\\\"displayname\\\":\\\"A\\\"}\"")
+    // null sender on a member event: stopped at the SOURCE identity
+    // gate, never reaches the member projection at all. (A wrong-TYPE
+    // sender like 12345 is NOT a gate case: Spark's JSON parser
+    // renders any token as text for string fields, exactly as pg's
+    // TEXT coercion would accept it from the reference's insert.)
+    val badIdentity = member("\"{\\\"membership\\\":\\\"join\\\"}\"", sender = "null")
+    // room state events: wrong-typed name content must DEFAULT (""), not
+    // quarantine — the reference coalesces; identity is already gated
+    val roomNoName =
+      """{"event_id":"$r1:x","room_id":"!r1:x","sender":"@a:x","event_type":"m.room.name","origin_server_ts":1002,"content":"[]","is_encrypted":false,"to_start_of_timeline":false}"""
+
+    val dir = Files.createTempDirectory("graft-jsonl-member")
+    Files.write(dir.resolve("events.jsonl"),
+      (badMembers ++ Seq(okMember, badIdentity, roomNoName)).mkString("\n").getBytes)
+    val raw = Ingest.rawFromJsonLines(spark.read.text(dir.toString))
+    val (srcClean, srcCorrupt) = Ingest.quarantine(raw)
+    assert(srcCorrupt.count() == 1, "wrong-typed sender dies at the source gate")
+
+    val (okPart, badPart) = Ingest.quarantine(Ingest.projectParticipant(srcClean))
+    assert(badPart.count() == badMembers.size,
+      "every membership-less member event must carry the in-row error")
+    assert(badPart.select("event_id").collect().map(_.getString(0)).toSet
+      == Set("$m2:x", "$m3:x", "$m4:x", "$m5:x", "$m6:x"))
+    val okRows = okPart.select("user_id", "membership").collect()
+    assert(okRows.map(r => (r.getString(0), r.getString(1))).toSeq
+      == Seq(("@a:x", "join")), "only the valid member survives, membership intact")
+    assert(okPart.filter(col("membership").isNull).count() == 0,
+      "no null membership may survive to the L2 merge")
+
+    val rooms = Ingest.projectRooms(srcClean)
+    assert(rooms.select("room_id", "name").collect().map(r =>
+      (r.getString(0), r.getString(1))).toSeq == Seq(("!r1:x", "")),
+      "wrong-typed room name content defaults to '' exactly like the reference")
+
+    // end-to-end: the pipeline routes the bad member rows to logs and
+    // merges only the valid participant
+    import graft.etl.{Catalog, Pipeline}
+    val root = Files.createTempDirectory("graft-member-gate")
+    val cat = Catalog(root.resolve("cat").toString)
+    cat.bootstrap()
+    Pipeline(cat).applyBatch(spark, srcClean, batchId = 1L)
+    val parts = cat.read(spark, "participants")
+      .select("user_id", "room_id", "membership").collect()
+    assert(parts.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
+      == Seq(("@a:x", "!r1:x", "join")))
+    val logged = cat.read(spark, "logs").select("message").collect().map(_.getString(0))
+    assert(logged.count(_.contains("member_missing_membership")) == badMembers.size,
+      s"each rejected member event must be queryable in logs, got:\n${logged.mkString("\n")}")
+  }
+
   test("streaming: the same parse path runs under readStream") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext

@@ -10,15 +10,8 @@ import org.scalatest.funsuite.AnyFunSuite
 class StreamingSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Sessions.local(cores = 4, appName = "graft-stream")
 
-  private def rawRows(ids: Range, tsBase: Long, backfill: Boolean = false): DataFrame = {
-    val rows = ids.map { i =>
-      Row(s"$$evt$i:x", s"!room${i % 3}:x", s"@u${i % 5}:x", "m.room.message",
-        tsBase + i, s"""{"msgtype":"m.text","body":"m$i"}""",
-        null, false, backfill, null)
-    }
-    spark.createDataFrame(
-      spark.sparkContext.parallelize(rows, 2), Schemas.rawEvent)
-  }
+  private def rawRows(ids: Range, tsBase: Long, backfill: Boolean = false): DataFrame =
+    RestartFixtures.rawRows(spark, ids, tsBase, backfill)
 
   test("ingest stream: filters, projection, merge, checkpoint resume") {
     val base = Files.createTempDirectory("graft-stream")
@@ -175,6 +168,53 @@ class StreamingSpec extends AnyFunSuite {
     Streaming.runFullOnce(spark2, src, ckpt, pipeB)
     assert(MergeWriter.currentVersion(catB.dir("messages")) == vBefore,
       "idle restart must not re-merge old files")
+  }
+
+  test("checkpoint resume across a FORKED-JVM process restart: only durable state crosses") {
+    // The newSession() variant above shares the SparkContext, so
+    // static/JVM-level state (object singletons, codegen caches, the
+    // context itself) could in principle smuggle resume state across
+    // the "crash". Phase 2 therefore runs as graft.RestartProbe in a
+    // brand-new java process over the same checkpoint + catalog dirs:
+    // nothing but the on-disk state can cross a process boundary, so a
+    // green probe is the full restart contract with no sliver left.
+    import graft.etl.{Catalog, Pipeline}
+    val base = Files.createTempDirectory("graft-restart-fork")
+    val src = base.resolve("src").toString
+    val ckpt = base.resolve("ckpt").toString
+    Files.createDirectories(Paths.get(src))
+
+    // --- phase 1 (this JVM): ingest 20 messages, then "crash"
+    val catA = Catalog(base.resolve("cat").toString)
+    catA.bootstrap()
+    rawRows(0 until 20, 1000L).coalesce(1).write.mode("append").parquet(src)
+    Streaming.runFullOnce(spark, src, ckpt, Pipeline(catA))
+    assert(catA.read(spark, "messages").count() == 20)
+    assert(catA.read(spark, "sync_state").count() == 1)
+
+    // --- phase 2: a fresh JVM resumes from the durable dirs alone.
+    // Classpath is this forked test JVM's own (build.sbt Test/fork),
+    // module opens come from Spark's public launcher helper — the same
+    // list spark-submit injects.
+    val javaBin = Paths.get(sys.props("java.home"), "bin", "java").toString
+    val moduleOpts = org.apache.spark.launcher.JavaModuleOptions
+      .defaultModuleOptions().trim.split("\\s+").toSeq
+    val cmd = Seq(javaBin) ++ moduleOpts ++ Seq(
+      "-Xmx3g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
+      "-cp", sys.props("java.class.path"),
+      "graft.RestartProbe", base.toString)
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
+    // consume output before waitFor: a full pipe buffer would deadlock
+    val out = new String(proc.getInputStream.readAllBytes())
+    val rc = proc.waitFor()
+    assert(rc == 0 && out.contains("RESTARTPROBE OK"),
+      s"forked restart probe failed rc=$rc, tail:\n${out.takeRight(4000)}")
+
+    // and the state the probe wrote is readable back in THIS JVM
+    val catB = Catalog(base.resolve("cat").toString)
+    assert(catB.read(spark, "messages").count() == 30,
+      "probe-merged state must be visible across the process boundary")
+    assert(catB.read(spark, "sync_state").count() == 2)
   }
 
   test("maintenance cadence keeps versions and segments bounded across batches") {
