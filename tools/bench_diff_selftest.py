@@ -1,0 +1,104 @@
+#!/usr/bin/env python3
+"""Self-test for bench_diff.py — run `python3 tools/bench_diff_selftest.py`;
+exits 0 printing OK, nonzero with the failing assertion otherwise.
+
+Covers the three load shapes (bench.json, wrapper with full line,
+wrapper with front-truncated tail), the calib normalization direction,
+the >=1s eligibility rule, and the missing-calib raw fallback — so an
+edit to the comparator the round-over-round adjudication leans on
+cannot silently invert a ratio or un-flag a regression.
+"""
+
+import json
+import subprocess
+import sys
+import tempfile
+import os
+
+TOOL = os.path.join(os.path.dirname(__file__), "bench_diff.py")
+
+
+def run(old, new, *args):
+    with tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as fo, \
+         tempfile.NamedTemporaryFile("w", suffix=".json", delete=False) as fn:
+        json.dump(old, fo)
+        json.dump(new, fn)
+        fo.flush(); fn.flush()
+        p = subprocess.run(
+            [sys.executable, TOOL, fo.name, fn.name, *args],
+            capture_output=True, text=True)
+    os.unlink(fo.name); os.unlink(fn.name)
+    return p
+
+
+def bench(queries, calib=None, errors=None, flaky=None):
+    d = {"metric": "total", "value": sum(queries.values()), "unit": "sec",
+         "queries": queries, "errors": errors or {}}
+    if flaky is not None:
+        d["flaky"] = flaky
+    if calib is not None:
+        d["calib_sec"] = calib
+    d["sf"] = "/root/testdata/sf0.1"
+    return d
+
+
+def main():
+    # 1. Host got 2x slower AND the query got 2x slower raw: normalized
+    #    ratio must be ~1.0 — no flag. A second query genuinely 3x
+    #    slower raw (1.5x normalized) at >=1s must flag REGRESSION.
+    old = bench({"steady": 2.0, "regressed": 2.0, "tiny": 0.2}, calib=0.1)
+    new = bench({"steady": 4.0, "regressed": 6.0, "tiny": 0.6}, calib=0.2)
+    p = run(old, new, "--fail-on-regression")
+    assert p.returncode == 1, f"expected rc=1 on regression, got {p.returncode}\n{p.stdout}"
+    assert "REGRESSION regressed" in p.stdout, p.stdout
+    assert "REGRESSION steady" not in p.stdout, \
+        "host-drift-only move must not flag when normalized:\n" + p.stdout
+    # tiny is 3x raw and 1.5x normalized but sub-second on both sides:
+    # never flagged (jitter floor)
+    assert "REGRESSION tiny" not in p.stdout, p.stdout
+    assert "1 regression(s)" in p.stdout, p.stdout
+
+    # 2. Same comparison without --fail-on-regression exits 0.
+    p = run(old, new)
+    assert p.returncode == 0, p.stdout + p.stderr
+
+    # 3. Missing calib on one side: raw fallback with an explicit warning,
+    #    and raw ratios flag (steady is 2x raw >= 1s).
+    old_nc = bench({"steady": 2.0}, calib=None)
+    p = run(old_nc, bench({"steady": 4.0}, calib=0.2))
+    assert "WARNING" in p.stdout and "RAW" in p.stdout, p.stdout
+    assert "REGRESSION steady" in p.stdout, p.stdout
+
+    # 4. Driver wrapper with the FULL bench line embedded in the tail.
+    inner = json.dumps(bench({"a": 1.5, "b": 0.3}, calib=0.1))
+    wrapper = {"n": 12, "rc": 0, "cpus": 32, "sf": 0.1,
+               "tail": "noise before\n" + inner + "\nbench json written\n"}
+    p = run(wrapper, bench({"a": 1.5, "b": 0.3}, calib=0.1))
+    assert "full line" in p.stdout, p.stdout
+    assert "2 compared" in p.stdout, p.stdout
+
+    # 5. Wrapper with a FRONT-TRUNCATED tail: recover pairs by regex,
+    #    report PARTIAL, skip meta keys, pick up calib_sec, stop at
+    #    "errors" so error text can't fake a timing.
+    trunc = {"n": 13, "rc": 0, "cpus": 32,
+             "tail": 'eavy": 9.99,"a":1.5,"b":0.3},'
+                     '"errors":{"broken":"failed at 4.0"},'
+                     '"calib_sec":0.1,"sf":"/root/testdata/sf0.1"}\n'}
+    p = run(trunc, bench({"a": 3.0, "b": 0.3, "c": 1.0}, calib=0.1))
+    assert "PARTIAL" in p.stdout, p.stdout
+    # 'eavy' fragment and 'broken' (inside errors) must not be queries;
+    # a/b recovered; c only in NEW
+    assert "only in NEW (1): c" in p.stdout, p.stdout
+    assert "broken" not in p.stdout.replace("errors", ""), p.stdout
+    assert "REGRESSION a" in p.stdout, p.stdout  # 1.5 -> 3.0, same calib
+
+    # 6. Errored queries (-1 sec) are excluded from comparison.
+    p = run(bench({"a": 1.0, "dead": -1.0}, calib=0.1),
+            bench({"a": 1.0, "dead": 2.0}, calib=0.1))
+    assert "only in NEW (1): dead" in p.stdout, p.stdout
+
+    print("bench_diff selftest OK")
+
+
+if __name__ == "__main__":
+    main()
