@@ -203,10 +203,17 @@ class StreamingSpec extends AnyFunSuite {
       "-Xmx3g", "-Dspark.ui.enabled=false", "-Dspark.sql.session.timeZone=UTC",
       "-cp", sys.props("java.class.path"),
       "graft.RestartProbe", base.toString)
-    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true).start()
-    // consume output before waitFor: a full pipe buffer would deadlock
-    val out = new String(proc.getInputStream.readAllBytes())
-    val rc = proc.waitFor()
+    // output goes to a file, not a pipe: no pipe-buffer deadlock, and
+    // the wait can be bounded so a wedged probe JVM fails the test
+    // instead of hanging the whole suite
+    val outFile = base.resolve("probe.out").toFile
+    val proc = new ProcessBuilder(cmd: _*).redirectErrorStream(true)
+      .redirectOutput(outFile).start()
+    val finished = proc.waitFor(8, java.util.concurrent.TimeUnit.MINUTES)
+    if (!finished) proc.destroyForcibly().waitFor()
+    val out = new String(java.nio.file.Files.readAllBytes(outFile.toPath))
+    assert(finished, s"probe JVM hung (killed), tail:\n${out.takeRight(4000)}")
+    val rc = proc.exitValue()
     assert(rc == 0 && out.contains("RESTARTPROBE OK"),
       s"forked restart probe failed rc=$rc, tail:\n${out.takeRight(4000)}")
 
