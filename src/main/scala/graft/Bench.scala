@@ -179,7 +179,18 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    val qs = results.map { case (k, v, _) => jq(k) + ":" + v }
+    // The driver's stdout capture FRONT-truncates long tails, and this
+    // line is long enough that only its tail survives into the official
+    // BENCH_r{N}.json. Alphabetical order put the heavy families
+    // (api_*, dedup_*, mm_*, q1*) exactly in the clipped front, so the
+    // permanent record never carried the most expensive third of the
+    // board (round-14 verdict #1). Emit the queries map cheap-first /
+    // heavy-last instead: whatever suffix survives truncation then
+    // carries the entries whose regressions matter most. Errored
+    // queries (-1) sort first — they are also named in the `errors`
+    // map at the very end of the line, which always survives.
+    val qs = results.sortBy { case (_, v, _) => v }
+      .map { case (k, v, _) => jq(k) + ":" + v }
       .mkString("{", ",", "}")
     val errs = results.collect { case (k, _, Some(m)) => jq(k) + ":" + jq(m.take(200)) }
       .mkString("{", ",", "}")

@@ -88,9 +88,12 @@ object Ingest {
     * displayname/avatar_url/membership).
     *
     * Null-coalesce applies ONLY to the columns the reference itself
-    * defaults: avatar_url carries `?? ''` (db.utils.ts:92) and
-    * display_name is the SDK-computed non-null member.name — both land
-    * in nullable columns either way. `membership` is different: the
+    * defaults: avatar_url carries `?? ''` (db.utils.ts:92), and
+    * display_name is the SDK-computed member.name, whose fallback is
+    * the USER ID — matrix-js-sdk's calculateDisplayName returns the
+    * userId whenever displayname is absent or empty — so a missing or
+    * empty displayname becomes user_id here, not ''. `membership` is
+    * different: the
     * reference passes member.membership straight into
     * participants.membership TEXT NOT NULL (db.utils.ts:93,
     * schema.ts:45) with no fallback, so a member event whose content
@@ -107,7 +110,9 @@ object Ingest {
       col("event_id"),
       col("sender").as("user_id"),
       col("room_id"),
-      coalesce(get_json_object(col("content"), "$.displayname"), lit("")).as("display_name"),
+      // member.name semantics: falsy displayname (absent/empty) → userId
+      coalesce(nullif(get_json_object(col("content"), "$.displayname"), lit("")),
+        col("sender")).as("display_name"),
       coalesce(get_json_object(col("content"), "$.avatar_url"), lit("")).as("avatar_url"),
       membership.as("membership"),
       col("origin_server_ts").as("joined_ts"),

@@ -159,6 +159,14 @@ class JsonSourceSpec extends AnyFunSuite {
       member("\"[1,2,3]\"", eid = "\"$m5:x\""),                         // non-object content
       member(null, eid = "\"$m6:x\""))                                  // content field absent
     val okMember = member("\"{\\\"membership\\\":\\\"join\\\",\\\"displayname\\\":\\\"A\\\"}\"")
+    // member.name fallback (matrix-js-sdk calculateDisplayName): a
+    // falsy displayname — key absent OR empty string — resolves to the
+    // USER ID, never to '' (the reference persists member.name, which
+    // is already past that fallback)
+    val okNoDisplay = member("\"{\\\"membership\\\":\\\"join\\\"}\"",
+      sender = "\"@b:x\"", eid = "\"$m7:x\"")
+    val okEmptyDisplay = member("\"{\\\"membership\\\":\\\"join\\\",\\\"displayname\\\":\\\"\\\"}\"",
+      sender = "\"@c:x\"", eid = "\"$m8:x\"")
     // null sender on a member event: stopped at the SOURCE identity
     // gate, never reaches the member projection at all. (A wrong-TYPE
     // sender like 12345 is NOT a gate case: Spark's JSON parser
@@ -172,7 +180,8 @@ class JsonSourceSpec extends AnyFunSuite {
 
     val dir = Files.createTempDirectory("graft-jsonl-member")
     Files.write(dir.resolve("events.jsonl"),
-      (badMembers ++ Seq(okMember, badIdentity, roomNoName)).mkString("\n").getBytes)
+      (badMembers ++ Seq(okMember, okNoDisplay, okEmptyDisplay, badIdentity, roomNoName))
+        .mkString("\n").getBytes)
     val raw = Ingest.rawFromJsonLines(spark.read.text(dir.toString))
     val (srcClean, srcCorrupt) = Ingest.quarantine(raw)
     assert(srcCorrupt.count() == 1, "wrong-typed sender dies at the source gate")
@@ -182,9 +191,10 @@ class JsonSourceSpec extends AnyFunSuite {
       "every membership-less member event must carry the in-row error")
     assert(badPart.select("event_id").collect().map(_.getString(0)).toSet
       == Set("$m2:x", "$m3:x", "$m4:x", "$m5:x", "$m6:x"))
-    val okRows = okPart.select("user_id", "membership").collect()
-    assert(okRows.map(r => (r.getString(0), r.getString(1))).toSeq
-      == Seq(("@a:x", "join")), "only the valid member survives, membership intact")
+    val okRows = okPart.select("user_id", "membership", "display_name").collect()
+    assert(okRows.map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+      == Seq(("@a:x", "join", "A"), ("@b:x", "join", "@b:x"), ("@c:x", "join", "@c:x")),
+      "only valid members survive, membership intact, falsy displayname → user_id")
     assert(okPart.filter(col("membership").isNull).count() == 0,
       "no null membership may survive to the L2 merge")
 
@@ -202,8 +212,8 @@ class JsonSourceSpec extends AnyFunSuite {
     Pipeline(cat).applyBatch(spark, srcClean, batchId = 1L)
     val parts = cat.read(spark, "participants")
       .select("user_id", "room_id", "membership").collect()
-    assert(parts.map(r => (r.getString(0), r.getString(1), r.getString(2))).toSeq
-      == Seq(("@a:x", "!r1:x", "join")))
+    assert(parts.map(r => (r.getString(0), r.getString(1), r.getString(2))).sortBy(_._1).toSeq
+      == Seq(("@a:x", "!r1:x", "join"), ("@b:x", "!r1:x", "join"), ("@c:x", "!r1:x", "join")))
     val logged = cat.read(spark, "logs").select("message").collect().map(_.getString(0))
     assert(logged.count(_.contains("member_missing_membership")) == badMembers.size,
       s"each rejected member event must be queryable in logs, got:\n${logged.mkString("\n")}")

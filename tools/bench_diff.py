@@ -64,10 +64,14 @@ def load_bench(path):
 
     if "tail" in data:
         tail = data["tail"]
-        # prefer the complete JSON line if the tail happens to hold one
+        # prefer the complete JSON line if the tail happens to hold one.
+        # The line may carry a logger prefix (sbt stdout prefixes it with
+        # '[info] ' — the verify recipe greps for exactly that), so find
+        # '{"metric"' anywhere in the line rather than only at column 0.
         for line in tail.splitlines():
-            line = line.strip()
-            if line.startswith('{"metric"'):
+            start = line.find('{"metric"')
+            if start >= 0:
+                line = line[start:].strip()
                 try:
                     inner = json.loads(line)
                     q = {k: float(v) for k, v in inner["queries"].items()
@@ -81,11 +85,20 @@ def load_bench(path):
                     }
                 except (json.JSONDecodeError, KeyError):
                     pass
-        # front-truncated tail: recover "name":sec pairs by regex. Stop
-        # at "errors" if present so error-message contents can't be
-        # mistaken for timings.
-        cut = tail.find('"errors"')
-        body = tail if cut < 0 else tail[:cut]
+        # front-truncated tail: recover "name":sec pairs by regex.
+        # Anchor the scan to the region after the LAST '"queries":{'
+        # occurrence so non-bench driver noise earlier in the tail (a
+        # JSON-ish log line with its own "name":num pairs, or a stray
+        # '"errors"') can neither fabricate timings nor truncate real
+        # ones. When the tail is front-truncated INSIDE the queries map
+        # the anchor itself is clipped away — then the whole tail is the
+        # map remnant and the scan starts at 0 as before. Either way,
+        # stop at the first '"errors"' AFTER the anchor so error-message
+        # contents can't be mistaken for timings.
+        anchor = tail.rfind('"queries":{')
+        start = anchor + len('"queries":{') if anchor >= 0 else 0
+        cut = tail.find('"errors"', start)
+        body = tail[start:] if cut < 0 else tail[start:cut]
         q = {}
         for m in re.finditer(r'"([A-Za-z0-9_]+)":(%s)(?=[,}])' % NUM, body):
             name, sec = m.group(1), float(m.group(2))

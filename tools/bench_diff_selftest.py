@@ -92,6 +92,35 @@ def main():
     assert "broken" not in p.stdout.replace("errors", ""), p.stdout
     assert "REGRESSION a" in p.stdout, p.stdout  # 1.5 -> 3.0, same calib
 
+    # 5b. Wrapper whose full bench line carries the sbt '[info] ' logger
+    #     prefix (the verify recipe's own grep target): must still take
+    #     the full-line path — not silently degrade to PARTIAL regex
+    #     recovery and lose the errors/flaky maps.
+    inner = json.dumps(bench({"a": 1.5, "b": 0.3}, calib=0.1,
+                             flaky={"a": 1}))
+    wrapper = {"n": 15, "rc": 0, "cpus": 32,
+               "tail": "noise\n[info] " + inner + "\n[success] done\n"}
+    p = run(wrapper, bench({"a": 1.5, "b": 0.3}, calib=0.1))
+    assert "full line" in p.stdout, p.stdout
+    assert "PARTIAL" not in p.stdout, p.stdout
+    assert "flaky reps" in p.stdout, p.stdout
+
+    # 5c. Truncated-tail recovery must anchor after '"queries":{' when
+    #     the anchor survives: JSON-ish driver noise EARLIER in the tail
+    #     (with its own "name":num pairs and a stray '"errors"') must
+    #     neither fabricate a query timing nor cut off the real map.
+    noisy = {"n": 15, "rc": 0,
+             "tail": '{"level":"warn","latency":0.5,"errors":"disk"}\n'
+                     'ic":"total","value":1.8,"unit":"sec",'
+                     '"queries":{"a":1.5,"b":0.3},"errors":{},'
+                     '"calib_sec":0.1,"sf":"/root/testdata/sf0.1"}\n'}
+    p = run(noisy, bench({"a": 1.5, "b": 0.3}, calib=0.1))
+    assert "PARTIAL" in p.stdout, p.stdout
+    assert "2 compared" in p.stdout, p.stdout  # a and b, nothing else
+    assert "latency" not in p.stdout, \
+        "noise line fabricated a query timing:\n" + p.stdout
+    assert "calib_sec: old=0.1" in p.stdout, p.stdout
+
     # 6. Errored queries (-1 sec) are excluded from comparison.
     p = run(bench({"a": 1.0, "dead": -1.0}, calib=0.1),
             bench({"a": 1.0, "dead": 2.0}, calib=0.1))
