@@ -35,6 +35,45 @@ object Dedup {
       .select($"doc_id", explode(expr(shinglesE)).as("sh"))
   }
 
+  /** Per-doc 8 min-hash signatures plus shingle count — the LSH
+    * signature table of `dedup_minhash_lsh`. */
+  private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sigCols = (0 until 8).map(k =>
+      min(md5(concat_ws("|", lit(k), $"sh"))).as(s"h$k"))
+    shingles(s, dir).groupBy($"doc_id")
+      .agg(sigCols.head, sigCols.tail :+ count(lit(1)).as("n"): _*)
+  }
+
+  /** (doc_id, band, h) from a signature table: one row per min-hash
+    * band — the candidate-join key expansion. */
+  private def bandsOf(sigs: DataFrame): DataFrame =
+    sigs.select(col("doc_id"),
+      posexplode(array((0 until 8).map(k => col(s"h$k")): _*)).as(Seq("band", "h")))
+
+  /** (doc_id, band, h): one row per min-hash band — the candidate-join
+    * key table. Exposed (not private) so the scale smoke can count
+    * band-collision candidate pairs with EXACTLY the code the query
+    * runs, not a reimplementation that could drift. */
+  def minhashBands(s: SparkSession, dir: String): DataFrame =
+    bandsOf(minhashSigs(s, dir))
+
+  /** (doc_id, simhash, band, bv): 4×15-bit Manku bands per doc — the
+    * candidate-join key table of `dedup_simhash`. Exposed for the scale
+    * smoke's candidate-pair counts (same code path as the query). */
+  def simhashBands(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val tok = Tables.documents(s, dir)
+      .withColumn("toks", expr(toksE))
+      .select($"doc_id", explode(array_distinct($"toks")).as("w"))
+      .withColumn("h", expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)"))
+    val sim = tok.groupBy($"doc_id")
+      .agg(expr("simhash60(h)").as("simhash"))
+    sim.select($"doc_id", $"simhash",
+      posexplode(array((0 until 4).map(i =>
+        expr(s"(simhash >> ${i * 15}) & 32767")): _*)).as(Seq("band", "bv")))
+  }
+
   /** DuckDB twin of [[shingles]] as a CTE body. */
   private val shinglesSql = """
     toks AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS t FROM documents),
@@ -80,16 +119,12 @@ object Dedup {
         // Checkpoint only across JOBS (a signature table consumed by
         // several downstream pipelines), never inside this one.
         val sh = shingles(s, dir)
-        val sigCols = (0 until 8).map(k =>
-          min(md5(concat_ws("|", lit(k), $"sh"))).as(s"h$k"))
-        // one aggregation computes the 8 signatures AND the shingle
-        // count — the count used to be its own groupBy over the shingle
-        // subtree, which (uncached by measurement, see above) meant one
-        // more full tokenize+explode recomputation
-        val sigs = sh.groupBy($"doc_id")
-          .agg(sigCols.head, sigCols.tail :+ count(lit(1)).as("n"): _*)
-        val bands = sigs.select($"doc_id",
-          posexplode(array((0 until 8).map(k => col(s"h$k")): _*)).as(Seq("band", "h")))
+        // one aggregation ([[minhashSigs]]) computes the 8 signatures
+        // AND the shingle count — the count used to be its own groupBy
+        // over the shingle subtree, which (uncached by measurement, see
+        // above) meant one more full tokenize+explode recomputation
+        val sigs = minhashSigs(s, dir)
+        val bands = bandsOf(sigs)
         val l = bands.select($"doc_id".as("a_id"), $"band", $"h")
         val r = bands.select($"doc_id".as("b_id"), $"band", $"h")
         val cand = l.join(r, Seq("band", "h"))
@@ -184,21 +219,16 @@ object Dedup {
     "dedup_simhash" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        val tok = Tables.documents(s, dir)
-          .withColumn("toks", expr(toksE))
-          .select($"doc_id", explode(array_distinct($"toks")).as("w"))
-          .withColumn("h", expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)"))
         // ONE custom aggregate (functions/SimHashAgg: fixed 60-counter
         // buffer per doc, ObjectHashAggregate with map-side combine)
         // replaces the earlier 60×-row bit-explode + two hash aggs —
         // the shuffle carries a 240-byte partial buffer per doc instead
         // of 60 exploded rows per token. Same ties/threshold semantics
-        // as the exhaustive oracle (counter > 0 sets the bit).
-        val sim = tok.groupBy($"doc_id")
-          .agg(expr("simhash60(h)").as("simhash"))
-        val banded = sim.select($"doc_id", $"simhash",
-          posexplode(array((0 until 4).map(i =>
-            expr(s"(simhash >> ${i * 15}) & 32767")): _*)).as(Seq("band", "bv")))
+        // as the exhaustive oracle (counter > 0 sets the bit). The
+        // tokenize → simhash60 → 4×15-bit banding lives in
+        // [[simhashBands]], shared with the scale smoke's candidate
+        // counter.
+        val banded = simhashBands(s, dir)
         val a = banded.select($"doc_id".as("a_id"), $"simhash".as("ha"), $"band", $"bv")
         val b = banded.select($"doc_id".as("b_id"), $"simhash".as("hb"), $"band", $"bv")
         a.join(b, Seq("band", "bv"))

@@ -2,6 +2,7 @@ package graft.ext
 
 import graft.{QueryDef, Tables}
 import graft.functions.VectorFunctions
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
 
@@ -28,6 +29,43 @@ object Similarity {
     s"list_reduce(list_transform(list_zip($a, $b), x -> x[1] * x[2]), (p, q) -> p + q)"
   private def cosSql(a: String, b: String): String =
     s"(${dotSql(a, b)} / (sqrt(${dotSql(a, a)}) * sqrt(${dotSql(b, b)})))"
+
+  /** (vec_id, bucket): random-hyperplane signature buckets — planes are
+    * the first `planes` data vectors (deterministic sample). Exposed so
+    * the scale smoke can count per-bucket candidate pairs with the same
+    * code the query runs; `planes` is THE scale knob (candidates ~
+    * n²/2^planes, so planes grows with log₂ n to hold candidates-per-
+    * vector constant — the registered query pins planes=8). */
+  def hyperplaneBuckets(s: SparkSession, dir: String, planes: Int): DataFrame = {
+    import s.implicits._
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val pl = e.filter($"vec_id" < planes)
+      .select($"vec_id".as("p_id"), $"embedding".as("pv"))
+    e.crossJoin(broadcast(pl))
+      .select($"vec_id",
+        when(expr("dot_product(embedding, pv)") > 0,
+          expr("shiftleft(1L, p_id)")).otherwise(0L).as("bit"))
+      .groupBy($"vec_id").agg(sum($"bit").as("bucket"))
+  }
+
+  /** Bucket-join top-k at a given plane count — `sim_lsh_bucket_topk`
+    * is exactly `lshTopk(_, _, 8)`. */
+  def lshTopk(s: SparkSession, dir: String, planes: Int): DataFrame = {
+    import s.implicits._
+    VectorFunctions.register(s)
+    val e = Tables.embeddings(s, dir)
+    val sig = hyperplaneBuckets(s, dir, planes)
+    val withB = e.join(sig, "vec_id")
+    val a = withB.select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bucket")
+    val b = withB.select($"vec_id".as("n_id"), $"embedding".as("nv"), $"bucket")
+    val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
+    a.join(b, Seq("bucket")).filter($"q_id" =!= $"n_id")
+      .select($"q_id", $"n_id", $"bucket",
+        round(expr("cosine_sim(qv, nv)"), 4).as("cos"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+  }
 
   val defs: Map[String, QueryDef] = Map(
     // exact brute-force cosine top-5 per query vector
@@ -58,28 +96,9 @@ object Similarity {
       doc = "ANN baseline: brute-force cosine top-5, broadcast query side"),
 
     // LSH-bucketed top-k: 8 data-sampled hyperplanes → 256 buckets
+    // (shared parametric body: [[lshTopk]])
     "sim_lsh_bucket_topk" -> QueryDef(
-      build = (s, dir) => {
-        import s.implicits._
-        VectorFunctions.register(s)
-        val e = Tables.embeddings(s, dir)
-        val planes = e.filter($"vec_id" < 8)
-          .select($"vec_id".as("p_id"), $"embedding".as("pv"))
-        val sig = e.crossJoin(broadcast(planes))
-          .select($"vec_id",
-            when(expr("dot_product(embedding, pv)") > 0,
-              expr("shiftleft(1L, p_id)")).otherwise(0L).as("bit"))
-          .groupBy($"vec_id").agg(sum($"bit").as("bucket"))
-        val withB = e.join(sig, "vec_id")
-        val a = withB.select($"vec_id".as("q_id"), $"embedding".as("qv"), $"bucket")
-        val b = withB.select($"vec_id".as("n_id"), $"embedding".as("nv"), $"bucket")
-        val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
-        a.join(b, Seq("bucket")).filter($"q_id" =!= $"n_id")
-          .select($"q_id", $"n_id", $"bucket",
-            round(expr("cosine_sim(qv, nv)"), 4).as("cos"))
-          .withColumn("rank", row_number().over(w))
-          .filter($"rank" <= 3)
-      },
+      build = (s, dir) => lshTopk(s, dir, 8),
       oracle = Some(s"""
         WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
         planes AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 8),

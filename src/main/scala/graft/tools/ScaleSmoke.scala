@@ -16,11 +16,28 @@ import graft.{Bench, SparkEntry}
   * shingle/token overlap across copies is zero and the true near-dup
   * pair count grows ~K. (A naive byte-copy would give every doc K-1
   * identical twins — K² the candidate pairs — and measure a DIFFERENT
-  * corpus, not a bigger one.) Embedding vectors keep their values: the
-  * exact pair-join family is O(n²) by declared design, so it runs at a
-  * smaller K and the expectation there is ~K² pair work with bounded
-  * per-task size (the auto-derived block count absorbs the growth),
-  * not linearity.
+  * corpus, not a bigger one.) Embedding copies are rotated (and
+  * sign-flipped past 64 copies) for the same reason: a value-identical
+  * copy is an exact cos=1 twin that lands in the same LSH bucket every
+  * time, so a byte-copy would measure twin-flooding, not corpus growth;
+  * rotation preserves norms and in-copy structure while cross-copy
+  * vectors decorrelate. The exact pair-join family is O(n²) by declared
+  * design, so it runs at a smaller K and the expectation there is ~K²
+  * pair work with bounded per-task size (the auto-derived block count
+  * absorbs the growth), not linearity.
+  *
+  * DECADES mode (round-15 verdict #2): the three banded/bucketed ops
+  * whose 100 TB verdicts previously rested on plan shape plus a single
+  * ×10 point run a second measured decade — ×1/×10/×100 — reporting
+  * wall time AND candidate-pair count per decade, where the candidate
+  * table comes from the SAME code path the registered query executes
+  * (Dedup.minhashBands / Dedup.simhashBands /
+  * Similarity.hyperplaneBuckets — no reimplementation that could
+  * drift). Expectations: minhash/simhash candidates grow ~K (banding
+  * is the whole point); hyperplane-LSH at FIXED 8 planes grows
+  * ~K²/2^8 by construction — its scale knob is the plane count, so the
+  * smoke also runs lshTopk with planes grown by log₂ K
+  * (8 → 11 → 15), which must bring candidates-per-vector back to ~flat.
   *
   * Usage: sbt "runMain graft.tools.ScaleSmoke"
   */
@@ -59,7 +76,17 @@ object ScaleSmoke {
         val emb = spark.read.parquet(s"$sf/embeddings.parquet")
         (0 until k).map { i =>
           if (i == 0) emb
-          else emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+          else {
+            // rotate by i mod 64 and sign-flip past 64 copies: 128
+            // distinct norm-preserving transforms, so no copy is an
+            // exact twin of another (see scaladoc)
+            val r = i % 64
+            val base = if (r == 0) "embedding"
+              else s"concat(slice(embedding, ${r + 1}, ${64 - r}), slice(embedding, 1, $r))"
+            val t = if (i >= 64) s"transform($base, x -> -x)" else base
+            emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
+              .withColumn("embedding", expr(t))
+          }
         }.reduce(_ unionByName _)
           .repartition(cpus.toInt)
           .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
@@ -83,7 +110,10 @@ object ScaleSmoke {
     // any super-linear stage)
     val linear = Seq("dedup_exact", "dedup_minhash_lsh", "dedup_simhash",
       "dedup_ngram_jaccard", "txt_hash_split", "txt_pack_chunks")
-    val quadratic = Seq("dedup_embedding_cosine", "sim_lsh_bucket_topk")
+    // sim_lsh_bucket_topk moved to the decades section below: with
+    // rotated (non-twin) copies its candidate growth is the thing
+    // being measured, at both fixed and log2-grown plane counts
+    val quadratic = Seq("dedup_embedding_cosine")
     (linear ++ quadratic).foreach(q =>
       try { SparkEntry.queries(q)(spark, warm).collect(); () }
       catch { case _: Throwable => () })
@@ -96,6 +126,69 @@ object ScaleSmoke {
       val dir = corpus(k)
       val (sec, rows) = time(q, dir)
       println(f"""{"query":"$q","scale":$k,"sec":$sec%.2f,"rows":$rows,"expect":"$expect"}""")
+    }
+
+    // ---- DECADES: ×1/×10/×100 with candidate-pair counts (see scaladoc)
+    // Terminal here is count(), not collect(): the near-dup PAIR mass of
+    // the synthetic corpus is itself superlinear for simhash (degenerate
+    // sketches of near-empty docs collide across copies regardless of
+    // token content), so at ×100 the output is 10⁸+ rows — collecting
+    // that to a driver is not the operator; a 100 TB dedup writes its
+    // pair set out. count() still executes the banding, candidate join,
+    // verify filter and pair-distinct; what it drops (EliminateSorts) is
+    // only the final presentation ORDER BY.
+    import graft.ext.{Dedup, Similarity}
+    def timeCount(q: String, dir: String): (Double, Long) = {
+      val t0 = System.nanoTime()
+      val n = SparkEntry.queries(q)(spark, dir).count()
+      val sec = (System.nanoTime() - t0) / 1e9
+      Bench.isolate(spark)
+      (sec, n)
+    }
+    def timed[A](body: => A): (Double, A) = {
+      val t0 = System.nanoTime()
+      val a = body
+      val sec = (System.nanoTime() - t0) / 1e9
+      Bench.isolate(spark)
+      (sec, a)
+    }
+    // candidate pairs from the band table the query itself joins on:
+    // distinct unordered (a,b) meeting in >=1 band — exactly the
+    // query's `cand` set
+    def bandCandidates(bands: org.apache.spark.sql.DataFrame, key: String): Long = {
+      val l = bands.select(col("doc_id").as("a_id"), col("band"), col(key))
+      val r = bands.select(col("doc_id").as("b_id"), col("band"), col(key))
+      l.join(r, Seq("band", key)).filter(col("a_id") < col("b_id"))
+        .select("a_id", "b_id").distinct().count()
+    }
+    // bucket-LSH candidate pairs: sum over buckets of n·(n-1)/2
+    def bucketCandidates(buckets: org.apache.spark.sql.DataFrame): Long =
+      buckets.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
+        .agg(sum(expr("n * (n - 1) / 2")).cast("long")).collect()(0).getLong(0)
+
+    for (k <- Seq(1, 10, 100)) {
+      val dir = corpus(k)
+      for (q <- Seq("dedup_minhash_lsh", "dedup_simhash")) {
+        val (csec, cand) = timed(q match {
+          case "dedup_minhash_lsh" => bandCandidates(Dedup.minhashBands(spark, dir), "h")
+          case _                   => bandCandidates(Dedup.simhashBands(spark, dir), "bv")
+        })
+        val (sec, rows) = timeCount(q, dir)
+        println(f"""{"decade":"$q","scale":$k,"sec":$sec%.2f,"rows":$rows,"cand_pairs":$cand,"cand_sec":$csec%.2f,"expect":"~K candidates"}""")
+      }
+      // fixed 8 planes: candidates ~K^2/256 by construction (the
+      // honest record that fixed bits do NOT scale)...
+      val (c8sec, cand8) = timed(bucketCandidates(Similarity.hyperplaneBuckets(spark, dir, 8)))
+      val (sec8, rows8) = timed(Similarity.lshTopk(spark, dir, 8).count())
+      println(f"""{"decade":"sim_lsh_bucket_topk","scale":$k,"planes":8,"sec":$sec8%.2f,"rows":$rows8,"cand_pairs":$cand8,"cand_sec":$c8sec%.2f,"expect":"~K^2/256 at fixed planes"}""")
+      // ...and the documented scale knob: planes grown by log2 K holds
+      // candidates-per-vector ~flat
+      val planes = 8 + (math.log(k) / math.log(2)).ceil.toInt
+      if (planes > 8) {
+        val (cgsec, candG) = timed(bucketCandidates(Similarity.hyperplaneBuckets(spark, dir, planes)))
+        val (secG, rowsG) = timed(Similarity.lshTopk(spark, dir, planes).count())
+        println(f"""{"decade":"sim_lsh_bucket_topk","scale":$k,"planes":$planes,"sec":$secG%.2f,"rows":$rowsG,"cand_pairs":$candG,"cand_sec":$cgsec%.2f,"expect":"~K candidates at log2-grown planes"}""")
+      }
     }
     spark.stop()
   }
