@@ -173,22 +173,37 @@ object Bench {
       val (sec, err) = best(name)
       (name, if (err.isDefined) -1.0 else sec, err)
     }
+    val line = renderLine(results, flaky.toSeq, calibMin, sfDir)
+    val outPath = Paths.get(sys.env.getOrElse("SPARK_GRAFT_OUT", "."), "bench.json")
+    Files.writeString(outPath, line + "\n")
+    // print the JSON first (before any shutdown noise), then the file path
+    println(line)
+    println(s"bench json written to: ${outPath.toAbsolutePath}")
+    spark.stop()
+  }
+
+  /** Render the one-line bench JSON. Extracted from main so the
+    * truncation-survival contract has a spec (BenchRenderSpec) and a
+    * later edit cannot silently regress it.
+    *
+    * The driver's stdout capture FRONT-truncates long tails, and this
+    * line is long enough that only its tail survives into the official
+    * BENCH_r{N}.json. Alphabetical order put the heavy families
+    * (api_*, dedup_*, mm_*, q1*) exactly in the clipped front, so the
+    * permanent record never carried the most expensive third of the
+    * board (round-14 verdict #1). Emit the queries map cheap-first /
+    * heavy-last instead: whatever suffix survives truncation then
+    * carries the entries whose regressions matter most. Errored
+    * queries (-1) sort first — they are also named in the `errors`
+    * map at the very end of the line, which always survives. */
+  def renderLine(results: Seq[(String, Double, Option[String])],
+      flaky: Seq[(String, Int)], calibMin: Double, sfDir: String): String = {
     def jq(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    // The driver's stdout capture FRONT-truncates long tails, and this
-    // line is long enough that only its tail survives into the official
-    // BENCH_r{N}.json. Alphabetical order put the heavy families
-    // (api_*, dedup_*, mm_*, q1*) exactly in the clipped front, so the
-    // permanent record never carried the most expensive third of the
-    // board (round-14 verdict #1). Emit the queries map cheap-first /
-    // heavy-last instead: whatever suffix survives truncation then
-    // carries the entries whose regressions matter most. Errored
-    // queries (-1) sort first — they are also named in the `errors`
-    // map at the very end of the line, which always survives.
     val qs = results.sortBy { case (_, v, _) => v }
       .map { case (k, v, _) => jq(k) + ":" + v }
       .mkString("{", ",", "}")
@@ -197,13 +212,6 @@ object Bench {
     val flakyJson = flaky.map { case (k, n) => jq(k) + ":" + n }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    val line =
-      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flakyJson,"calib_sec":$calibMin,"sf":"$sfDir"}"""
-    val outPath = Paths.get(sys.env.getOrElse("SPARK_GRAFT_OUT", "."), "bench.json")
-    Files.writeString(outPath, line + "\n")
-    // print the JSON first (before any shutdown noise), then the file path
-    println(line)
-    println(s"bench json written to: ${outPath.toAbsolutePath}")
-    spark.stop()
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flakyJson,"calib_sec":$calibMin,"sf":"$sfDir"}"""
   }
 }

@@ -119,10 +119,14 @@ object ScaleSmoke {
       catch { case _: Throwable => () })
     Bench.isolate(spark)
 
+    // `sweep-only` arg: skip straight to the shuffle-partition sweep
+    // (warm-up above still runs — the sweep measures Spark, not JIT)
+    val sweepOnly = args.contains("sweep-only")
+
     val runs =
       linear.flatMap(q => Seq((q, 1, "~K expected"), (q, 10, "~K expected"))) ++
       quadratic.flatMap(q => Seq((q, 1, "~K^2 pairs by design"), (q, 3, "~K^2 pairs by design")))
-    runs.foreach { case (q, k, expect) =>
+    if (!sweepOnly) runs.foreach { case (q, k, expect) =>
       val dir = corpus(k)
       val (sec, rows) = time(q, dir)
       println(f"""{"query":"$q","scale":$k,"sec":$sec%.2f,"rows":$rows,"expect":"$expect"}""")
@@ -166,7 +170,7 @@ object ScaleSmoke {
       buckets.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
         .agg(sum(expr("n * (n - 1) / 2")).cast("long")).collect()(0).getLong(0)
 
-    for (k <- Seq(1, 10, 100)) {
+    for (k <- Seq(1, 10, 100) if !sweepOnly) {
       val dir = corpus(k)
       for (q <- Seq("dedup_minhash_lsh", "dedup_simhash")) {
         val (csec, cand) = timed(q match {
@@ -190,6 +194,34 @@ object ScaleSmoke {
         println(f"""{"decade":"sim_lsh_bucket_topk","scale":$k,"planes":$planes,"sec":$secG%.2f,"rows":$rowsG,"cand_pairs":$candG,"cand_sec":$cgsec%.2f,"expect":"~K candidates at log2-grown planes"}""")
       }
     }
+
+    // ---- shuffle-partition sweep at ×100: local[32] pins
+    // spark.sql.shuffle.partitions at 32, so at 100× the data each
+    // shuffle partition carries ~100× the ×1 bytes and the heavy
+    // minhash verify join starts to spill — a fixed-partition artifact
+    // a real cluster does not have (partition counts are sized with
+    // the data there). Measure the same ×100 query at 32/128/512
+    // initial partitions to separate "operator scales" from "local
+    // harness under-partitions".
+    // Single reps swing ±50 % on ~minute-long entries (same lesson the
+    // bench learned in round 13), so the sweep runs 3 INTERLEAVED
+    // passes (32,128,512, 32,128,512, …) and reports the min per
+    // setting — a host-contention window hits each setting at most
+    // once.
+    val dir100 = corpus(100)
+    val sweepPs = Seq(32, 128, 512)
+    val sweepBest = scala.collection.mutable.Map[Int, (Double, Long)]()
+    for (_ <- 1 to 3; p <- sweepPs) {
+      spark.conf.set("spark.sql.shuffle.partitions", p)
+      val (sec, rows) = timeCount("dedup_minhash_lsh", dir100)
+      val prev = sweepBest.get(p)
+      if (prev.forall(_._1 > sec)) sweepBest(p) = (sec, rows)
+    }
+    for (p <- sweepPs) {
+      val (sec, rows) = sweepBest(p)
+      println(f"""{"sweep":"dedup_minhash_lsh","scale":100,"shuffle_partitions":$p,"min_of_3_sec":$sec%.2f,"rows":$rows}""")
+    }
+    spark.conf.set("spark.sql.shuffle.partitions", cpus)
     spark.stop()
   }
 }
