@@ -134,13 +134,15 @@ object ScaleSmoke {
 
     // ---- DECADES: ×1/×10/×100 with candidate-pair counts (see scaladoc)
     // Terminal here is count(), not collect(): the near-dup PAIR mass of
-    // the synthetic corpus is itself superlinear for simhash (degenerate
-    // sketches of near-empty docs collide across copies regardless of
-    // token content), so at ×100 the output is 10⁸+ rows — collecting
-    // that to a driver is not the operator; a 100 TB dedup writes its
-    // pair set out. count() still executes the banding, candidate join,
-    // verify filter and pair-distinct; what it drops (EliminateSorts) is
-    // only the final presentation ORDER BY.
+    // the synthetic corpus is itself superlinear for simhash — the
+    // corpus carries large template clusters (251 docs share one sketch
+    // at sf0.1), so pair mass is cluster-quadratic and per-copy hash
+    // redraws shift cluster boundaries (PLANS.md round 15) — so at ×100
+    // the output is 10⁸+ rows; collecting that to a driver is not the
+    // operator, a 100 TB dedup writes its pair set out. count() still
+    // executes the banding, candidate join, verify filter and
+    // pair-distinct; what it drops (EliminateSorts) is only the final
+    // presentation ORDER BY.
     import graft.ext.{Dedup, Similarity}
     def timeCount(q: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
