@@ -36,8 +36,8 @@ import graft.{Bench, SparkEntry}
   * drift). Expectations: minhash/simhash candidates grow ~K (banding
   * is the whole point); hyperplane-LSH at FIXED 8 planes grows
   * ~K²/2^8 by construction — its scale knob is the plane count, so the
-  * smoke also runs lshTopk with planes grown by log₂ K
-  * (8 → 11 → 15), which must bring candidates-per-vector back to ~flat.
+  * smoke also runs lshTopk with planes grown to 8 + ⌈log₂ K⌉
+  * (8 → 12 → 15), which must bring candidates-per-vector back to ~flat.
   *
   * Usage: sbt "runMain graft.tools.ScaleSmoke"
   */
@@ -61,7 +61,11 @@ object ScaleSmoke {
     /** ×k corpus under /tmp (built once, reused across runs). */
     def corpus(k: Int): String = {
       if (k == 1) return sf
-      val out = s"/tmp/graft-scale/x$k"
+      // the version segment invalidates corpora built by EARLIER smoke
+      // revisions (the cache check is existence-only): v2 = rotated/
+      // sign-flipped embedding copies — a stale v1 dir would silently
+      // re-measure cos=1 twin-flooded copies
+      val out = s"/tmp/graft-scale/v2/x$k"
       if (!Files.exists(Paths.get(s"$out/embeddings.parquet"))) {
         val docs = spark.read.parquet(s"$sf/documents.parquet")
         (0 until k).map { i =>
@@ -81,8 +85,10 @@ object ScaleSmoke {
             // distinct norm-preserving transforms, so no copy is an
             // exact twin of another (see scaladoc)
             val r = i % 64
+            // dimension-agnostic: slice lengths derive from
+            // size(embedding), not a hardcoded width
             val base = if (r == 0) "embedding"
-              else s"concat(slice(embedding, ${r + 1}, ${64 - r}), slice(embedding, 1, $r))"
+              else s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), slice(embedding, 1, $r))"
             val t = if (i >= 64) s"transform($base, x -> -x)" else base
             emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
               .withColumn("embedding", expr(t))
@@ -114,7 +120,10 @@ object ScaleSmoke {
     // rotated (non-twin) copies its candidate growth is the thing
     // being measured, at both fixed and log2-grown plane counts
     val quadratic = Seq("dedup_embedding_cosine")
-    (linear ++ quadratic).foreach(q =>
+    // warm-up covers the decade/sweep queries too — sim_lsh_bucket_topk
+    // is no longer in the lists above, and without this its ×1 decade
+    // point would carry first-touch JIT/codegen cost
+    (linear ++ quadratic :+ "sim_lsh_bucket_topk").foreach(q =>
       try { SparkEntry.queries(q)(spark, warm).collect(); () }
       catch { case _: Throwable => () })
     Bench.isolate(spark)
@@ -144,13 +153,6 @@ object ScaleSmoke {
     // pair-distinct; what it drops (EliminateSorts) is only the final
     // presentation ORDER BY.
     import graft.ext.{Dedup, Similarity}
-    def timeCount(q: String, dir: String): (Double, Long) = {
-      val t0 = System.nanoTime()
-      val n = SparkEntry.queries(q)(spark, dir).count()
-      val sec = (System.nanoTime() - t0) / 1e9
-      Bench.isolate(spark)
-      (sec, n)
-    }
     def timed[A](body: => A): (Double, A) = {
       val t0 = System.nanoTime()
       val a = body
@@ -158,6 +160,8 @@ object ScaleSmoke {
       Bench.isolate(spark)
       (sec, a)
     }
+    def timeCount(q: String, dir: String): (Double, Long) =
+      timed(SparkEntry.queries(q)(spark, dir).count())
     // candidate pairs from the band table the query itself joins on:
     // distinct unordered (a,b) meeting in >=1 band — exactly the
     // query's `cand` set
@@ -168,9 +172,11 @@ object ScaleSmoke {
         .select("a_id", "b_id").distinct().count()
     }
     // bucket-LSH candidate pairs: sum over buckets of n·(n-1)/2
+    // (coalesce: sum over ZERO groups is null, not 0)
     def bucketCandidates(buckets: org.apache.spark.sql.DataFrame): Long =
       buckets.groupBy(col("bucket")).agg(count(lit(1)).as("n"))
-        .agg(sum(expr("n * (n - 1) / 2")).cast("long")).collect()(0).getLong(0)
+        .agg(coalesce(sum(expr("n * (n - 1) / 2")), lit(0L)).cast("long"))
+        .collect()(0).getLong(0)
 
     for (k <- Seq(1, 10, 100) if !sweepOnly) {
       val dir = corpus(k)

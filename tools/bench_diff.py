@@ -95,15 +95,31 @@ def load_bench(path):
         # map remnant and the scan starts at 0 as before. Either way,
         # stop at the first '"errors"' AFTER the anchor so error-message
         # contents can't be mistaken for timings.
-        anchor = tail.rfind('"queries":{')
-        start = anchor + len('"queries":{') if anchor >= 0 else 0
-        cut = tail.find('"errors"', start)
-        body = tail[start:] if cut < 0 else tail[start:cut]
+        def recover(start):
+            cut = tail.find('"errors"', start)
+            body = tail[start:] if cut < 0 else tail[start:cut]
+            q = {}
+            for m in re.finditer(r'"([A-Za-z0-9_]+)":(%s)(?=[,}])' % NUM, body):
+                name, sec = m.group(1), float(m.group(2))
+                if name not in META_KEYS and sec >= 0:
+                    q[name] = sec
+            return q
+
+        # try every '"queries":{' occurrence LAST-first (the bench line
+        # prints at the end of the run, so later anchors are more likely
+        # the real map), keeping the anchor that recovers the MOST
+        # timings — a JSON-ish noise line containing '"queries":{' after
+        # the real line then loses to the real map instead of hijacking
+        # it; no anchor at all (map clipped mid-way) falls back to a
+        # whole-tail scan.
+        anchors = [m.end() for m in re.finditer(r'"queries":\{', tail)]
         q = {}
-        for m in re.finditer(r'"([A-Za-z0-9_]+)":(%s)(?=[,}])' % NUM, body):
-            name, sec = m.group(1), float(m.group(2))
-            if name not in META_KEYS and sec >= 0:
-                q[name] = sec
+        for start in reversed(anchors):
+            cand = recover(start)
+            if len(cand) > len(q):
+                q = cand
+        if not anchors:
+            q = recover(0)
         calib = None
         mc = re.search(r'"calib_sec":(%s)' % NUM, tail)
         if mc:

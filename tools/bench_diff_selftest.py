@@ -121,6 +121,19 @@ def main():
         "noise line fabricated a query timing:\n" + p.stdout
     assert "calib_sec: old=0.1" in p.stdout, p.stdout
 
+    # 5d. JSON-ish noise AFTER the real bench line that itself contains
+    #     '"queries":{' must not hijack the anchor: the anchor that
+    #     recovers the most timings wins.
+    hijack = {"n": 15, "rc": 0,
+              "tail": 'ic":"total","value":1.8,"unit":"sec",'
+                      '"queries":{"a":1.5,"b":0.3,"d":2.0},"errors":{},'
+                      '"calib_sec":0.1,"sf":"/sf"}\n'
+                      '{"event":"shutdown","queries":{"pending":0}}\n'}
+    p = run(hijack, bench({"a": 1.5, "b": 0.3, "d": 2.0}, calib=0.1))
+    assert "3 compared" in p.stdout, p.stdout
+    assert "pending" not in p.stdout, \
+        "trailing noise anchor hijacked the real queries map:\n" + p.stdout
+
     # 6. Errored queries (-1 sec) are excluded from comparison.
     p = run(bench({"a": 1.0, "dead": -1.0}, calib=0.1),
             bench({"a": 1.0, "dead": 2.0}, calib=0.1))
