@@ -1,6 +1,7 @@
 package graft.etl
 
 import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
 /** The reference's ingest transforms T1–T7 (SURVEY §2.2) as reusable
@@ -83,6 +84,18 @@ object Ingest {
   def messagesFromRaw(raw: DataFrame): DataFrame =
     projectMessage(onlyMessages(dropBackfill(raw)))
 
+  /** JS-`\s`-equivalent whitespace ∪ matrix-js-sdk's hidden-char set
+    * (utils.ts removeHiddenCharsRegex: zero-width/direction marks,
+    * combining diacritics, U+FEFF, U+061C). Java's `\s` is ASCII-only,
+    * so the JS Unicode whitespace members are listed explicitly. */
+  private val HiddenCharsRe =
+    "[\\s\\u00A0\\u1680\\u2000-\\u200F\\u2028\\u2029\\u202A-\\u202F" +
+      "\\u205F\\u3000\\uFEFF\\u061C\\u0300-\\u036F]"
+
+  /** LRO/RLO direction-override chars calculateDisplayName strips from
+    * every returned name (utils.ts removeDirectionOverrideChars). */
+  private val DirOverrideRe = "[\\u202D\\u202E]"
+
   /** T4 — member projection (db.utils.ts:89-97,186-194). Input: member
     * events (event_type = 'm.room.member', content JSON with
     * displayname/avatar_url/membership).
@@ -91,9 +104,24 @@ object Ingest {
     * defaults: avatar_url carries `?? ''` (db.utils.ts:92), and
     * display_name is the SDK-computed member.name, whose fallback is
     * the USER ID — matrix-js-sdk's calculateDisplayName returns the
-    * userId whenever displayname is absent or empty — so a missing or
-    * empty displayname becomes user_id here, not ''. `membership` is
-    * different: the
+    * userId whenever the displayname is falsy, and "falsy" there is
+    * wider than absent/empty: a non-STRING JSON value (typeof check) or
+    * a name that is empty after hidden-char stripping (zero-width/
+    * combining/whitespace chars) also falls back. Non-string-ness is
+    * detected through Spark 4's VARIANT type introspection
+    * (schema_of_variant over try_variant_get), since get_json_object
+    * coerces numbers/objects to text and would hide the type. When
+    * several DIFFERENT members of one room share a (hidden-char-
+    * stripped) name, calculateDisplayName disambiguates each of them to
+    * `Name (user_id)` — reproduced here with a window over
+    * (room_id, stripped name): partitions are bounded by room
+    * membership, so the one extra shuffle this adds to the T4 path
+    * stays skew-safe at scale. Scope note: disambiguation is computed
+    * over the event set handed in (the full corpus on backfill; the
+    * micro-batch incrementally), where the SDK consults live roomState;
+    * and NFD normalization (which Spark lacks natively) is omitted from
+    * hidden-char stripping — both recorded in COVERAGE.md T4.
+    * `membership` is different: the
     * reference passes member.membership straight into
     * participants.membership TEXT NOT NULL (db.utils.ts:93,
     * schema.ts:45) with no fallback, so a member event whose content
@@ -106,13 +134,33 @@ object Ingest {
     * letting a silent "" reach the L2 change-detection merge. */
   def projectParticipant(raw: DataFrame): DataFrame = {
     val membership = get_json_object(col("content"), "$.membership")
+    val dn = get_json_object(col("content"), "$.displayname")
+    // typeof displayname !== "string" → falsy (calculateDisplayName):
+    // VARIANT introspection sees the true JSON type where
+    // get_json_object would coerce 42 → "42" or an object → its text
+    val dnIsString = schema_of_variant(
+      try_variant_get(try_parse_json(col("content")), "$.displayname", "variant")) <=> lit("STRING")
+    val stripped = regexp_replace(dn, HiddenCharsRe, "")
+    // member.name truthiness: a real string, non-empty even after
+    // hidden-char stripping, and not the member's own mxid (that case
+    // returns selfUserId undisambiguated)
+    val truthy = dnIsString && dn =!= "" && stripped =!= "" && dn =!= col("sender")
+    val base = when(truthy, regexp_replace(dn, DirOverrideRe, "")).otherwise(col("sender"))
+    // roomState keys its display-name cache by the hidden-char-stripped
+    // name; fallback rows get a per-user sentinel key so they never
+    // disambiguate (the cache only holds real displaynames) and the
+    // window partition stays per-user-small
+    val collisionKey = when(truthy, stripped)
+      .otherwise(concat(lit(" mxid:"), col("sender")))
+    val othersShareName = size(collect_set(col("sender")).over(
+      Window.partitionBy(col("room_id"), collisionKey))) > 1
     raw.filter(col("event_type") === "m.room.member").select(
       col("event_id"),
       col("sender").as("user_id"),
       col("room_id"),
-      // member.name semantics: falsy displayname (absent/empty) → userId
-      coalesce(nullif(get_json_object(col("content"), "$.displayname"), lit("")),
-        col("sender")).as("display_name"),
+      when(truthy && othersShareName,
+        concat(base, lit(" ("), col("sender"), lit(")")))
+        .otherwise(base).as("display_name"),
       coalesce(get_json_object(col("content"), "$.avatar_url"), lit("")).as("avatar_url"),
       membership.as("membership"),
       col("origin_server_ts").as("joined_ts"),

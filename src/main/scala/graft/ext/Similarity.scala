@@ -116,6 +116,30 @@ object Similarity {
         QUALIFY rank <= 3"""),
       doc = "ANN scale path: random-hyperplane LSH buckets, rank within bucket"),
 
+    // The scale KNOB itself, oracle-gated: the 100 TB deployment shape
+    // grows `planes` with log₂ n (measured flat in PLANS.md's decade
+    // table); this entry hash-checks [[lshTopk]] at a second plane count
+    // (12 → 4096 buckets) so the knob's correctness — not just its
+    // candidate counts — is verified per round.
+    "sim_lsh_planes12_topk" -> QueryDef(
+      build = (s, dir) => lshTopk(s, dir, 12),
+      oracle = Some(s"""
+        WITH e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        planes AS (SELECT vec_id AS p_id, v AS pv FROM e WHERE vec_id < 12),
+        sig AS (SELECT e.vec_id,
+                       CAST(sum(CASE WHEN ${dotSql("e.v", "p.pv")} > 0
+                                     THEN (1::BIGINT << p.p_id) ELSE 0 END) AS BIGINT) AS bucket
+                FROM e CROSS JOIN planes p GROUP BY 1),
+        wb AS (SELECT e.vec_id, e.v, sig.bucket FROM e JOIN sig ON e.vec_id = sig.vec_id),
+        scored AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id, a.bucket,
+                          round(${cosSql("a.v", "b.v")}, 4) AS cos
+                   FROM wb a JOIN wb b ON a.bucket = b.bucket AND a.vec_id <> b.vec_id)
+        SELECT q_id, n_id, bucket, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+        FROM scored
+        QUALIFY rank <= 3"""),
+      doc = "LSH scale knob oracle-gated: same lshTopk body at planes=12 (4096 buckets)"),
+
     // embedding preprocessing: L2 normalization (sequential-fold norm,
     // so values are engine-exact); scalar projections keep the compare
     // surface hash-stable

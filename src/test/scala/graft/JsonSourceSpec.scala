@@ -219,6 +219,56 @@ class JsonSourceSpec extends AnyFunSuite {
       s"each rejected member event must be queryable in logs, got:\n${logged.mkString("\n")}")
   }
 
+  test("member.name: non-string/hidden-char displaynames fall back; room-scoped duplicates disambiguate") {
+    // matrix-js-sdk calculateDisplayName, beyond the falsy→userId rule:
+    //  - typeof displayname !== 'string' → userId
+    //  - empty after hidden-char stripping (zero-width etc.) → userId
+    //  - several room members sharing a (stripped) name → each becomes
+    //    "Name (user_id)"; the collision key is the STRIPPED name, the
+    //    rendered base keeps everything but LRO/RLO direction overrides
+    def member(sender: String, innerJson: String, eid: String,
+        room: String = "!r1:x"): String = {
+      val esc = innerJson.replace("\\", "\\\\").replace("\"", "\\\"")
+      s"""{"event_id":"$eid","room_id":"$room","sender":"$sender",""" +
+        s""""event_type":"m.room.member","origin_server_ts":1001,""" +
+        s""""content":"$esc","is_encrypted":false,"to_start_of_timeline":false}"""
+    }
+    def m(dnJson: String) = s"""{"membership":"join","displayname":$dnJson}"""
+    val lines = Seq(
+      member("@a:x", m("\"Dup\""), "$d1:x"),            // collides with @b and @zw
+      member("@b:x", m("\"Dup\""), "$d2:x"),
+      member("@zw:x", m("\"Dup\u200B\""), "$d3:x"),     // strips to "Dup" → collides; base keeps the ZWSP
+      member("@num:x", m("42"), "$d4:x"),               // non-string number → userId
+      member("@obj:x", m("""{"nested":1}"""), "$d5:x"), // non-string object → userId
+      member("@hid:x", m("\"\u200B\u200C \""), "$d6:x"), // hidden-char-only → userId
+      member("@self:x", m("\"@self:x\""), "$d7:x"),     // own mxid → userId, never disambiguated
+      member("@dir:x", m("\"\u202Ename\u202D\""), "$d8:x"), // LRO/RLO stripped from the rendered name
+      member("@solo:x", m("\"Solo\""), "$d9:x"),        // unique name untouched
+      member("@solo:x", m("\"Solo\""), "$da:x"),        // same USER twice: no self-collision
+      member("@other:x", m("\"Solo\""), "$db:x", room = "!r2:x")) // same name, other room: no collision
+    val dir = Files.createTempDirectory("graft-jsonl-name")
+    // explicit UTF-8: Java 17's default charset follows the locale, and
+    // an ASCII default would silently mangle the hidden chars into '?'
+    Files.write(dir.resolve("events.jsonl"),
+      lines.mkString("\n").getBytes(java.nio.charset.StandardCharsets.UTF_8))
+    val raw = Ingest.rawFromJsonLines(spark.read.text(dir.toString))
+    val (ok, bad) = Ingest.quarantine(Ingest.projectParticipant(raw))
+    assert(bad.count() == 0, "all events carry a valid membership")
+    val got = ok.select("user_id", "room_id", "display_name").collect()
+      .map(r => (r.getString(0), r.getString(1), r.getString(2))).toSet
+    assert(got == Set(
+      ("@a:x", "!r1:x", "Dup (@a:x)"),
+      ("@b:x", "!r1:x", "Dup (@b:x)"),
+      ("@zw:x", "!r1:x", "Dup\u200B (@zw:x)"),
+      ("@num:x", "!r1:x", "@num:x"),
+      ("@obj:x", "!r1:x", "@obj:x"),
+      ("@hid:x", "!r1:x", "@hid:x"),
+      ("@self:x", "!r1:x", "@self:x"),
+      ("@dir:x", "!r1:x", "name"),
+      ("@solo:x", "!r1:x", "Solo"),
+      ("@other:x", "!r2:x", "Solo")), s"got:\n${got.mkString("\n")}")
+  }
+
   test("streaming: the same parse path runs under readStream") {
     import spark.implicits._
     implicit val sq: org.apache.spark.sql.SQLContext = spark.sqlContext

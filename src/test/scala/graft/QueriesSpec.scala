@@ -84,6 +84,7 @@ class QueriesSpec extends AnyFunSuite {
     val bnljAllowed = Set(
       "api_q6_stats",       // crossJoin of five 1-row aggregate panels (Api.scala)
       "sim_lsh_bucket_topk", // 8-row broadcast hyperplane set (Similarity.scala)
+      "sim_lsh_planes12_topk", // same hyperplane panel at 12 rows — the oracle-gated scale knob
       "sim_cosine_topk")     // broadcast ~50-row query set — the declared exact baseline
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString

@@ -110,16 +110,19 @@ def load_bench(path):
         # the real map), keeping the anchor that recovers the MOST
         # timings — a JSON-ish noise line containing '"queries":{' after
         # the real line then loses to the real map instead of hijacking
-        # it; no anchor at all (map clipped mid-way) falls back to a
-        # whole-tail scan.
+        # it. The whole-tail scan recover(0) is ALWAYS in the running,
+        # not just when no anchor exists: if the tail is front-truncated
+        # INSIDE the real map (its anchor clipped away) while trailing
+        # noise still contains '"queries":{', the noise anchor would
+        # otherwise be the only candidate and the real clipped timings
+        # before it silently discarded. recover(0) stops at the first
+        # '"errors"' so it cannot over-collect past the real map either.
         anchors = [m.end() for m in re.finditer(r'"queries":\{', tail)]
         q = {}
-        for start in reversed(anchors):
+        for start in list(reversed(anchors)) + [0]:
             cand = recover(start)
             if len(cand) > len(q):
                 q = cand
-        if not anchors:
-            q = recover(0)
         calib = None
         mc = re.search(r'"calib_sec":(%s)' % NUM, tail)
         if mc:

@@ -134,6 +134,21 @@ def main():
     assert "pending" not in p.stdout, \
         "trailing noise anchor hijacked the real queries map:\n" + p.stdout
 
+    # 5e. Tail front-truncated INSIDE the real queries map (its anchor
+    #     clipped away) with trailing noise that DOES contain
+    #     '"queries":{': the whole-tail scan must stay in the running and
+    #     beat the noise anchor, or the real clipped timings are silently
+    #     discarded in favor of the noise's.
+    clipped = {"n": 16, "rc": 0,
+               "tail": '"q_mid1":1.5,"q_mid2":0.3,"q_mid3":2.0},'
+                       '"errors":{},"calib_sec":0.1,"sf":"/sf"}\n'
+                       '{"event":"shutdown","queries":{"pending":0}}\n'}
+    p = run(clipped, bench({"q_mid1": 1.5, "q_mid2": 0.3, "q_mid3": 2.0},
+                           calib=0.1))
+    assert "3 compared" in p.stdout, p.stdout
+    assert "pending" not in p.stdout, \
+        "noise anchor beat the clipped real map:\n" + p.stdout
+
     # 6. Errored queries (-1 sec) are excluded from comparison.
     p = run(bench({"a": 1.0, "dead": -1.0}, calib=0.1),
             bench({"a": 1.0, "dead": 2.0}, calib=0.1))
