@@ -73,8 +73,21 @@ object MergeWriter {
   /** `rows` counts the rows of the segment this merge WROTE (the merged
     * content of the touched buckets), observed on the write itself —
     * not the whole-snapshot count, which would re-scan every carried
-    * bucket after a merge that carefully avoided reading them. */
-  final case class MergeResult(version: Long, rows: Long)
+    * bucket after a merge that carefully avoided reading them.
+    *
+    * The remaining counters classify that same written segment, also
+    * observed on the write (one Observation, zero extra jobs):
+    * `inserted` = batch rows with no existing key; `updated` = batch
+    * rows that replaced an existing row (for SCD-1 merges: replaced
+    * because a changeCol differed); `unchangedHits` = batch rows whose
+    * key existed but change detection kept the OLD row — the
+    * reference's `IS DISTINCT FROM` no-op case (db.utils.ts:186-194),
+    * i.e. the change-detection hit rate is unchangedHits / batch. Rows
+    * carried untouched inside rewritten buckets are `rows - inserted -
+    * updated - unchangedHits`. For changeCols=None (LWW) every matched
+    * key counts as `updated` — `unchangedHits` is 0 by construction. */
+  final case class MergeResult(version: Long, rows: Long,
+      inserted: Long = 0L, updated: Long = 0L, unchangedHits: Long = 0L)
 
   final case class VacuumStats(droppedVersions: Int, droppedSegments: Int)
 
@@ -389,7 +402,17 @@ object MergeWriter {
     bucket match {
       case Some(bs) =>
         val withB = df.withColumn(BucketCol, bucketExpr(col(bs.col), bs.buckets))
-        val sorted = withB.repartition(bs.buckets, col(BucketCol))
+        // task count scales with the CLUSTER, not the layout: hash-
+        // partitioning on the bucket id keeps each bucket's rows in one
+        // task (so partitionBy still yields one file per bucket), while
+        // capping partitions at 4× parallelism stops a small micro-batch
+        // append/merge into a thousands-bucket table from scheduling one
+        // (mostly empty) task per bucket — measured at 1600 buckets the
+        // cap cut a 3×6.4k-row append stack from 17.3 s to the ~2 s the
+        // 16-bucket layout pays (WriteSmoke, PLANS.md round 16)
+        val parts = math.min(bs.buckets,
+          math.max(1, df.sparkSession.sparkContext.defaultParallelism * 4))
+        val sorted = withB.repartition(parts, col(BucketCol))
           .sortWithinPartitions((BucketCol +: bs.sortBy).map(col): _*)
         sorted.write.mode("overwrite").partitionBy(BucketCol).parquet(abs)
         val sc = bs.sortBy.headOption.filter(statsHarvestable(df, _))
@@ -480,7 +503,15 @@ object MergeWriter {
     *                   incoming value (SCD-1 change detection)
     * @param bucket     if set, the snapshot is hash-bucketed on
     *                   `bucket.col` and the merge reads+rewrites ONLY the
-    *                   buckets present in the batch
+    *                   buckets present in the batch. CONTRACT: a key's
+    *                   bucket-column value must be immutable across its
+    *                   versions (an event never changes room) — a batch
+    *                   row re-homing an existing key to a different
+    *                   bucket would leave the old row in an untouched,
+    *                   unread bucket and the snapshot with two rows for
+    *                   one key. Holds by construction for every table
+    *                   here (messages/participants bucket on room_id,
+    *                   which is part of the natural key's identity).
     */
   def merge(spark: SparkSession, tableDir: String, batch: DataFrame,
       keys: Seq[String], orderBy: Seq[String],
@@ -534,20 +565,40 @@ object MergeWriter {
       }
       val takeNew = col("__old_present").isNull ||
         (col("__new_present").isNotNull && changed)
-      val resolved = joined.select(cols.map { c =>
-        when(takeNew, col(s"__new_$c")).otherwise(col(s"__old_$c")).as(c)
-      }: _*)
 
       // 3. claim v{n+1} (writer lock), write only the merged segment —
-      //    its row count is observed ON the write (no post-merge
-      //    re-scan) — commit manifest = carried untouched buckets + it
+      //    its row count and batch-outcome classification are observed
+      //    ON the write (one Observation, no post-merge re-scan) —
+      //    commit manifest = carried untouched buckets + the segment.
+      //    The classifying columns must be selected BEFORE the __old/
+      //    __new scaffolding is projected away, so the observe rides on
+      //    an extended projection that still carries both sides.
+      val classified = joined.select(
+        (cols.map { c =>
+          when(takeNew, col(s"__new_$c")).otherwise(col(s"__old_$c")).as(c)
+        } :+ when(col("__old_present").isNull, 1L).otherwise(0L).as("__ins")
+          :+ when(col("__old_present").isNotNull && takeNew, 1L)
+            .otherwise(0L).as("__upd")
+          :+ when(col("__old_present").isNotNull &&
+              col("__new_present").isNotNull && !takeNew, 1L)
+            .otherwise(0L).as("__hit")): _*)
       val obs = Observation()
-      val observed = resolved.observe(obs, count(lit(1)).as("rows"))
+      val observed = classified.observe(obs,
+          count(lit(1)).as("rows"),
+          sum(col("__ins")).as("ins"),
+          sum(col("__upd")).as("upd"),
+          sum(col("__hit")).as("hit"))
+        .drop("__ins", "__upd", "__hit")
       val next = claimVersionAt(tableDir, base)
       writeAndCommit(tableDir, next, "merge", observed, bucket, carried)
       // an all-empty write runs zero tasks → the observed row has no
-      // fields at all; that genuinely means zero rows written
-      MergeResult(next, obs.get.getOrElse("rows", 0L).asInstanceOf[Long])
+      // fields at all; that genuinely means zero rows written (sums of
+      // an empty frame are also null, not 0)
+      def metric(name: String): Long = obs.get.get(name) match {
+        case Some(v: Long) => v
+        case _ => 0L
+      }
+      MergeResult(next, metric("rows"), metric("ins"), metric("upd"), metric("hit"))
     }
   }
 

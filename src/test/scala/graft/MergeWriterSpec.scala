@@ -66,6 +66,26 @@ class MergeWriterSpec extends AnyFunSuite {
     assert(MergeWriter.currentVersion(dir).get == v1 + 2)
   }
 
+  test("MergeResult classifies the batch: inserted/updated/unchangedHits observed on the write") {
+    val dir = tmp()
+    MergeWriter.merge(spark, dir,
+      df(Seq(("e1", 10L, "a"), ("e2", 10L, "b"), ("e3", 10L, "c"))),
+      Seq("event_id"), Seq("timestamp"))
+    // SCD-1 merge: e1 changed, e2 identical (hit), e4 fresh
+    val r = MergeWriter.merge(spark, dir,
+      df(Seq(("e1", 20L, "a2"), ("e2", 20L, "b"), ("e4", 20L, "d"))),
+      Seq("event_id"), Seq("timestamp"), changeCols = Some(Seq("content")))
+    assert((r.inserted, r.updated, r.unchangedHits) == ((1L, 1L, 1L)),
+      s"got $r")
+    assert(r.rows == 4, "written segment = full merged content (e1..e4)")
+    // LWW merge (changeCols=None): every matched key counts as updated
+    val r2 = MergeWriter.merge(spark, dir,
+      df(Seq(("e2", 30L, "b"), ("e5", 30L, "e"))),
+      Seq("event_id"), Seq("timestamp"))
+    assert((r2.inserted, r2.updated, r2.unchangedHits) == ((1L, 1L, 0L)),
+      s"LWW has no no-op path, got $r2")
+  }
+
   test("null semantics: <=> treats null==null as no change") {
     val dir = tmp()
     MergeWriter.merge(spark, dir, df(Seq(("e1", 1L, null))),
