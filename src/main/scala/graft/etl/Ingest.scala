@@ -154,11 +154,17 @@ object Ingest {
       .otherwise(concat(lit(" mxid:"), col("sender")))
     val othersShareName = size(collect_set(col("sender")).over(
       Window.partitionBy(col("room_id"), collisionKey))) > 1
+    // shouldDisambiguate's unconditional rules: a name that LOOKS like
+    // an mxid (impersonation defense) or carries LTR/RTL marks (which
+    // could visually reorder surrounding text) always shows the real
+    // mxid, collision or not
+    val forceDisambiguate = dn.rlike("@.+:.+") ||
+      dn.rlike("[\\u200E\\u200F\\u202A-\\u202F]")
     raw.filter(col("event_type") === "m.room.member").select(
       col("event_id"),
       col("sender").as("user_id"),
       col("room_id"),
-      when(truthy && othersShareName,
+      when(truthy && (othersShareName || forceDisambiguate),
         concat(base, lit(" ("), col("sender"), lit(")")))
         .otherwise(base).as("display_name"),
       coalesce(get_json_object(col("content"), "$.avatar_url"), lit("")).as("avatar_url"),

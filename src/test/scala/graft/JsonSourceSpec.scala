@@ -242,10 +242,12 @@ class JsonSourceSpec extends AnyFunSuite {
       member("@obj:x", m("""{"nested":1}"""), "$d5:x"), // non-string object → userId
       member("@hid:x", m("\"\u200B\u200C \""), "$d6:x"), // hidden-char-only → userId
       member("@self:x", m("\"@self:x\""), "$d7:x"),     // own mxid → userId, never disambiguated
-      member("@dir:x", m("\"\u202Ename\u202D\""), "$d8:x"), // LRO/RLO stripped from the rendered name
+      member("@dir:x", m("\"\u202Ename\u202D\""), "$d8:x"), // LRO/RLO stripped from the base AND force-disambiguated (LTR/RTL rule)
       member("@solo:x", m("\"Solo\""), "$d9:x"),        // unique name untouched
       member("@solo:x", m("\"Solo\""), "$da:x"),        // same USER twice: no self-collision
-      member("@other:x", m("\"Solo\""), "$db:x", room = "!r2:x")) // same name, other room: no collision
+      member("@other:x", m("\"Solo\""), "$db:x", room = "!r2:x"), // same name, other room: no collision
+      member("@imp:x", m("\"@alice:x\""), "$dc:x"),     // someone ELSE'S mxid as a name \u2192 forced (impersonation defense)
+      member("@ltr:x", m("\"Bob\u200E\""), "$dd:x"))    // LTR mark \u2192 forced; the mark survives in the rendered base
     val dir = Files.createTempDirectory("graft-jsonl-name")
     // explicit UTF-8: Java 17's default charset follows the locale, and
     // an ASCII default would silently mangle the hidden chars into '?'
@@ -264,9 +266,11 @@ class JsonSourceSpec extends AnyFunSuite {
       ("@obj:x", "!r1:x", "@obj:x"),
       ("@hid:x", "!r1:x", "@hid:x"),
       ("@self:x", "!r1:x", "@self:x"),
-      ("@dir:x", "!r1:x", "name"),
+      ("@dir:x", "!r1:x", "name (@dir:x)"),
       ("@solo:x", "!r1:x", "Solo"),
-      ("@other:x", "!r2:x", "Solo")), s"got:\n${got.mkString("\n")}")
+      ("@other:x", "!r2:x", "Solo"),
+      ("@imp:x", "!r1:x", "@alice:x (@imp:x)"),
+      ("@ltr:x", "!r1:x", "Bob‎ (@ltr:x)")), s"got:\n${got.mkString("\n")}")
   }
 
   test("streaming: the same parse path runs under readStream") {

@@ -208,6 +208,34 @@ class MergeWriterSpec extends AnyFunSuite {
     assert(snap(dir).size == 40)
   }
 
+  test("buckets >> parallelism: capped write tasks still yield one file per non-empty bucket") {
+    // writeSegment caps write partitions at 4× parallelism (several
+    // buckets share a task), so the invariant the manifest/pruning
+    // layer rests on — every bucket is exactly one leaf dir holding
+    // exactly one file per segment — must come from hash-partitioning
+    // on the bucket id + partitionBy, not from one-task-per-bucket
+    val dir = tmp()
+    val wide = MergeWriter.BucketSpec("event_id", 1000, Seq("timestamp"))
+    val seed = (1 to 200).map(i => (s"k$i", 1L, s"v$i"))
+    MergeWriter.merge(spark, dir, df(seed), Seq("event_id"), Seq("timestamp"),
+      bucket = Some(wide))
+    val entries = MergeWriter.manifestFull(dir)
+    val expected = seed.map(r => MergeWriter.bucketIdOf(r._1, 1000)).toSet
+    assert(entries.map(_.bucket).toSet == expected,
+      "one manifest entry per non-empty bucket, none for empty buckets")
+    entries.foreach { e =>
+      val files = Files.list(java.nio.file.Paths.get(dir, e.path)).toArray
+        .map(_.toString).filter(_.endsWith(".parquet"))
+      assert(files.length == 1, s"bucket ${e.bucket} must hold ONE file, got ${files.length}")
+    }
+    assert(snap(dir).size == 200, "round-trip intact under the capped layout")
+    // point read still prunes with the wide modulus
+    val hit = MergeWriter.readBuckets(spark, dir, df(Nil).schema,
+      Set(MergeWriter.bucketIdOf("k7", 1000)))
+      .filter(col("event_id") === "k7").collect()
+    assert(hit.map(_.getString(0)).toSeq == Seq("k7"))
+  }
+
   test("bucket-pruned read returns exactly the bucket's rows from a file subset") {
     val dir = tmp()
     val seed = (1 to 40).map(i => (s"k$i", 1L, s"v$i"))
