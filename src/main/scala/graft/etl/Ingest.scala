@@ -116,11 +116,12 @@ object Ingest {
     * `Name (user_id)` — reproduced here with a window over
     * (room_id, stripped name): partitions are bounded by room
     * membership, so the one extra shuffle this adds to the T4 path
-    * stays skew-safe at scale. Scope note: disambiguation is computed
-    * over the event set handed in (the full corpus on backfill; the
-    * micro-batch incrementally), where the SDK consults live roomState;
-    * and NFD normalization (which Spark lacks natively) is omitted from
-    * hidden-char stripping — both recorded in COVERAGE.md T4.
+    * stays skew-safe at scale. Stripping applies NFD first (the SDK's
+    * removeHiddenChars order) via the native [[graft.functions.NfdNormalize]]
+    * expression, so composed and decomposed forms share a key. Scope
+    * note: disambiguation is computed over the event set handed in (the
+    * full corpus on backfill; the micro-batch incrementally), where the
+    * SDK consults live roomState — recorded in COVERAGE.md T4.
     * `membership` is different: the
     * reference passes member.membership straight into
     * participants.membership TEXT NOT NULL (db.utils.ts:93,
@@ -133,6 +134,7 @@ object Ingest {
     * log line) and [[Pipeline]] routes them to `logs` instead of
     * letting a silent "" reach the L2 change-detection merge. */
   def projectParticipant(raw: DataFrame): DataFrame = {
+    graft.functions.NfdNormalize.register(raw.sparkSession)
     val membership = get_json_object(col("content"), "$.membership")
     val dn = get_json_object(col("content"), "$.displayname")
     // typeof displayname !== "string" → falsy (calculateDisplayName):
@@ -140,7 +142,10 @@ object Ingest {
     // get_json_object would coerce 42 → "42" or an object → its text
     val dnIsString = schema_of_variant(
       try_variant_get(try_parse_json(col("content")), "$.displayname", "variant")) <=> lit("STRING")
-    val stripped = regexp_replace(dn, HiddenCharsRe, "")
+    // NFD BEFORE stripping (removeHiddenChars): composed "é" and
+    // decomposed "e"+combining-acute must strip to the same key
+    val stripped =
+      regexp_replace(call_function("nfd_normalize", dn), HiddenCharsRe, "")
     // member.name truthiness: a real string, non-empty even after
     // hidden-char stripping, and not the member's own mxid (that case
     // returns selfUserId undisambiguated)

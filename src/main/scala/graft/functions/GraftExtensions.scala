@@ -37,5 +37,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
             s"simhash60 requires exactly 1 argument, got ${children.length}")
         SimHash60(children.head)
       }))
+    ext.injectFunction((
+      FunctionIdentifier("nfd_normalize"),
+      new ExpressionInfo(classOf[NfdNormalize].getName, "nfd_normalize"),
+      { children: Seq[Expression] =>
+        if (children.length != 1)
+          throw new IllegalArgumentException(
+            s"nfd_normalize requires exactly 1 argument, got ${children.length}")
+        NfdNormalize(children.head)
+      }))
   }
 }

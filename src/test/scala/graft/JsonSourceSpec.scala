@@ -247,7 +247,12 @@ class JsonSourceSpec extends AnyFunSuite {
       member("@solo:x", m("\"Solo\""), "$da:x"),        // same USER twice: no self-collision
       member("@other:x", m("\"Solo\""), "$db:x", room = "!r2:x"), // same name, other room: no collision
       member("@imp:x", m("\"@alice:x\""), "$dc:x"),     // someone ELSE'S mxid as a name \u2192 forced (impersonation defense)
-      member("@ltr:x", m("\"Bob\u200E\""), "$dd:x"))    // LTR mark \u2192 forced; the mark survives in the rendered base
+      member("@ltr:x", m("\"Bob\u200E\""), "$dd:x"),    // LTR mark \u2192 forced; the mark survives in the rendered base
+      // composed U+00E9 vs decomposed e+U+0301: the SDK's cache key is
+      // NFD-normalized BEFORE stripping, so these collide; each keeps
+      // its own (un-normalized) byte form in the rendered base
+      member("@jose1:x", m("\"Jos\u00E9\""), "$de:x"),
+      member("@jose2:x", m("\"Jose\u0301\""), "$df:x"))
     val dir = Files.createTempDirectory("graft-jsonl-name")
     // explicit UTF-8: Java 17's default charset follows the locale, and
     // an ASCII default would silently mangle the hidden chars into '?'
@@ -270,7 +275,9 @@ class JsonSourceSpec extends AnyFunSuite {
       ("@solo:x", "!r1:x", "Solo"),
       ("@other:x", "!r2:x", "Solo"),
       ("@imp:x", "!r1:x", "@alice:x (@imp:x)"),
-      ("@ltr:x", "!r1:x", "Bob‎ (@ltr:x)")), s"got:\n${got.mkString("\n")}")
+      ("@ltr:x", "!r1:x", "Bob‎ (@ltr:x)"),
+      ("@jose1:x", "!r1:x", "Jos\u00E9 (@jose1:x)"),
+      ("@jose2:x", "!r1:x", "Jose\u0301 (@jose2:x)")), s"got:\n${got.mkString("\n")}")
   }
 
   test("streaming: the same parse path runs under readStream") {
