@@ -38,6 +38,7 @@ contention) exceeds any signal at this SF.
 import argparse
 import json
 import re
+import statistics
 import sys
 
 # keys that appear as "key":number in the bench JSON line but are not
@@ -196,6 +197,23 @@ def main():
         rows.append((name, o, n, raw, norm, flag))
 
     rows.sort(key=lambda r: -r[4])
+
+    # Second drift opinion, from the board itself: the median of the
+    # per-query RAW ratios. The calib probe is one number from one
+    # pure-CPU job and has measured +/-11% spread between same-code
+    # runs (round 16: calibs 0.2554 vs 0.2295 an hour apart while the
+    # 82 query timings agreed within 1.6%) — enough to flip borderline
+    # entries across the 1.2x threshold. The median over ~80 queries is
+    # far more stable; when it disagrees with the calib host-speed
+    # ratio, the flags below are suspect and each REGRESSION line's
+    # vs-median column says where the entry sits against the board.
+    med_ratio = (statistics.median(r[3] for r in rows if r[1] > 0)
+                 if any(r[1] > 0 for r in rows) else float("nan"))
+    print(f"board-median raw ratio: {med_ratio:.3f} "
+          f"(drift estimate from the {len(common)} common queries; "
+          f"calib implies {new_c / old_c:.3f})" if normalized else
+          f"board-median raw ratio: {med_ratio:.3f}")
+
     hdr = f"{'query':<28}{'old_s':>9}{'new_s':>9}{'raw':>7}{'norm':>7}  flag"
     print()
     print(hdr)
@@ -218,8 +236,10 @@ def main():
           f"{len(imps)} improved"
           + ("" if normalized else " [RAW — no calib normalization]"))
     for name, o, n, raw, norm, _ in regs:
+        vs_med = (f", vs-median {raw / med_ratio:.2f}x"
+                  if med_ratio == med_ratio and med_ratio > 0 else "")
         print(f"  REGRESSION {name}: {o:.3f}s -> {n:.3f}s "
-              f"(raw {raw:.2f}x, norm {norm:.2f}x)")
+              f"(raw {raw:.2f}x, norm {norm:.2f}x{vs_med})")
     for side, meta in (("OLD", old_m), ("NEW", new_m)):
         if meta["errors"]:
             print(f"  {side} errors: {sorted(meta['errors'])}")

@@ -149,6 +149,21 @@ def main():
     assert "pending" not in p.stdout, \
         "noise anchor beat the clipped real map:\n" + p.stdout
 
+    # 5f. Board-median second opinion: five queries all 2.0x raw, calib
+    #     claiming the host is SAME speed (a mis-measured calib) — the
+    #     median line must say 2.000 so the adjudicator can see the
+    #     board moved together, and each REGRESSION line must carry its
+    #     vs-median position (2.0x raw / 2.0 median = 1.00x: board-wide
+    #     drift, not query-specific).
+    old = bench({"a": 2.0, "b": 1.5, "c": 1.2, "d": 3.0, "e": 0.4},
+                calib=0.1)
+    new = bench({"a": 4.0, "b": 3.0, "c": 2.4, "d": 6.0, "e": 0.8},
+                calib=0.1)
+    p = run(old, new)
+    assert "board-median raw ratio: 2.000" in p.stdout, p.stdout
+    assert "vs-median 1.00x" in p.stdout, \
+        "REGRESSION lines must carry vs-median context:\n" + p.stdout
+
     # 6. Errored queries (-1 sec) are excluded from comparison.
     p = run(bench({"a": 1.0, "dead": -1.0}, calib=0.1),
             bench({"a": 1.0, "dead": 2.0}, calib=0.1))
