@@ -3,6 +3,8 @@ package graft
 import graft.functions.NfdNormalize
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.unsafe.types.UTF8String
+import org.scalacheck.Gen
+import org.scalacheck.rng.Seed
 import org.scalatest.funsuite.AnyFunSuite
 
 /** Native NFD expression backing member.name's hidden-char stripping
@@ -34,6 +36,36 @@ class NormalizeSpec extends AnyFunSuite {
     assert(NfdNormalize.normalize(u("a\uD83D\uDE00b")).toString == "a\uD83D\uDE00b")
     // Hangul syllables canonically decompose to Jamo
     assert(NfdNormalize.normalize(u("\uAC00")).toString == "\u1100\u1161")
+  }
+
+  test("property: the helper (fast paths included) equals the JDK normalizer on randomized unicode") {
+    // the two short-circuits (ASCII byte-count gate, isNormalized gate)
+    // are the only way this expression can diverge from
+    // Normalizer.normalize itself — pin them across 500 randomized
+    // strings mixing ASCII, precomposed Latin/angstrom, combining
+    // marks, Hangul syllables, non-BMP emoji, and hidden chars.
+    // Generated from CODE POINTS (Character.toChars) so no lone
+    // surrogates appear — UTF8String round-trips them lossily, which
+    // would test the fixture, not the expression.
+    val cpGen: Gen[Int] = Gen.frequency(
+      4 -> Gen.chooseNum(0x20, 0x7E),
+      2 -> Gen.oneOf(0xE9, 0xC5, 0xF6, 0x212B, 0x1E9B),
+      2 -> Gen.chooseNum(0x300, 0x36F),
+      1 -> Gen.chooseNum(0xAC00, 0xD7A3),
+      1 -> Gen.oneOf(0x1F600, 0x1F4A9, 0x10348),
+      1 -> Gen.oneOf(0x200B, 0x200E, 0x202E, 0xFEFF))
+    val strGen: Gen[String] = Gen.listOf(cpGen)
+      .map(_.flatMap(Character.toChars(_).toSeq).mkString)
+    def sample(seed: Long): String =
+      strGen.pureApply(Gen.Parameters.default, Seed(seed))
+    (1L to 500L).foreach { seed =>
+      val s = sample(seed)
+      val got = NfdNormalize.normalize(UTF8String.fromString(s)).toString
+      val want = java.text.Normalizer.normalize(s, java.text.Normalizer.Form.NFD)
+      assert(got == want, s"seed=$seed input=${s.map(c => f"\\u$c%04X").mkString}")
+      // idempotence: NFD of NFD is NFD
+      assert(NfdNormalize.normalize(UTF8String.fromString(got)).toString == want)
+    }
   }
 
   test("registered function: known values and null propagation") {
