@@ -118,10 +118,23 @@ object Ingest {
     * membership, so the one extra shuffle this adds to the T4 path
     * stays skew-safe at scale. Stripping applies NFD first (the SDK's
     * removeHiddenChars order) via the native [[graft.functions.NfdNormalize]]
-    * expression, so composed and decomposed forms share a key. Scope
-    * note: disambiguation is computed over the event set handed in (the
-    * full corpus on backfill; the micro-batch incrementally), where the
-    * SDK consults live roomState — recorded in COVERAGE.md T4.
+    * expression, so composed and decomposed forms share a key.
+    *
+    * Scope: the SDK consults live roomState, not the events that happen
+    * to share a sync response. `roomState` therefore takes the caller's
+    * persisted participants snapshot (the incremental path passes the
+    * current table; backfill passes None because the full corpus IS the
+    * room state), and the collision window runs over the POST-batch
+    * room state: persisted rows ∪ batch, with the batch superseding a
+    * user's own persisted name (a stale pre-rename name must not count,
+    * exactly as roomState holds one current name per member). Persisted
+    * rows only contribute collision keys — they are never re-emitted or
+    * retro-renamed, because the reference persists only the member each
+    * event is about (db.utils.ts:89-97; an existing member's rendered
+    * name changes in SDK memory when a twin joins, but the reference DB
+    * row keeps its stored name until that member's next own event).
+    * Keys for persisted rows are recovered by exact inversion of this
+    * projection's own rendering — see [[stateCollisionKeys]].
     * `membership` is different: the
     * reference passes member.membership straight into
     * participants.membership TEXT NOT NULL (db.utils.ts:93,
@@ -133,7 +146,8 @@ object Ingest {
     * such rows carry a non-null `error` (plus their event_id for the
     * log line) and [[Pipeline]] routes them to `logs` instead of
     * letting a silent "" reach the L2 change-detection merge. */
-  def projectParticipant(raw: DataFrame): DataFrame = {
+  def projectParticipant(raw: DataFrame,
+      roomState: Option[DataFrame] = None): DataFrame = {
     graft.functions.NfdNormalize.register(raw.sparkSession)
     val membership = get_json_object(col("content"), "$.membership")
     val dn = get_json_object(col("content"), "$.displayname")
@@ -156,30 +170,93 @@ object Ingest {
     // disambiguate (the cache only holds real displaynames) and the
     // window partition stays per-user-small
     val collisionKey = when(truthy, stripped)
-      .otherwise(concat(lit(" mxid:"), col("sender")))
-    val othersShareName = size(collect_set(col("sender")).over(
-      Window.partitionBy(col("room_id"), collisionKey))) > 1
+      .otherwise(concat(lit(" mxid:"), col("sender")))
     // shouldDisambiguate's unconditional rules: a name that LOOKS like
     // an mxid (impersonation defense) or carries LTR/RTL marks (which
     // could visually reorder surrounding text) always shows the real
     // mxid, collision or not
     val forceDisambiguate = dn.rlike("@.+:.+") ||
       dn.rlike("[\\u200E\\u200F\\u202A-\\u202F]")
-    raw.filter(col("event_type") === "m.room.member").select(
+    val batch = raw.filter(col("event_type") === "m.room.member").select(
       col("event_id"),
       col("sender").as("user_id"),
       col("room_id"),
-      when(truthy && (othersShareName || forceDisambiguate),
-        concat(base, lit(" ("), col("sender"), lit(")")))
-        .otherwise(base).as("display_name"),
+      truthy.as("__truthy"),
+      base.as("__base"),
+      collisionKey.as("__key"),
+      forceDisambiguate.as("__force"),
+      lit(false).as("__state"),
       coalesce(get_json_object(col("content"), "$.avatar_url"), lit("")).as("avatar_url"),
       membership.as("membership"),
       col("origin_server_ts").as("joined_ts"),
-      current_timestamp().as("last_updated"),
-      current_timestamp().as("created_at"),
       when(membership.isNull,
         lit("member_missing_membership: content has no usable membership"))
         .as("error"))
+    // post-batch room state: persisted keys ride along (rows flagged
+    // __state), contribute to the window, and are filtered back out
+    val scoped = roomState match {
+      case None => batch
+      case Some(st) =>
+        batch.unionByName(stateCollisionKeys(st, batch), allowMissingColumns = true)
+    }
+    val othersShareName = size(collect_set(col("user_id")).over(
+      Window.partitionBy(col("room_id"), col("__key")))) > 1
+    scoped
+      .withColumn("__collide", othersShareName)
+      .filter(!col("__state"))
+      .select(
+        col("event_id"),
+        col("user_id"),
+        col("room_id"),
+        when(col("__truthy") && (col("__collide") || col("__force")),
+          concat(col("__base"), lit(" ("), col("user_id"), lit(")")))
+          .otherwise(col("__base")).as("display_name"),
+        col("avatar_url"),
+        col("membership"),
+        col("joined_ts"),
+        current_timestamp().as("last_updated"),
+        current_timestamp().as("created_at"),
+        col("error"))
+  }
+
+  /** Collision keys for already-persisted participant rows, recovered
+    * by EXACT inversion of [[projectParticipant]]'s rendering — the
+    * table stores only the rendered name, but the SDK's cache keys on
+    * the raw one:
+    *
+    *  - a stored name equal to the user_id is the falsy fallback (or
+    *    the own-mxid case, which renders identically) → the same
+    *    per-user sentinel key the projection assigns, so it can never
+    *    collide with a real name;
+    *  - a stored name ending in `" (user_id)"` was suffixed by the
+    *    projection. The inversion is unambiguous: a RAW displayname
+    *    that literally ends in `" (own-mxid)"` contains an
+    *    mxid-lookalike, which the impersonation rule ALWAYS
+    *    force-disambiguates — so such a name also reaches the table
+    *    with one appended suffix, and stripping exactly one recovers
+    *    the base in every case;
+    *  - anything else is the base itself (LRO/RLO were stripped at
+    *    render time; they are inside [[HiddenCharsRe]]'s ranges, so
+    *    the recovered key is unaffected by their absence).
+    *
+    * Only rooms present in the batch are consulted (left-semi — at
+    * cluster scale this prunes the participants read to the touched
+    * buckets), and a user's own persisted row is dropped when the batch
+    * carries a newer event for them (left-anti: the batch supersedes —
+    * post-batch room state, one current name per member). */
+  private def stateCollisionKeys(state: DataFrame, batch: DataFrame): DataFrame = {
+    val dn = col("display_name")
+    val suffix = concat(lit(" ("), col("user_id"), lit(")"))
+    val bs = when(dn.endsWith(suffix),
+      dn.substr(lit(1), length(dn) - length(suffix))).otherwise(dn)
+    val key = when(dn <=> col("user_id"), concat(lit(" mxid:"), col("user_id")))
+      .otherwise(regexp_replace(call_function("nfd_normalize", bs), HiddenCharsRe, ""))
+    state
+      .join(batch.select("room_id").distinct(), Seq("room_id"), "left_semi")
+      .join(batch.select("user_id", "room_id").distinct(),
+        Seq("user_id", "room_id"), "left_anti")
+      .select(col("room_id"), col("user_id"), key.as("__key"),
+        lit(true).as("__state"))
   }
 
   /** T5 — room-state extraction from state events (db.utils.ts:107-116):

@@ -45,9 +45,12 @@ final case class Pipeline(catalog: Catalog, crypto: Option[CryptoConfig] = None)
     * member events whose content yields no membership are rejected by
     * the reference's insert (schema.ts:45), so here they go to `logs`
     * — never as a silent "" into the participants merge. Returns the
-    * clean rows in the participants-table shape. */
-  private def participantsGated(spark: SparkSession, raw: DataFrame): DataFrame = {
-    val (ok, bad) = Ingest.quarantine(Ingest.projectParticipant(raw))
+    * clean rows in the participants-table shape. `roomState` is the
+    * persisted participants snapshot for SDK-faithful duplicate-name
+    * disambiguation scope (None on backfill: the corpus IS the state). */
+  private def participantsGated(spark: SparkSession, raw: DataFrame,
+      roomState: Option[DataFrame] = None): DataFrame = {
+    val (ok, bad) = Ingest.quarantine(Ingest.projectParticipant(raw, roomState))
     quarantineToLogs(spark, bad, tsCol = "last_updated")
     ok.drop("event_id", "error")
   }
@@ -98,7 +101,13 @@ final case class Pipeline(catalog: Catalog, crypto: Option[CryptoConfig] = None)
     catalog.upsert(spark, "messages", clean,
       keys = Seq("event_id"), orderBy = Seq("timestamp", "id"))
     quarantineToLogs(spark, quarantined)
-    val members = participantsGated(spark, raw)
+    // T4 scope: disambiguate against live room state (the persisted
+    // snapshot ∪ this batch), as the SDK's calculateDisplayName does —
+    // not against the batch alone
+    val prior =
+      if (catalog.exists("participants")) Some(catalog.read(spark, "participants"))
+      else None
+    val members = participantsGated(spark, raw, prior)
     if (!members.isEmpty)
       catalog.upsert(spark, "participants", members,
         keys = Seq("user_id", "room_id"), orderBy = Seq("joined_ts"),

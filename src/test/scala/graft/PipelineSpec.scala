@@ -210,4 +210,62 @@ class PipelineSpec extends AnyFunSuite {
     assert(Decrypt.deriveCount.get() - derivationsBefore <= 1,
       "key derivation must be cached across rows and batches")
   }
+
+  test("T4 roomState scope: incremental disambiguation consults persisted participants") {
+    // matrix-js-sdk's calculateDisplayName decides collisions against
+    // live roomState, not against whatever happens to share a sync
+    // batch. The incremental path therefore scopes its collision window
+    // over (persisted participants ∪ batch), with the batch superseding
+    // a user's own persisted name — i.e. the post-batch roomState.
+    // Persisted rows are NOT retro-renamed: the reference persists only
+    // the member each event is about (db.utils.ts:89-97).
+    val root = Files.createTempDirectory("graft-pipe-t4scope").toString
+    val cat = Catalog(root)
+    cat.bootstrap()
+    val pipe = Pipeline(cat)
+
+    def falsy(room: String, user: String, ts: Long): Row =
+      Row(s"$$mem-$user-$room-$ts:x", room, user, "m.room.member", ts,
+        """{"displayname":42,"membership":"join"}""", null, false, false, null)
+
+    pipe.applyBatch(spark, raw(Seq(
+      member("!ra:x", "@a:x", 10L, "Alice"),
+      member("!rb:x", "@x:x", 11L, "Dup"),
+      member("!rb:x", "@y:x", 12L, "Dup"),
+      member("!rc:x", "@r:x", 13L, "Bob"),
+      member("!rd:x", "@j1:x", 14L, "Jos\u00E9"), // composed é
+      member("!re:x", "@solo:x", 15L, "Solo"),
+      falsy("!rf:x", "@f1:x", 16L)
+    )), batchId = 1L)
+
+    pipe.applyBatch(spark, raw(Seq(
+      member("!ra:x", "@b:x", 20L, "Alice"),       // collides with PERSISTED @a only
+      member("!rb:x", "@z:x", 21L, "Dup"),         // persisted rows are suffixed → key inversion
+      member("!rc:x", "@r:x", 22L, "Carol"),       // rename: @r's stale "Bob" must not count…
+      member("!rc:x", "@c:x", 23L, "Bob"),         // …so the new Bob is unique
+      member("!rd:x", "@j2:x", 24L, "José"), // decomposed é collides with persisted composed
+      member("!re:x", "@solo:x", 25L, "Solo"),     // own persisted row is no collision
+      falsy("!rf:x", "@f2:x", 26L),                // falsy↔falsy: sentinel keys never collide
+      member("!rf:x", "@f3:x", 27L, "ok")
+    )), batchId = 2L)
+
+    val got = cat.read(spark, "participants")
+      .select("room_id", "user_id", "display_name").collect()
+      .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
+    val want = Map(
+      ("!ra:x", "@a:x") -> "Alice", // persisted row not retro-renamed (reference-faithful)
+      ("!ra:x", "@b:x") -> "Alice (@b:x)",
+      ("!rb:x", "@x:x") -> "Dup (@x:x)",
+      ("!rb:x", "@y:x") -> "Dup (@y:x)",
+      ("!rb:x", "@z:x") -> "Dup (@z:x)",
+      ("!rc:x", "@r:x") -> "Carol",
+      ("!rc:x", "@c:x") -> "Bob",
+      ("!rd:x", "@j1:x") -> "Jos\u00E9",
+      ("!rd:x", "@j2:x") -> "José (@j2:x)",
+      ("!re:x", "@solo:x") -> "Solo",
+      ("!rf:x", "@f1:x") -> "@f1:x",
+      ("!rf:x", "@f2:x") -> "@f2:x",
+      ("!rf:x", "@f3:x") -> "ok")
+    assert(got == want, s"got:\n${got.toSeq.sortBy(_._1).mkString("\n")}")
+  }
 }
