@@ -122,6 +122,25 @@ final case class Catalog(root: String, messageBuckets: Int = 16) {
       case None => read(spark, table)
     }
 
+  /** Plural [[readForKey]]: only the segment files whose bucket can
+    * contain at least one of `keys` (plus unbucketed segments). Like
+    * readForKey this returns a bucket-level SUPERSET of the keys' rows
+    * — the caller's own predicate stays the source of truth. The
+    * per-batch room-state consult in [[Pipeline.applyBatch]] rides
+    * this: a micro-batch touching k rooms opens ≤ k buckets of the
+    * participants table, never the table. Unbucketed tables fall back
+    * to the full snapshot. */
+  def readForKeys(spark: SparkSession, table: String,
+      keys: Iterable[String]): DataFrame =
+    bucketOf(table) match {
+      case Some(bs) =>
+        MergeWriter.requireBucketLayout(dir(table), bs)
+        MergeWriter.readBucketsRanged(spark, dir(table), tables(table),
+          keys.map(MergeWriter.bucketIdOf(_, bs.buckets)).toSet,
+          minSort = None, maxSort = None)
+      case None => read(spark, table)
+    }
+
   /** Read the snapshot the publish planner was handed: pinned at `base`
     * so a claim-conflict retry re-plans against the version it will
     * actually commit over, never a stale one. */

@@ -239,11 +239,15 @@ object Ingest {
     *    render time; they are inside [[HiddenCharsRe]]'s ranges, so
     *    the recovered key is unaffected by their absence).
     *
-    * Only rooms present in the batch are consulted (left-semi — at
-    * cluster scale this prunes the participants read to the touched
-    * buckets), and a user's own persisted row is dropped when the batch
-    * carries a newer event for them (left-anti: the batch supersedes —
-    * post-batch room state, one current name per member). */
+    * Only rooms present in the batch are consulted: the left-semi join
+    * filters rows exactly, while the PHYSICAL scan is already pruned by
+    * the caller — [[Pipeline.applyBatch]] hands in a
+    * [[Catalog.readForKeys]] bucket-pruned read over the batch's rooms,
+    * so at cluster scale a k-room batch opens ≤ k buckets, never the
+    * table (the semi join alone would not prune the scan). A user's own
+    * persisted row is dropped when the batch carries a newer event for
+    * them (left-anti: the batch supersedes — post-batch room state, one
+    * current name per member). */
   private def stateCollisionKeys(state: DataFrame, batch: DataFrame): DataFrame = {
     val dn = col("display_name")
     val suffix = concat(lit(" ("), col("user_id"), lit(")"))

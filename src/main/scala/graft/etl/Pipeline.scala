@@ -19,6 +19,14 @@ import org.apache.spark.sql.functions._
   *    the in-row error channel and the quarantine split routes them to
   *    `logs` — they never reach the serving tables.
   */
+object Pipeline {
+  /** Above this many distinct member rooms in one batch, the T4
+    * room-state consult reads the full participants snapshot instead
+    * of a per-bucket union: the driver-side room list stays bounded,
+    * and a scan-all is the right plan for a batch that wide. */
+  val MaxPrunedRooms = 4096
+}
+
 final case class Pipeline(catalog: Catalog, crypto: Option[CryptoConfig] = None) {
 
   /** T8 at the ingest edge, when configured (no-op otherwise). */
@@ -103,10 +111,23 @@ final case class Pipeline(catalog: Catalog, crypto: Option[CryptoConfig] = None)
     quarantineToLogs(spark, quarantined)
     // T4 scope: disambiguate against live room state (the persisted
     // snapshot ∪ this batch), as the SDK's calculateDisplayName does —
-    // not against the batch alone
+    // not against the batch alone. The batch's member rooms are
+    // collected once (bounded by the micro-batch's own width, capped)
+    // and drive a bucket-pruned state read: a batch touching k rooms
+    // opens ≤ k buckets of the participants table, never the table. A
+    // batch with no member events skips the consult entirely; a
+    // pathologically wide batch (> MaxPrunedRooms distinct rooms) falls
+    // back to the full snapshot — the collect stays bounded either
+    // way, and at that width a scan-all is the better plan anyway.
+    val memberRooms = raw.filter(col("event_type") === "m.room.member")
+      .select("room_id").distinct()
+      .limit(Pipeline.MaxPrunedRooms + 1)
+      .collect().map(_.getString(0)).toSeq
     val prior =
-      if (catalog.exists("participants")) Some(catalog.read(spark, "participants"))
-      else None
+      if (memberRooms.isEmpty || !catalog.exists("participants")) None
+      else if (memberRooms.size > Pipeline.MaxPrunedRooms)
+        Some(catalog.read(spark, "participants"))
+      else Some(catalog.readForKeys(spark, "participants", memberRooms))
     val members = participantsGated(spark, raw, prior)
     if (!members.isEmpty)
       catalog.upsert(spark, "participants", members,

@@ -103,6 +103,46 @@ class CatalogSpec extends AnyFunSuite {
     }
   }
 
+  test("readForKeys opens only the requested rooms' buckets (proven by deleting another bucket's file)") {
+    import graft.etl.MergeWriter
+    import org.apache.spark.sql.functions.col
+    val cat = Catalog(Files.createTempDirectory("graft-cat-keys").toString)
+    cat.bootstrap()
+    import spark.implicits._
+    val now = new java.sql.Timestamp(0L)
+    val parts = (0 until 64).map(i =>
+      (s"@u$i:x", s"!r$i:x", s"User $i", "", "join", 1000L + i, now, now))
+      .toDF("user_id", "room_id", "display_name", "avatar_url", "membership",
+        "joined_ts", "last_updated", "created_at")
+    cat.upsert(spark, "participants", parts,
+      keys = Seq("user_id", "room_id"), orderBy = Seq("joined_ts"))
+
+    val buckets = cat.bucketOf("participants").get.buckets
+    val wanted = Seq("!r3:x", "!r7:x")
+    val wantedIds = wanted.map(MergeWriter.bucketIdOf(_, buckets)).toSet
+
+    // bucket superset + the caller's exact predicate == full-read filter
+    def users(df: org.apache.spark.sql.DataFrame): Set[String] = df
+      .filter(col("room_id").isin(wanted: _*))
+      .select("user_id").collect().map(_.getString(0)).toSet
+    val exp = users(cat.read(spark, "participants"))
+    assert(users(cat.readForKeys(spark, "participants", wanted)) == exp
+      && exp == Set("@u3:x", "@u7:x"))
+
+    // pruning proof: physically delete a segment of a bucket OUTSIDE
+    // the requested set — the pruned read must never notice; a full
+    // read of the same snapshot must fail on the missing file
+    val victim = MergeWriter.manifestFull(cat.dir("participants"))
+      .find(e => e.bucket >= 0 && !wantedIds.contains(e.bucket))
+      .getOrElse(fail("expected a segment in an untouched bucket"))
+    val victimPath = java.nio.file.Paths.get(cat.dir("participants"), victim.path)
+    import scala.jdk.CollectionConverters._
+    Files.walk(victimPath).iterator().asScala.toSeq.reverse.foreach(Files.delete)
+    assert(users(cat.readForKeys(spark, "participants", wanted)) == exp,
+      "pruned read must not open the deleted untouched bucket")
+    intercept[Exception] { cat.read(spark, "participants").count() }
+  }
+
   test("logs tail read opens only the newest segments that can reach the page") {
     import scala.jdk.CollectionConverters._
     import spark.implicits._
