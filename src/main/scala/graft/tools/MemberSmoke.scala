@@ -58,34 +58,10 @@ object MemberSmoke {
 
     def events: DataFrame = spark.read.parquet(s"$sf/events.parquet")
 
-    /** events → member-event raw rows for copy `i`. The displayname mix
-      * (by user_id%10): 0–5 pool of 97 colliding names; 6/7 the SAME
-      * name as composed U+00E9 vs decomposed e+U+0301 (NFD collision);
-      * 8 numeric (non-STRING → falsy); 9 absent (falsy). */
-    def memberShape(ev: DataFrame, i: Int): DataFrame = {
-      val mode = pmod(col("user_id"), lit(10L))
-      val pool = pmod(col("user_id"), lit(97L))
-      val dnJson = when(mode <= 5, concat(lit("\"Name"), pool, lit("\"")))
-        .when(mode === 6, concat(lit("\"Jos\u00E9"), pool, lit("\"")))
-        .when(mode === 7, concat(lit("\"Jose\u0301"), pool, lit("\"")))
-        .when(mode === 8, col("user_id").cast("string")) // bare number
-        .otherwise(lit(null).cast("string"))             // absent key
-      val content = concat(lit("{\"membership\":\"join\""),
-        when(dnJson.isNotNull, concat(lit(",\"displayname\":"), dnJson))
-          .otherwise(lit("")),
-        lit("}"))
-      ev.select(
-        concat(lit("$m"), col("event_id") + lit(i * 10000000L), lit(":x")).as("event_id"),
-        concat(lit("!r"), pmod(col("event_id"), lit(1000L)) + lit(i * 1000L), lit(":x")).as("room_id"),
-        concat(lit("@u"), col("user_id"), lit(":x")).as("sender"),
-        lit("m.room.member").as("event_type"),
-        (col("ts") / lit(1000000L)).cast("long").as("origin_server_ts"),
-        content.as("content"),
-        lit(null).cast("string").as("relates_to"),
-        lit(false).as("is_encrypted"),
-        lit(false).as("to_start_of_timeline"),
-        lit(null).cast("string").as("error"))
-    }
+    /** Shared generator — see [[MemberCorpus.memberShape]] (extracted
+      * so [[StateSmoke]] measures the same corpus shape). */
+    def memberShape(ev: DataFrame, i: Int): DataFrame =
+      MemberCorpus.memberShape(ev, i)
 
     def corpus(k: Int): DataFrame =
       (0 until k).map(memberShape(events, _)).reduce(_ unionByName _)

@@ -122,7 +122,7 @@ object WriteSmoke {
     /** Pristine snapshot cache (built once per (k, buckets) through the
       * real bulk-load path); measurements run on throwaway copies. */
     def pristine(k: Int, buckets: Int): String = {
-      val dir = s"/tmp/graft-scale/write/v1/x$k-b$buckets"
+      val dir = s"/tmp/graft-scale/write/v1/${Paths.get(sf).getFileName}/x$k-b$buckets"
       if (!Files.exists(Paths.get(s"$dir/messages"))
           || MergeWriter.currentVersion(s"$dir/messages").isEmpty) {
         val cat = Catalog(dir, messageBuckets = buckets)
@@ -135,7 +135,7 @@ object WriteSmoke {
 
     def workCopy(k: Int, buckets: Int, tag: String): Catalog = {
       val src = pristine(k, buckets)
-      val dst = s"/tmp/graft-scale/write/work/x$k-b$buckets-$tag"
+      val dst = s"/tmp/graft-scale/write/work/${Paths.get(sf).getFileName}/x$k-b$buckets-$tag"
       if (Files.exists(Paths.get(dst))) Seq("rm", "-rf", dst).!
       Files.createDirectories(Paths.get(dst).getParent)
       Seq("cp", "-r", src, dst).!

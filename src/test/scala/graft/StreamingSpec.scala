@@ -94,7 +94,12 @@ class StreamingSpec extends AnyFunSuite {
       Row("$e2:x", "!r1:x", "@bob:x", "m.room.message", 200L,
         tampered, null, true, false, null),
       Row("$p1:x", "!r1:x", "@alice:x", "m.room.message", 500L,
-        """{"msgtype":"m.text","body":"edited"}""", null, false, false, null)
+        """{"msgtype":"m.text","body":"edited"}""", null, false, false, null),
+      // a twin "Alice" joining one micro-batch LATER: the T4 roomState
+      // consult must see batch 1's persisted Alice through the real
+      // foreachBatch wiring, not just in direct applyBatch calls
+      Row("$mem-b:x", "!r1:x", "@alice2:x", "m.room.member", 210L,
+        """{"displayname":"Alice","membership":"join"}""", null, false, false, null)
     )).coalesce(1).write.mode("append").parquet(src)
     Streaming.runFullOnce(spark, src, ckpt, pipe)
 
@@ -102,6 +107,11 @@ class StreamingSpec extends AnyFunSuite {
     assert(msgs.count() == 2, "tampered row quarantined; duplicate merged not appended")
     assert(msgs.filter(col("event_id") === "$p1:x").collect()(0)
       .getAs[Long]("timestamp") == 500L, "LWW replay wins across micro-batches")
+    val names = cat.read(spark, "participants")
+      .select("user_id", "display_name").collect()
+      .map(r => r.getString(0) -> r.getString(1)).toMap
+    assert(names == Map("@alice:x" -> "Alice", "@alice2:x" -> "Alice (@alice2:x)"),
+      s"cross-batch twin must disambiguate against persisted state, got $names")
     val q = cat.read(spark, "logs").filter(col("message").contains("$e2:x")).collect()
     assert(q.length == 1 && q(0).getAs[String]("message").contains("decrypt_failed"),
       "tampered event must land in the logs quarantine")
