@@ -248,7 +248,7 @@ object Ingest {
     * persisted row is dropped when the batch carries a newer event for
     * them (left-anti: the batch supersedes — post-batch room state, one
     * current name per member). */
-  private def stateCollisionKeys(state: DataFrame, batch: DataFrame): DataFrame = {
+  private[graft] def stateCollisionKeys(state: DataFrame, batch: DataFrame): DataFrame = {
     val dn = col("display_name")
     val suffix = concat(lit(" ("), col("user_id"), lit(")"))
     val bs = when(dn.endsWith(suffix),
