@@ -127,7 +127,12 @@ final case class Pipeline(catalog: Catalog, crypto: Option[CryptoConfig] = None)
       if (memberRooms.isEmpty || !catalog.exists("participants")) None
       else if (memberRooms.size > Pipeline.MaxPrunedRooms)
         Some(catalog.read(spark, "participants"))
-      else Some(catalog.readForKeys(spark, "participants", memberRooms))
+      // room list is already on the driver: besides the bucket-level
+      // pruning, hand the scan the exact IN predicate so parquet
+      // row-group stats can prune co-bucketed rooms too (the
+      // projection's semi join then has nothing left to drop)
+      else Some(catalog.readForKeys(spark, "participants", memberRooms)
+        .filter(col("room_id").isin(memberRooms: _*)))
     val members = participantsGated(spark, raw, prior)
     if (!members.isEmpty)
       catalog.upsert(spark, "participants", members,
