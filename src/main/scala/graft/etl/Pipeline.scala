@@ -119,7 +119,8 @@ final case class Pipeline(catalog: Catalog, crypto: Option[CryptoConfig] = None)
     // pathologically wide batch (> MaxPrunedRooms distinct rooms) falls
     // back to the full snapshot — the collect stays bounded either
     // way, and at that width a scan-all is the better plan anyway.
-    val memberRooms = raw.filter(col("event_type") === "m.room.member")
+    val memberRooms = raw.filter(col("event_type") === "m.room.member"
+        && col("room_id").isNotNull)
       .select("room_id").distinct()
       .limit(Pipeline.MaxPrunedRooms + 1)
       .collect().map(_.getString(0)).toSeq

@@ -74,6 +74,66 @@ object RefQueries {
         FROM events WHERE event_type = 'view'"""),
       doc = "T2/T3: type predicate + JSONB projection (client.ts:276, db.utils.ts:49-59)"),
 
+    // T4 — the member.name duplicate-disambiguation core, oracle-gated:
+    // events re-expressed as member events with an ASCII name pool
+    // (collisions by construction, an empty-name falsy case, an
+    // mxid-lookalike force case), run through the REAL
+    // Ingest.projectParticipant — window, suffix, falsy fallback and
+    // the impersonation force rule are hash-checked against a DuckDB
+    // re-derivation (count(DISTINCT) via group-join, as DuckDB lacks
+    // DISTINCT window aggregates). Unicode edges (NFD, hidden chars,
+    // LTR/RTL marks) stay spec-gated: JsonSourceSpec + StateKeySpec.
+    // (matrix-js-sdk calculateDisplayName ≙ db.utils.ts:89-97)
+    "ref_t4_member_name" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val dn = when(pmod($"user_id", lit(11L)) === 0, lit(""))
+          .when(pmod($"user_id", lit(13L)) === 0, lit("@imp:x"))
+          .otherwise(concat(lit("N"), pmod($"user_id", lit(7L))))
+        val raw = ev(s, dir).select(
+          concat(lit("$m"), $"event_id", lit(":x")).as("event_id"),
+          concat(lit("!r"), pmod($"event_id", lit(50L)), lit(":x")).as("room_id"),
+          concat(lit("@u"), $"user_id", lit(":x")).as("sender"),
+          lit("m.room.member").as("event_type"),
+          unix_micros($"ts").as("origin_server_ts"),
+          concat(lit("{\"membership\":\"join\",\"displayname\":\""), dn, lit("\"}"))
+            .as("content"),
+          lit(null).cast("string").as("relates_to"),
+          lit(false).as("is_encrypted"),
+          lit(false).as("to_start_of_timeline"),
+          lit(null).cast("string").as("error"))
+        graft.etl.Ingest.projectParticipant(raw)
+          .select($"event_id", $"user_id", $"room_id", $"display_name",
+            $"membership")
+      },
+      oracle = Some("""
+        WITH m AS (
+          SELECT '$m' || event_id || ':x' AS event_id,
+                 '!r' || (event_id % 50) || ':x' AS room_id,
+                 '@u' || user_id || ':x' AS user_id,
+                 CASE WHEN user_id % 11 = 0 THEN ''
+                      WHEN user_id % 13 = 0 THEN '@imp:x'
+                      ELSE 'N' || (user_id % 7) END AS dn
+          FROM events
+        ), k AS (
+          SELECT *, (dn <> '' AND dn <> user_id) AS truthy,
+                 CASE WHEN dn <> '' AND dn <> user_id THEN dn
+                      ELSE ' mxid:' || user_id END AS ckey
+          FROM m
+        ), c AS (
+          SELECT room_id, ckey, count(DISTINCT user_id) AS n
+          FROM k GROUP BY room_id, ckey
+        )
+        SELECT k.event_id, k.user_id, k.room_id,
+               CASE WHEN k.truthy AND (c.n > 1 OR regexp_matches(k.dn, '@.+:.+'))
+                    THEN k.dn || ' (' || k.user_id || ')'
+                    WHEN k.truthy THEN k.dn
+                    ELSE k.user_id END AS display_name,
+               'join' AS membership
+        FROM k JOIN c ON k.room_id = c.room_id AND k.ckey = c.ckey"""),
+      doc = "T4: member.name disambiguation window + falsy fallback + " +
+        "impersonation force rule (db.utils.ts:89-97, calculateDisplayName)"),
+
     // T6 — user-id normalization regex (src/app/matrix/client.ts:151)
     "ref_t6_normalize_user" -> QueryDef(
       build = (s, dir) => {
