@@ -199,8 +199,14 @@ object Ingest {
       case Some(st) =>
         batch.unionByName(stateCollisionKeys(st, batch), allowMissingColumns = true)
     }
-    val othersShareName = size(collect_set(col("user_id")).over(
-      Window.partitionBy(col("room_id"), col("__key")))) > 1
+    // "some OTHER member shares the key" ⟺ ≥2 distinct user_ids in the
+    // (room, key) partition ⟺ min ≠ max — constant aggregation state,
+    // where collect_set would hold the whole member list per row (an
+    // adversarial room with thousands of same-named members would turn
+    // that partition quadratic)
+    val keyWindow = Window.partitionBy(col("room_id"), col("__key"))
+    val othersShareName =
+      min(col("user_id")).over(keyWindow) =!= max(col("user_id")).over(keyWindow)
     scoped
       .withColumn("__collide", othersShareName)
       .filter(!col("__state"))
