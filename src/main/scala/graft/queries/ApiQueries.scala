@@ -138,6 +138,63 @@ object ApiQueries {
 
   private def api(s: SparkSession, dir: String): Api = Api(materialize(s, dir))
 
+  private val builtT4 = scala.collection.mutable.Set[String]()
+
+  /** Second, tiny catalog for the T4 roomState-scope entry: TWO real
+    * `Pipeline.applyBatch` micro-batches of member events with DISJOINT
+    * user sets (dense @a…, then sparse @b…) over shared rooms — batch
+    * 2's pool names collide with batch 1's PERSISTED (already
+    * suffix-rendered) rows but mostly not within batch 2 itself, so the
+    * entry discriminates roomState scope from batch-only scope, and the
+    * read exercises the bucket-pruned state consult AND the stored-name
+    * key inversion through the real merge. */
+  def materializeT4(s: SparkSession, dir: String): Catalog = synchronized {
+    val root = catalogRoot(dir) + "-t4inc"
+    val cat = Catalog(root)
+    if (!builtT4.contains(root)) {
+      val done = java.nio.file.Paths.get(root, "_DONE")
+      if (!java.nio.file.Files.exists(done)) {
+        deleteRecursively(java.nio.file.Paths.get(root))
+        buildT4(s, dir, cat)
+        java.nio.file.Files.createFile(done)
+      }
+      builtT4 += root
+    }
+    cat
+  }
+
+  private def buildT4(s: SparkSession, dir: String, cat: Catalog): Unit = {
+    import s.implicits._
+    cat.bootstrap()
+    val ev = Tables.events(s, dir) // ts = raw nanos (LongType)
+    def memberRaw(batch: DataFrame, prefix: String,
+        dn: org.apache.spark.sql.Column): DataFrame = batch.select(
+      concat(lit("$t4m"), $"event_id", lit(":x")).as("event_id"),
+      concat(lit("!t"), pmod($"user_id", lit(20L)), lit(":x")).as("room_id"),
+      concat(lit(prefix), $"user_id", lit(":x")).as("sender"),
+      lit("m.room.member").as("event_type"),
+      expr("ts div 1000000").as("origin_server_ts"),
+      concat(lit("{\"membership\":\"join\",\"displayname\":\""), dn, lit("\"}"))
+        .as("content"),
+      lit(null).cast("string").as("relates_to"),
+      lit(false).as("is_encrypted"),
+      lit(false).as("to_start_of_timeline"),
+      lit(null).cast("string").as("error"))
+    val pipe = graft.etl.Pipeline(cat)
+    val poolName = concat(lit("M"), pmod($"user_id", lit(5L)))
+    pipe.applyBatch(s,
+      memberRaw(ev.filter(pmod($"event_id", lit(2L)) === 0), "@a", poolName),
+      batchId = 1L)
+    // sparse second batch: a pool-named @b user is usually ALONE in its
+    // (room, name) cell within the batch — only the persisted @a rows
+    // make it collide; X-named users collide with nobody (bare render)
+    val b2dn = when(pmod($"user_id", lit(3L)) === 0,
+      concat(lit("X"), $"user_id")).otherwise(poolName)
+    pipe.applyBatch(s,
+      memberRaw(ev.filter(pmod($"event_id", lit(101L)) === 1), "@b", b2dn),
+      batchId = 2L)
+  }
+
   /** Shared oracle CTE: the deterministic events → messages mapping. */
   private val MsgsCte = """
     msgs AS (
@@ -276,6 +333,59 @@ object ApiQueries {
                'b' || mx AS next_batch,
                epoch_us(day) AS created_us
         FROM d ORDER BY day DESC, next_batch DESC LIMIT 1"""),
-      doc = "Api Q8 over materialized catalog: config singleton (routes.ts:251)")
+      doc = "Api Q8 over materialized catalog: config singleton (routes.ts:251)"),
+
+    // T4 roomState scope END-TO-END: two real applyBatch micro-batches
+    // through the bucketed merge, then the participants snapshot read
+    // back. The DuckDB twin re-derives BOTH renders independently:
+    // batch 1 windows over itself (it IS the room state), batch 2
+    // windows over batch1 ∪ batch2 — so the hash check fails if the
+    // engine scopes disambiguation to the batch alone, if the
+    // stored-name key inversion misreads a suffixed row, or if the
+    // merge corrupts either batch's rows. current_timestamp() columns
+    // are excluded; the LWW-surviving joined_ts is deterministic and
+    // kept. (calculateDisplayName roomState consult ≙ db.utils.ts:89-97)
+    "api_t4_roomstate" -> QueryDef(
+      build = (s, dir) => {
+        materializeT4(s, dir).read(s, "participants")
+          .select(col("user_id"), col("room_id"), col("display_name"),
+            col("membership"), col("joined_ts"))
+      },
+      oracle = Some("""
+        WITH b1 AS (
+          SELECT '@a' || user_id || ':x' AS user_id,
+                 '!t' || (user_id % 20) || ':x' AS room_id,
+                 'M' || (user_id % 5) AS dn,
+                 max(epoch_ms(ts)) AS joined_ts
+          FROM events WHERE event_id % 2 = 0
+          GROUP BY 1, 2, 3),
+        b2 AS (
+          SELECT '@b' || user_id || ':x' AS user_id,
+                 '!t' || (user_id % 20) || ':x' AS room_id,
+                 CASE WHEN user_id % 3 = 0 THEN 'X' || user_id
+                      ELSE 'M' || (user_id % 5) END AS dn,
+                 max(epoch_ms(ts)) AS joined_ts
+          FROM events WHERE event_id % 101 = 1
+          GROUP BY 1, 2, 3),
+        c1 AS (SELECT room_id, dn, count(DISTINCT user_id) AS n
+               FROM b1 GROUP BY 1, 2),
+        c2 AS (SELECT room_id, dn, count(DISTINCT user_id) AS n
+               FROM (SELECT room_id, dn, user_id FROM b1
+                     UNION ALL SELECT room_id, dn, user_id FROM b2)
+               GROUP BY 1, 2)
+        SELECT b1.user_id, b1.room_id,
+               CASE WHEN c1.n > 1 THEN b1.dn || ' (' || b1.user_id || ')'
+                    ELSE b1.dn END AS display_name,
+               'join' AS membership, b1.joined_ts
+        FROM b1 JOIN c1 USING (room_id, dn)
+        UNION ALL
+        SELECT b2.user_id, b2.room_id,
+               CASE WHEN c2.n > 1 THEN b2.dn || ' (' || b2.user_id || ')'
+                    ELSE b2.dn END AS display_name,
+               'join' AS membership, b2.joined_ts
+        FROM b2 JOIN c2 USING (room_id, dn)"""),
+      doc = "T4 roomState scope end-to-end: incremental disambiguation vs " +
+        "persisted state through the real merge (calculateDisplayName, " +
+        "db.utils.ts:89-97)")
   )
 }
