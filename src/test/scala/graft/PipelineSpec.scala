@@ -249,7 +249,21 @@ class PipelineSpec extends AnyFunSuite {
       member("!rf:x", "@f3:x", 27L, "ok")
     )), batchId = 2L)
 
+    // wider than MaxPrunedRooms: the consult must fall back to the
+    // full snapshot with IDENTICAL semantics — the colliding room
+    // rides along in a batch of 4097+ distinct rooms
+    pipe.applyBatch(spark, raw(
+      member("!ra:x", "@wide:x", 30L, "Alice") +:
+        (0 until Pipeline.MaxPrunedRooms).map(i =>
+          member(s"!w$i:x", s"@w$i:x", 31L, s"W$i"))
+    ), batchId = 3L)
+    assert(cat.read(spark, "participants")
+      .filter(col("user_id") === "@wide:x").collect()(0)
+      .getAs[String]("display_name") == "Alice (@wide:x)",
+      "full-snapshot fallback must still disambiguate against state")
+
     val got = cat.read(spark, "participants")
+      .filter(!col("user_id").startsWith("@w"))
       .select("room_id", "user_id", "display_name").collect()
       .map(r => (r.getString(0), r.getString(1)) -> r.getString(2)).toMap
     val want = Map(
