@@ -6,7 +6,9 @@ import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Oracle-gated twins of the EIGHT `Api` route functions (SURVEY §2.4
-  * Q1–Q8, src/server/api/routes.ts) in their TRUE domain shape: the
+  * Q1–Q8, src/server/api/routes.ts) — plus, since round 16, the
+  * end-to-end T4 roomState-scope entry (`api_t4_roomstate`, its own
+  * [[materializeT4]] catalog) — in their TRUE domain shape: the
   * Catalog tables (messages/rooms/participants/sync_state/logs) are
   * materialized from the driver's `events` parquet THROUGH THE REAL
   * WRITE PATH — bucketed MergeWriter upserts for messages/participants,
