@@ -168,8 +168,13 @@ object Ingest {
     // roomState keys its display-name cache by the hidden-char-stripped
     // name; fallback rows get a per-user sentinel key so they never
     // disambiguate (the cache only holds real displaynames) and the
-    // window partition stays per-user-small
-    val collisionKey = when(truthy, stripped)
+    // window partition stays per-user-small. A membership-less row is
+    // REJECTED by the reference's insert (schema.ts:45) — it is
+    // quarantined downstream and must not alter anyone's scope, so it
+    // gets a per-event sentinel key (its own render is discarded)
+    val collisionKey = when(membership.isNull,
+        concat(lit(" err:"), col("event_id")))
+      .when(truthy, stripped)
       .otherwise(concat(lit(" mxid:"), col("sender")))
     // shouldDisambiguate's unconditional rules: a name that LOOKS like
     // an mxid (impersonation defense) or carries LTR/RTL marks (which
@@ -193,11 +198,17 @@ object Ingest {
         lit("member_missing_membership: content has no usable membership"))
         .as("error"))
     // post-batch room state: persisted keys ride along (rows flagged
-    // __state), contribute to the window, and are filtered back out
+    // __state), contribute to the window, and are filtered back out.
+    // Only CLEAN batch rows supersede a user's persisted row — a
+    // quarantined event never lands, so its user's stored name must
+    // keep counting for disambiguation (reference: rejected insert
+    // leaves the row untouched)
     val scoped = roomState match {
       case None => batch
       case Some(st) =>
-        batch.unionByName(stateCollisionKeys(st, batch), allowMissingColumns = true)
+        batch.unionByName(
+          stateCollisionKeys(st, batch.filter(col("error").isNull)),
+          allowMissingColumns = true)
     }
     // "some OTHER member shares the key" ⟺ ≥2 distinct user_ids in the
     // (room, key) partition ⟺ min ≠ max — constant aggregation state,

@@ -235,7 +235,8 @@ class PipelineSpec extends AnyFunSuite {
       member("!rc:x", "@r:x", 13L, "Bob"),
       member("!rd:x", "@j1:x", 14L, "Jos\u00E9"), // composed é
       member("!re:x", "@solo:x", 15L, "Solo"),
-      falsy("!rf:x", "@f1:x", 16L)
+      falsy("!rf:x", "@f1:x", 16L),
+      member("!rg:x", "@g:x", 17L, "Alice")
     )), batchId = 1L)
 
     pipe.applyBatch(spark, raw(Seq(
@@ -246,7 +247,13 @@ class PipelineSpec extends AnyFunSuite {
       member("!rd:x", "@j2:x", 24L, "José"), // decomposed é collides with persisted composed
       member("!re:x", "@solo:x", 25L, "Solo"),     // own persisted row is no collision
       falsy("!rf:x", "@f2:x", 26L),                // falsy↔falsy: sentinel keys never collide
-      member("!rf:x", "@f3:x", 27L, "ok")
+      member("!rf:x", "@f3:x", 27L, "ok"),
+      // a membership-less member event is REJECTED by the reference's
+      // insert (schema.ts:45): it must neither supersede its user's
+      // persisted name in the scope nor contribute its own name key
+      Row("$gbad:x", "!rg:x", "@g:x", "m.room.member", 28L,
+        """{"displayname":"Bob"}""", null, false, false, null),
+      member("!rg:x", "@h:x", 29L, "Alice")        // collides with @g's PERSISTED "Alice"
     )), batchId = 2L)
 
     // wider than MaxPrunedRooms: the consult must fall back to the
@@ -279,7 +286,9 @@ class PipelineSpec extends AnyFunSuite {
       ("!re:x", "@solo:x") -> "Solo",
       ("!rf:x", "@f1:x") -> "@f1:x",
       ("!rf:x", "@f2:x") -> "@f2:x",
-      ("!rf:x", "@f3:x") -> "ok")
+      ("!rf:x", "@f3:x") -> "ok",
+      ("!rg:x", "@g:x") -> "Alice", // quarantined rename never lands
+      ("!rg:x", "@h:x") -> "Alice (@h:x)") // @g's persisted row still counts
     assert(got == want, s"got:\n${got.toSeq.sortBy(_._1).mkString("\n")}")
   }
 }
