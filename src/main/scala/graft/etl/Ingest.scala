@@ -127,8 +127,15 @@ object Ingest {
     * room state), and the collision window runs over the POST-batch
     * room state: persisted rows ∪ batch, with the batch superseding a
     * user's own persisted name (a stale pre-rename name must not count,
-    * exactly as roomState holds one current name per member). Persisted
-    * rows only contribute collision keys — they are never re-emitted or
+    * exactly as roomState holds one current name per member). The same
+    * one-current-name rule applies WITHIN a batch: when one micro-batch
+    * carries several member events for the same (user, room) — an
+    * intra-batch rename — only the user's LATEST clean row contributes
+    * a collision key (every row is still rendered; superseded renders
+    * are then discarded by the LWW merge anyway). Without this, a
+    * superseded pre-rename name would keep disambiguating OTHER members
+    * sharing it, diverging from the post-batch roomState scope.
+    * Persisted rows only contribute collision keys — they are never re-emitted or
     * retro-renamed, because the reference persists only the member each
     * event is about (db.utils.ts:89-97; an existing member's rendered
     * name changes in SDK memory when a twin joins, but the reference DB
@@ -197,6 +204,17 @@ object Ingest {
       when(membership.isNull,
         lit("member_missing_membership: content has no usable membership"))
         .as("error"))
+    // one current name per member, intra-batch too: only each
+    // (user, room)'s LATEST clean row is live in the collision scope
+    // (clean rows sort first, so a trailing quarantined event cannot
+    // shadow the real latest name; a user whose rows are ALL
+    // quarantined has no live row and contributes nothing). The window
+    // partitions by member — bounded by one member's events in one
+    // batch, never skewed by room size.
+    val latestW = Window.partitionBy(col("user_id"), col("room_id"))
+      .orderBy(col("error").isNull.desc, col("joined_ts").desc, col("event_id").desc)
+    val batchScoped = batch.withColumn("__live",
+      row_number().over(latestW) === 1 && col("error").isNull)
     // post-batch room state: persisted keys ride along (rows flagged
     // __state), contribute to the window, and are filtered back out.
     // Only CLEAN batch rows supersede a user's persisted row — a
@@ -204,20 +222,26 @@ object Ingest {
     // keep counting for disambiguation (reference: rejected insert
     // leaves the row untouched)
     val scoped = roomState match {
-      case None => batch
+      case None => batchScoped
       case Some(st) =>
-        batch.unionByName(
+        batchScoped.unionByName(
           stateCollisionKeys(st, batch.filter(col("error").isNull)),
           allowMissingColumns = true)
     }
-    // "some OTHER member shares the key" ⟺ ≥2 distinct user_ids in the
-    // (room, key) partition ⟺ min ≠ max — constant aggregation state,
-    // where collect_set would hold the whole member list per row (an
-    // adversarial room with thousands of same-named members would turn
-    // that partition quadratic)
+    // "some OTHER live member shares the key" ⟺ a live user_id in the
+    // (room, key) partition differs from mine — min/max over the LIVE
+    // rows only, so superseded intra-batch names never disambiguate
+    // anyone. Constant aggregation state, where collect_set would hold
+    // the whole member list per row (an adversarial room with
+    // thousands of same-named members would turn that partition
+    // quadratic). A stale row whose key no longer has any live holder
+    // yields null min/max → null predicate → no suffix (its render is
+    // LWW-discarded downstream regardless).
     val keyWindow = Window.partitionBy(col("room_id"), col("__key"))
-    val othersShareName =
-      min(col("user_id")).over(keyWindow) =!= max(col("user_id")).over(keyWindow)
+    val liveUser = when(col("__live"), col("user_id"))
+    val liveMin = min(liveUser).over(keyWindow)
+    val othersShareName = (liveMin =!= max(liveUser).over(keyWindow)) ||
+      (liveMin.isNotNull && liveMin =!= col("user_id"))
     scoped
       .withColumn("__collide", othersShareName)
       .filter(!col("__state"))
@@ -277,7 +301,10 @@ object Ingest {
       .join(batch.select("user_id", "room_id").distinct(),
         Seq("user_id", "room_id"), "left_anti")
       .select(col("room_id"), col("user_id"), key.as("__key"),
-        lit(true).as("__state"))
+        lit(true).as("__state"),
+        // a surviving persisted row IS the member's current name —
+        // always live in the post-batch scope
+        lit(true).as("__live"))
   }
 
   /** T5 — room-state extraction from state events (db.utils.ts:107-116):

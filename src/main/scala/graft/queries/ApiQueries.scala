@@ -26,6 +26,13 @@ import org.apache.spark.sql.functions._
   * event-day (id d{date}, next_batch b{max event_id}); logs is one row
   * per event. All `created_at`-style columns use a FIXED literal
   * timestamp — never current_timestamp() — so reruns hash identically.
+  *
+  * Corpus invariant the twins lean on: `user_id`/`event_id`/`ts` are
+  * NON-NEGATIVE in the driver parquet (TESTDATA.md sequential ids).
+  * Spark's pmod and DuckDB's `%` agree only on non-negative operands
+  * (DuckDB % is remainder, sign of the dividend), and
+  * `epoch_ms(ts) ≡ ts div 1000000` only for ts ≥ 0 — every modular
+  * room/name mapping here and in RefQueries shares this assumption.
   */
 object ApiQueries {
 

@@ -15,6 +15,11 @@ import org.apache.spark.sql.functions._
   *
   * Each entry cites the reference operator it re-implements
   * (SURVEY.md §2 ids → /root/reference file:line).
+  *
+  * Corpus invariant shared with ApiQueries: ids/ts are NON-NEGATIVE
+  * (TESTDATA.md), so Spark `pmod` ≡ DuckDB `%` and `epoch_*(ts)` ≡
+  * integer division on the raw nanos — the modular mappings in the
+  * synthetic-corpus entries (ref_t4, ref_t5, api_t4) rely on it.
   */
 object RefQueries {
   import Num._
@@ -133,6 +138,83 @@ object RefQueries {
         FROM k JOIN c ON k.room_id = c.room_id AND k.ckey = c.ckey"""),
       doc = "T4: member.name disambiguation window + falsy fallback + " +
         "impersonation force rule (db.utils.ts:89-97, calculateDisplayName)"),
+
+    // T5 — room-state extraction, oracle-gated: events re-expressed as a
+    // deterministic mix of state events (name/topic/create/avatar/
+    // encryption) plus non-state noise rows, run through the REAL
+    // Ingest.projectRooms, and re-derived in DuckDB as conditional
+    // max/min group-bys. The mix is gated per room so the coalesced
+    // defaults are exercised too: rooms ≡ 0 (mod 3) never see a name
+    // event ('' fallback), rooms ≥ 20 never see m.room.create
+    // (created_ts 0), odd rooms never see m.room.encryption (false).
+    // (db.utils.ts:107-116 upsertRoom field mapping)
+    "ref_t5_room_state" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val r = pmod($"user_id", lit(30L))
+        val kind = pmod($"event_id", lit(6L))
+        val etype = when(kind === 0 && pmod(r, lit(3L)) =!= 0, lit("m.room.name"))
+          .when(kind === 1, lit("m.room.topic"))
+          .when(kind === 2 && r < 20, lit("m.room.create"))
+          .when(kind === 3, lit("m.room.avatar"))
+          .when(kind === 4 && pmod(r, lit(2L)) === 0, lit("m.room.encryption"))
+          .otherwise(lit("m.room.message"))
+        // one content JSON carrying all three candidate fields —
+        // projectRooms must pick the field its event type owns
+        val content = concat(
+          lit("{\"name\":\"Nm"), pmod($"user_id", lit(9L)),
+          lit("\",\"topic\":\"Tp"), pmod($"event_id", lit(11L)),
+          lit("\",\"url\":\"mxc://a/"), pmod($"user_id", lit(13L)),
+          lit("\"}"))
+        val raw = ev(s, dir).select(
+          concat(lit("$s"), $"event_id", lit(":x")).as("event_id"),
+          concat(lit("!s"), r, lit(":x")).as("room_id"),
+          concat(lit("@u"), $"user_id", lit(":x")).as("sender"),
+          etype.as("event_type"),
+          unix_micros($"ts").as("origin_server_ts"),
+          content.as("content"),
+          lit(null).cast("string").as("relates_to"),
+          lit(false).as("is_encrypted"),
+          lit(false).as("to_start_of_timeline"),
+          lit(null).cast("string").as("error"))
+        graft.etl.Ingest.projectRooms(raw)
+          .select($"room_id", $"name", $"topic", $"membership",
+            $"is_encrypted", $"created_ts", $"avatar_url")
+      },
+      oracle = Some("""
+        WITH s AS (
+          SELECT (user_id % 30) AS r,
+                 '!s' || (user_id % 30) || ':x' AS room_id,
+                 (event_id % 6) AS kind,
+                 epoch_us(ts) AS ots,
+                 'Nm' || (user_id % 9) AS name_v,
+                 'Tp' || (event_id % 11) AS topic_v,
+                 'mxc://a/' || (user_id % 13) AS url_v
+          FROM events
+        ), t AS (
+          SELECT room_id,
+                 CASE WHEN kind = 0 AND r % 3 <> 0 THEN 'm.room.name'
+                      WHEN kind = 1 THEN 'm.room.topic'
+                      WHEN kind = 2 AND r < 20 THEN 'm.room.create'
+                      WHEN kind = 3 THEN 'm.room.avatar'
+                      WHEN kind = 4 AND r % 2 = 0 THEN 'm.room.encryption'
+                      ELSE 'm.room.message' END AS event_type,
+                 ots, name_v, topic_v, url_v
+          FROM s
+        )
+        SELECT room_id,
+               coalesce(max(CASE WHEN event_type = 'm.room.name' THEN name_v END), '') AS name,
+               coalesce(max(CASE WHEN event_type = 'm.room.topic' THEN topic_v END), '') AS topic,
+               'join' AS membership,
+               max(event_type = 'm.room.encryption') AS is_encrypted,
+               coalesce(min(CASE WHEN event_type = 'm.room.create' THEN ots END), 0) AS created_ts,
+               coalesce(max(CASE WHEN event_type = 'm.room.avatar' THEN url_v END), '') AS avatar_url
+        FROM t
+        WHERE event_type IN ('m.room.name','m.room.topic','m.room.create',
+                             'm.room.avatar','m.room.encryption')
+        GROUP BY room_id"""),
+      doc = "T5: room-state extraction — conditional max/min per state " +
+        "event type with coalesced defaults (db.utils.ts:107-116)"),
 
     // T6 — user-id normalization regex (src/app/matrix/client.ts:151)
     "ref_t6_normalize_user" -> QueryDef(

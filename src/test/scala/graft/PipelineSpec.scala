@@ -253,7 +253,20 @@ class PipelineSpec extends AnyFunSuite {
       // persisted name in the scope nor contribute its own name key
       Row("$gbad:x", "!rg:x", "@g:x", "m.room.member", 28L,
         """{"displayname":"Bob"}""", null, false, false, null),
-      member("!rg:x", "@h:x", 29L, "Alice")        // collides with @g's PERSISTED "Alice"
+      member("!rg:x", "@h:x", 29L, "Alice"),       // collides with @g's PERSISTED "Alice"
+      // INTRA-batch rename: @m's superseded "X" is not in post-batch
+      // room state, so @n's "X" has no live twin and stays bare — only
+      // each member's LATEST clean row contributes a collision key
+      member("!rh:x", "@m:x", 40L, "X"),
+      member("!rh:x", "@m:x", 41L, "Y"),
+      member("!rh:x", "@n:x", 42L, "X"),
+      // …but a TRAILING quarantined event must not shadow the member's
+      // real latest clean name: @p's "Z" stays live (the membership-less
+      // row is rejected by the reference's insert), so @q's "Z" collides
+      member("!ri:x", "@p:x", 43L, "Z"),
+      Row("$pbad:x", "!ri:x", "@p:x", "m.room.member", 44L,
+        """{"displayname":"Renamed"}""", null, false, false, null),
+      member("!ri:x", "@q:x", 45L, "Z")
     )), batchId = 2L)
 
     // wider than MaxPrunedRooms: the consult must fall back to the
@@ -288,7 +301,11 @@ class PipelineSpec extends AnyFunSuite {
       ("!rf:x", "@f2:x") -> "@f2:x",
       ("!rf:x", "@f3:x") -> "ok",
       ("!rg:x", "@g:x") -> "Alice", // quarantined rename never lands
-      ("!rg:x", "@h:x") -> "Alice (@h:x)") // @g's persisted row still counts
+      ("!rg:x", "@h:x") -> "Alice (@h:x)", // @g's persisted row still counts
+      ("!rh:x", "@m:x") -> "Y",  // intra-batch rename: final name wins the merge
+      ("!rh:x", "@n:x") -> "X",  // @m's superseded "X" contributed no key
+      ("!ri:x", "@p:x") -> "Z (@p:x)",  // quarantined trailing rename never lands…
+      ("!ri:x", "@q:x") -> "Z (@q:x)")  // …so both live "Z"s collide
     assert(got == want, s"got:\n${got.toSeq.sortBy(_._1).mkString("\n")}")
   }
 }
