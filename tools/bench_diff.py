@@ -28,10 +28,20 @@ i.e. the query's cost in units of "calibration probes" on each host.
 When either side lacks calib_sec (rounds before r13), the tool falls
 back to raw ratios and says so.
 
-A ≥`--min-sec` (default 1.0 s on either side) entry whose normalized
-ratio exceeds `--threshold` (default 1.2×) is flagged REGRESSION;
-below 1/threshold is flagged IMPROVED. Sub-second entries are listed
-but never flagged: their run-to-run scatter (±10 % floor, worse under
+A ≥`--min-sec` (default 1.0 s on either side) entry is flagged
+REGRESSION only when BOTH drift opinions agree it moved: its
+calib-normalized ratio exceeds `--threshold` (default 1.2×) AND its
+raw ratio sits more than `--median-threshold` (default 1.1×) above
+the board-median raw ratio. The calib probe alone mis-read twice in
+round 16 (±11 % spread between same-code runs — enough to flip
+borderline entries across 1.2×); the board median over ~80 queries is
+the stabler second opinion, so a board-wide move (host drift) no
+longer flags individual queries. The vs-median criterion needs a wide
+board to mean anything: below `--min-board` common ≥0-ratio queries
+(default 8) the rule falls back to calib-norm alone and says so.
+Below 1/threshold normalized is flagged IMPROVED (norm-only — missing
+an improvement costs nothing). Sub-second entries are listed but
+never flagged: their run-to-run scatter (±10 % floor, worse under
 contention) exceeds any signal at this SF.
 """
 
@@ -149,6 +159,12 @@ def main():
     ap.add_argument("--min-sec", type=float, default=1.0,
                     help="only entries at or above this duration (on either "
                          "side) can be flagged (default 1.0)")
+    ap.add_argument("--median-threshold", type=float, default=1.1,
+                    help="REGRESSION additionally requires raw ratio > "
+                         "board-median * this (default 1.1)")
+    ap.add_argument("--min-board", type=int, default=8,
+                    help="below this many common queries the vs-median "
+                         "criterion is disabled (median too noisy; default 8)")
     ap.add_argument("--fail-on-regression", action="store_true",
                     help="exit 1 if any entry is flagged REGRESSION")
     args = ap.parse_args()
@@ -167,8 +183,9 @@ def main():
         print(f"calib_sec: old={old_c:.4f}  new={new_c:.4f}  "
               f"host-speed ratio={host:.3f} "
               f"({'new host slower' if host > 1 else 'new host faster' if host < 1 else 'same'})")
-        print(f"norm_ratio = (new/new_calib)/(old/old_calib); "
-              f"flag if >= {args.min_sec}s and ratio > {args.threshold}")
+        print(f"norm_ratio = (new/new_calib)/(old/old_calib); flag if "
+              f">= {args.min_sec}s, norm > {args.threshold} AND raw > "
+              f"board-median * {args.median_threshold}")
     else:
         missing = [n for n, c in (("OLD", old_c), ("NEW", new_c)) if c is None]
         print(f"WARNING: {' and '.join(missing)} lack calib_sec — "
@@ -182,21 +199,12 @@ def main():
     if only_new:
         print(f"only in NEW ({len(only_new)}): {', '.join(only_new)}")
 
-    rows = []
+    pre = []
     for name in common:
         o, n = old_q[name], new_q[name]
         raw = n / o if o > 0 else float("inf")
         norm = (n / new_c) / (o / old_c) if normalized and o > 0 else raw
-        eligible = max(o, n) >= args.min_sec
-        if eligible and norm > args.threshold:
-            flag = "REGRESSION"
-        elif eligible and norm < 1.0 / args.threshold:
-            flag = "IMPROVED"
-        else:
-            flag = ""
-        rows.append((name, o, n, raw, norm, flag))
-
-    rows.sort(key=lambda r: -r[4])
+        pre.append((name, o, n, raw, norm))
 
     # Second drift opinion, from the board itself: the median of the
     # per-query RAW ratios. The calib probe is one number from one
@@ -204,22 +212,47 @@ def main():
     # runs (round 16: calibs 0.2554 vs 0.2295 an hour apart while the
     # 82 query timings agreed within 1.6%) — enough to flip borderline
     # entries across the 1.2x threshold. The median over ~80 queries is
-    # far more stable; when it disagrees with the calib host-speed
-    # ratio, the flags below are suspect and each REGRESSION line's
-    # vs-median column says where the entry sits against the board.
-    med_ratio = (statistics.median(r[3] for r in rows if r[1] > 0)
-                 if any(r[1] > 0 for r in rows) else float("nan"))
+    # far more stable, so since round 17 it is PART OF THE FLAG RULE:
+    # REGRESSION requires calib-norm > threshold AND raw ratio more
+    # than --median-threshold above the board median (both numbers are
+    # always printed so the series stays readable). On a narrow board
+    # (< --min-board comparable queries) the median is itself noise and
+    # the rule falls back to calib-norm alone.
+    finite = [r[3] for r in pre if r[1] > 0]
+    med_ratio = statistics.median(finite) if finite else float("nan")
+    use_median = len(finite) >= args.min_board and med_ratio > 0
     print(f"board-median raw ratio: {med_ratio:.3f} "
           f"(drift estimate from the {len(common)} common queries; "
           f"calib implies {new_c / old_c:.3f})" if normalized else
           f"board-median raw ratio: {med_ratio:.3f}")
+    if not use_median:
+        print(f"board too small for the vs-median criterion "
+              f"({len(finite)} < {args.min_board}): flagging on calib-norm alone")
 
-    hdr = f"{'query':<28}{'old_s':>9}{'new_s':>9}{'raw':>7}{'norm':>7}  flag"
+    rows = []
+    for name, o, n, raw, norm in pre:
+        vs_med = raw / med_ratio if med_ratio == med_ratio and med_ratio > 0 \
+            else float("nan")
+        eligible = max(o, n) >= args.min_sec
+        if eligible and norm > args.threshold and \
+                (not use_median or vs_med > args.median_threshold):
+            flag = "REGRESSION"
+        elif eligible and norm < 1.0 / args.threshold:
+            flag = "IMPROVED"
+        else:
+            flag = ""
+        rows.append((name, o, n, raw, norm, vs_med, flag))
+
+    rows.sort(key=lambda r: -r[4])
+
+    hdr = (f"{'query':<28}{'old_s':>9}{'new_s':>9}{'raw':>7}{'norm':>7}"
+           f"{'vs-med':>8}  flag")
     print()
     print(hdr)
     print("-" * len(hdr))
-    for name, o, n, raw, norm, flag in rows:
-        print(f"{name:<28}{o:>9.3f}{n:>9.3f}{raw:>7.2f}{norm:>7.2f}  {flag}")
+    for name, o, n, raw, norm, vs_med, flag in rows:
+        vm = f"{vs_med:>8.2f}" if vs_med == vs_med else f"{'—':>8}"
+        print(f"{name:<28}{o:>9.3f}{n:>9.3f}{raw:>7.2f}{norm:>7.2f}{vm}  {flag}")
 
     tot_o = sum(old_q[n] for n in common)
     tot_n = sum(new_q[n] for n in common)
@@ -228,18 +261,19 @@ def main():
     print("-" * len(hdr))
     print(f"{'TOTAL (common)':<28}{tot_o:>9.3f}{tot_n:>9.3f}{raw_t:>7.2f}{norm_t:>7.2f}")
 
-    regs = [r for r in rows if r[5] == "REGRESSION"]
-    imps = [r for r in rows if r[5] == "IMPROVED"]
+    regs = [r for r in rows if r[6] == "REGRESSION"]
+    imps = [r for r in rows if r[6] == "IMPROVED"]
+    rule = (f"norm > {args.threshold}x AND vs-median > {args.median_threshold}x"
+            if use_median else f"norm > {args.threshold}x [median disabled]")
     print()
     print(f"summary: {len(common)} compared, "
-          f"{len(regs)} regression(s) (norm > {args.threshold}x at >= {args.min_sec}s), "
+          f"{len(regs)} regression(s) ({rule} at >= {args.min_sec}s), "
           f"{len(imps)} improved"
           + ("" if normalized else " [RAW — no calib normalization]"))
-    for name, o, n, raw, norm, _ in regs:
-        vs_med = (f", vs-median {raw / med_ratio:.2f}x"
-                  if med_ratio == med_ratio and med_ratio > 0 else "")
+    for name, o, n, raw, norm, vs_med, _ in regs:
+        vm = (f", vs-median {vs_med:.2f}x" if vs_med == vs_med else "")
         print(f"  REGRESSION {name}: {o:.3f}s -> {n:.3f}s "
-              f"(raw {raw:.2f}x, norm {norm:.2f}x{vs_med})")
+              f"(raw {raw:.2f}x, norm {norm:.2f}x{vm})")
     for side, meta in (("OLD", old_m), ("NEW", new_m)):
         if meta["errors"]:
             print(f"  {side} errors: {sorted(meta['errors'])}")

@@ -46,10 +46,14 @@ def main():
     # 1. Host got 2x slower AND the query got 2x slower raw: normalized
     #    ratio must be ~1.0 — no flag. A second query genuinely 3x
     #    slower raw (1.5x normalized) at >=1s must flag REGRESSION.
+    #    Only 3 common queries: the vs-median criterion must announce
+    #    itself DISABLED (median over 3 entries is noise) and the rule
+    #    fall back to calib-norm alone.
     old = bench({"steady": 2.0, "regressed": 2.0, "tiny": 0.2}, calib=0.1)
     new = bench({"steady": 4.0, "regressed": 6.0, "tiny": 0.6}, calib=0.2)
     p = run(old, new, "--fail-on-regression")
     assert p.returncode == 1, f"expected rc=1 on regression, got {p.returncode}\n{p.stdout}"
+    assert "board too small" in p.stdout, p.stdout
     assert "REGRESSION regressed" in p.stdout, p.stdout
     assert "REGRESSION steady" not in p.stdout, \
         "host-drift-only move must not flag when normalized:\n" + p.stdout
@@ -149,20 +153,35 @@ def main():
     assert "pending" not in p.stdout, \
         "noise anchor beat the clipped real map:\n" + p.stdout
 
-    # 5f. Board-median second opinion: five queries all 2.0x raw, calib
-    #     claiming the host is SAME speed (a mis-measured calib) — the
-    #     median line must say 2.000 so the adjudicator can see the
-    #     board moved together, and each REGRESSION line must carry its
-    #     vs-median position (2.0x raw / 2.0 median = 1.00x: board-wide
-    #     drift, not query-specific).
-    old = bench({"a": 2.0, "b": 1.5, "c": 1.2, "d": 3.0, "e": 0.4},
-                calib=0.1)
-    new = bench({"a": 4.0, "b": 3.0, "c": 2.4, "d": 6.0, "e": 0.8},
-                calib=0.1)
+    # 5f. Calib and median DISAGREE, median wins: nine queries all
+    #     exactly 2.0x raw while calib claims the host is SAME speed (a
+    #     mis-measured calib — round 16's failure mode). Under the old
+    #     norm-only rule every >=1s entry flagged; with the board-median
+    #     criterion in the rule (vs-median 1.00x = the board moved
+    #     together) NONE may flag, and the median line must say 2.000 so
+    #     the adjudicator sees why.
+    old = bench({"a": 2.0, "b": 1.5, "c": 1.2, "d": 3.0, "e": 0.4,
+                 "f": 1.1, "g": 1.8, "h": 2.2, "i": 1.4}, calib=0.1)
+    new = bench({"a": 4.0, "b": 3.0, "c": 2.4, "d": 6.0, "e": 0.8,
+                 "f": 2.2, "g": 3.6, "h": 4.4, "i": 2.8}, calib=0.1)
     p = run(old, new)
     assert "board-median raw ratio: 2.000" in p.stdout, p.stdout
-    assert "vs-median 1.00x" in p.stdout, \
-        "REGRESSION lines must carry vs-median context:\n" + p.stdout
+    assert "0 regression(s)" in p.stdout, \
+        "board-wide drift must not flag when the median disagrees with calib:\n" + p.stdout
+    assert "norm > 1.2x AND vs-median > 1.1x" in p.stdout, p.stdout
+
+    # 5g. Same wide board, one query GENUINELY slower: both opinions
+    #     agree (norm 2.0 > 1.2, vs-median 2.0 > 1.1) — exactly that
+    #     query flags, and its summary line prints both numbers.
+    old = bench({"a": 2.0, "b": 1.5, "c": 1.2, "d": 3.0, "e": 0.4,
+                 "f": 1.1, "g": 1.8, "h": 2.2, "bad": 2.0}, calib=0.1)
+    new = bench({"a": 2.0, "b": 1.5, "c": 1.2, "d": 3.0, "e": 0.4,
+                 "f": 1.1, "g": 1.8, "h": 2.2, "bad": 4.0}, calib=0.1)
+    p = run(old, new, "--fail-on-regression")
+    assert p.returncode == 1, p.stdout
+    assert "1 regression(s)" in p.stdout, p.stdout
+    assert "REGRESSION bad" in p.stdout, p.stdout
+    assert "vs-median 2.00x" in p.stdout, p.stdout
 
     # 6. Errored queries (-1 sec) are excluded from comparison.
     p = run(bench({"a": 1.0, "dead": -1.0}, calib=0.1),
