@@ -77,13 +77,13 @@ object ApiQueries {
       all.foreach(java.nio.file.Files.delete)
     }
 
-  private def build(s: SparkSession, dir: String, cat: Catalog): Unit = {
+  /** The deterministic events → messages-table derivation, shared by
+    * the default-layout catalog and the grown-bucket one (the two MUST
+    * hold identical logical content — only the physical layout moves). */
+  private def msgsFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    cat.bootstrap()
     val fixedTs = to_timestamp(lit("2024-06-01 00:00:00"))
-    val ev = Tables.events(s, dir) // ts = raw nanos (LongType, nanosAsLong)
-
-    val msgs = ev.select(
+    Tables.events(s, dir).select( // ts = raw nanos (LongType, nanosAsLong)
       md5(concat(lit("e"), $"event_id")).as("id"),
       concat(lit("e"), $"event_id").as("event_id"),
       concat(lit("r"), pmod($"user_id", lit(RoomsN))).as("room_id"),
@@ -96,12 +96,29 @@ object ApiQueries {
       when($"event_type" === "error", lit("ingest_error"))
         .otherwise(lit(null).cast("string")).as("error"),
       fixedTs.as("processed_at"))
-    // two upserts: initial snapshot, then an incremental batch — the
-    // second merge reads+rewrites only the buckets its rows touch
+  }
+
+  /** The two-upsert messages load: initial snapshot, then an
+    * incremental batch — the second merge reads+rewrites only the
+    * buckets its rows touch (at ANY bucket count). */
+  private def loadMessages(s: SparkSession, dir: String, cat: Catalog): Unit = {
+    import s.implicits._
+    val msgs = msgsFrame(s, dir)
     cat.upsert(s, "messages", msgs.filter($"timestamp" < CutMs),
       Seq("event_id"), Seq("timestamp", "id"))
     cat.upsert(s, "messages", msgs.filter($"timestamp" >= CutMs),
       Seq("event_id"), Seq("timestamp", "id"))
+    ()
+  }
+
+  private def build(s: SparkSession, dir: String, cat: Catalog): Unit = {
+    import s.implicits._
+    cat.bootstrap()
+    val fixedTs = to_timestamp(lit("2024-06-01 00:00:00"))
+    val ev = Tables.events(s, dir) // ts = raw nanos (LongType, nanosAsLong)
+
+    val msgs = msgsFrame(s, dir)
+    loadMessages(s, dir, cat)
 
     val rooms = msgs.groupBy($"room_id")
       .agg(min($"timestamp").as("created_ts"))
@@ -204,6 +221,34 @@ object ApiQueries {
       batchId = 2L)
   }
 
+  /** The deployment bucket layout under oracle gate: 16·16, the grown
+    * 16·K shape WriteSmoke/StateSmoke measure — not the default 16. */
+  private val GrownBuckets = 256
+
+  private val builtGrown = scala.collection.mutable.Set[String]()
+
+  /** Third catalog: the SAME messages content as [[materialize]] but
+    * committed at the GROWN bucket count, so the deployment layout's
+    * correctness (bucket modulus, per-bucket sort, readForKey pruning,
+    * incremental merge bucket selection) is hash-checked against the
+    * layout-independent DuckDB twin every round instead of assumed
+    * layout-neutral. */
+  def materializeGrown(s: SparkSession, dir: String): Catalog = synchronized {
+    val root = catalogRoot(dir) + s"-grown$GrownBuckets"
+    val cat = Catalog(root, messageBuckets = GrownBuckets)
+    if (!builtGrown.contains(root)) {
+      val done = java.nio.file.Paths.get(root, "_DONE")
+      if (!java.nio.file.Files.exists(done)) {
+        deleteRecursively(java.nio.file.Paths.get(root))
+        cat.bootstrap()
+        loadMessages(s, dir, cat)
+        java.nio.file.Files.createFile(done)
+      }
+      builtGrown += root
+    }
+    cat
+  }
+
   /** Shared oracle CTE: the deterministic events → messages mapping. */
   private val MsgsCte = """
     msgs AS (
@@ -268,6 +313,28 @@ object ApiQueries {
         WHERE room_id = 'r3' AND "timestamp" < $PageCutMs
         ORDER BY "timestamp" DESC, event_id DESC LIMIT 50"""),
       doc = "Api Q3 over materialized catalog: keyset page, bucket-pruned scan (routes.ts:126-145)"),
+
+    // Q3 at the GROWN bucket layout (16·16): same route, same oracle,
+    // same answer — but the messages table is materialized through two
+    // incremental merges at 256 buckets and the page read prunes with
+    // the 256-modulus. Hash-gates the deployment layout end-to-end: a
+    // wrong modulus, a bucket-selection bug in the grown merge, or a
+    // sort regression inside a grown bucket all flip the hash.
+    "api_q3_grown_buckets" -> QueryDef(
+      build = (s, dir) => {
+        Api(materializeGrown(s, dir))
+          .messagesPage(s, "r3", before = Some(PageCutMs), limit = 50)
+          .select(col("event_id"), col("sender"), col("timestamp"), col("content"))
+      },
+      oracle = Some(s"""
+        WITH $MsgsCte
+        SELECT event_id, sender, "timestamp", content
+        FROM msgs
+        WHERE room_id = 'r3' AND "timestamp" < $PageCutMs
+        ORDER BY "timestamp" DESC, event_id DESC LIMIT 50"""),
+      doc = "Api Q3 at the grown 16·16-bucket deployment layout: " +
+        "layout-correctness hash gate (schema.ts:81, SURVEY §2.4 " +
+        "'thousands at cluster scale')"),
 
     // Q4 — GET /users (derived LWW users view)
     "api_q4_users" -> QueryDef(
