@@ -81,6 +81,75 @@ object Dedup {
              generate_series(1, len(t)-2), i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS sh
            FROM toks)"""
 
+  /** The `dedup_minhash_lsh` pipeline body: LSH band-collision
+    * candidates verified by exact Jaccard, emitted as
+    * (a_id < b_id, jaccard >= 0.01). Exposed (not private) because it
+    * is also the EDGE SET of the clustering family ([[Cluster]]) — one
+    * definition of "near-dup pair", consumed by both, so the pair
+    * query and the cluster queries cannot drift.
+    *
+    * No cache/checkpoint anywhere, re-examined round 7: persisting the
+    * exploded shingle table costs more than re-running the codegen'd
+    * tokenize+explode (3.7-4.3s vs 3.4-3.8s at sf0.1; eager
+    * localCheckpoint worse still at 4.0-4.6s), and persisting the
+    * compact per-doc SIGNATURE table showed no reliable win under
+    * bench isolation either — the physical plan already dedups the
+    * repeated aggregation subtree via exchange reuse, so a cache only
+    * adds materialization cost and an AQE barrier. Checkpoint only
+    * across JOBS (a pair table consumed by several downstream
+    * pipelines — exactly what [[Cluster.connectedComponents]] does
+    * with THIS frame's result), never inside this one.
+    */
+  def minhashPairs(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir)
+    // one aggregation ([[minhashSigs]]) computes the 8 signatures
+    // AND the shingle count — the count used to be its own groupBy
+    // over the shingle subtree, which (uncached by measurement, see
+    // above) meant one more full tokenize+explode recomputation
+    val sigs = minhashSigs(s, dir)
+    val bands = bandsOf(sigs)
+    val l = bands.select($"doc_id".as("a_id"), $"band", $"h")
+    val r = bands.select($"doc_id".as("b_id"), $"band", $"h")
+    val cand = l.join(r, Seq("band", "h"))
+      .filter($"a_id" < $"b_id")
+      .select($"a_id", $"b_id").distinct()
+    val cnt = sigs.select($"doc_id", $"n")
+    val shA = sh.select($"doc_id".as("a_id"), $"sh")
+    val shB = sh.select($"doc_id".as("b_id"), $"sh")
+    val inter = cand.join(shA, "a_id").join(shB, Seq("b_id", "sh"))
+      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+    inter
+      .join(cnt.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
+      .join(cnt.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
+      .select($"a_id", $"b_id",
+        round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 4).as("jaccard"))
+      .filter($"jaccard" >= 0.01)
+  }
+
+  /** DuckDB twin of [[minhashPairs]] as a CTE chain ending in
+    * `pairs(a_id, b_id, jaccard)` — shared verbatim between the
+    * `dedup_minhash_lsh` oracle and the [[Cluster]] oracles. */
+  private[ext] val minhashPairsCtes = s"""$shinglesSql,
+        seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
+        sigs AS (SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS h
+                 FROM sh CROSS JOIN seeds GROUP BY 1, 2),
+        cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
+                 FROM sigs x JOIN sigs y ON x.seed = y.seed AND x.h = y.h
+                 WHERE x.doc_id < y.doc_id),
+        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
+        inter AS (SELECT a_id, b_id, count(*) AS inter
+                  FROM cand
+                  JOIN sh sa ON sa.doc_id = a_id
+                  JOIN sh sb ON sb.doc_id = b_id AND sb.sh = sa.sh
+                  GROUP BY 1, 2),
+        pairs AS (SELECT a_id, b_id,
+                         round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 4) AS jaccard
+                  FROM inter
+                  JOIN cnt ca ON ca.doc_id = a_id
+                  JOIN cnt cb ON cb.doc_id = b_id
+                  WHERE round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 4) >= 0.01)"""
+
   val defs: Map[String, QueryDef] = Map(
     // ---- exact dedup: hash-groupBy, keep min id (LWW analog of the
     // reference's ON CONFLICT upsert on the natural key, db.utils.ts:30-66).
@@ -106,62 +175,10 @@ object Dedup {
     // config for a corpus with low pairwise similarity), candidates from
     // band collisions, exact-Jaccard verification.
     "dedup_minhash_lsh" -> QueryDef(
-      build = (s, dir) => {
-        import s.implicits._
-        // no cache/checkpoint anywhere, re-examined round 7: persisting
-        // the exploded shingle table costs more than re-running the
-        // codegen'd tokenize+explode (3.7-4.3s vs 3.4-3.8s at sf0.1;
-        // eager localCheckpoint worse still at 4.0-4.6s), and persisting
-        // the compact per-doc SIGNATURE table showed no reliable win
-        // under bench isolation either — the physical plan already
-        // dedups the repeated aggregation subtree via exchange reuse, so
-        // a cache only adds materialization cost and an AQE barrier.
-        // Checkpoint only across JOBS (a signature table consumed by
-        // several downstream pipelines), never inside this one.
-        val sh = shingles(s, dir)
-        // one aggregation ([[minhashSigs]]) computes the 8 signatures
-        // AND the shingle count — the count used to be its own groupBy
-        // over the shingle subtree, which (uncached by measurement, see
-        // above) meant one more full tokenize+explode recomputation
-        val sigs = minhashSigs(s, dir)
-        val bands = bandsOf(sigs)
-        val l = bands.select($"doc_id".as("a_id"), $"band", $"h")
-        val r = bands.select($"doc_id".as("b_id"), $"band", $"h")
-        val cand = l.join(r, Seq("band", "h"))
-          .filter($"a_id" < $"b_id")
-          .select($"a_id", $"b_id").distinct()
-        val cnt = sigs.select($"doc_id", $"n")
-        val shA = sh.select($"doc_id".as("a_id"), $"sh")
-        val shB = sh.select($"doc_id".as("b_id"), $"sh")
-        val inter = cand.join(shA, "a_id").join(shB, Seq("b_id", "sh"))
-          .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
-        inter
-          .join(cnt.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
-          .join(cnt.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
-          .select($"a_id", $"b_id",
-            round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 4).as("jaccard"))
-          .filter($"jaccard" >= 0.01)
-      },
+      build = (s, dir) => minhashPairs(s, dir),
       oracle = Some(s"""
-        WITH $shinglesSql,
-        seeds AS (SELECT unnest(generate_series(0, 7)) AS seed),
-        sigs AS (SELECT doc_id, seed, min(md5(seed || '|' || sh)) AS h
-                 FROM sh CROSS JOIN seeds GROUP BY 1, 2),
-        cand AS (SELECT DISTINCT x.doc_id AS a_id, y.doc_id AS b_id
-                 FROM sigs x JOIN sigs y ON x.seed = y.seed AND x.h = y.h
-                 WHERE x.doc_id < y.doc_id),
-        cnt AS (SELECT doc_id, count(*) AS n FROM sh GROUP BY 1),
-        inter AS (SELECT a_id, b_id, count(*) AS inter
-                  FROM cand
-                  JOIN sh sa ON sa.doc_id = a_id
-                  JOIN sh sb ON sb.doc_id = b_id AND sb.sh = sa.sh
-                  GROUP BY 1, 2)
-        SELECT a_id, b_id,
-               round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 4) AS jaccard
-        FROM inter
-        JOIN cnt ca ON ca.doc_id = a_id
-        JOIN cnt cb ON cb.doc_id = b_id
-        WHERE round(CAST(inter AS DOUBLE) / (ca.n + cb.n - inter), 4) >= 0.01"""),
+        WITH $minhashPairsCtes
+        SELECT a_id, b_id, jaccard FROM pairs"""),
       doc = "MinHash+LSH near-dedup: band-bucket candidates + Jaccard verify"),
 
     // ---- n-gram Jaccard: block on the single global min-shingle hash
