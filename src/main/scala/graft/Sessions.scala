@@ -21,10 +21,13 @@ object Sessions {
       .config("spark.sql.adaptive.coalescePartitions.enabled", "true")
       .config("spark.sql.adaptive.skewJoin.enabled", "true")
       .config("spark.sql.session.timeZone", "UTC")
-      // testdata parquet: ms timestamps carry isAdjustedToUTC=false → read
+      // testdata parquet: µs timestamps carry isAdjustedToUTC=false → read
       // them as plain TIMESTAMP (session TZ is pinned UTC, so values are
-      // identical to DuckDB's); ns timestamps are illegal in Spark 4 unless
-      // surfaced as raw nanos LongType (converted at the reader, Tables.scala).
+      // identical to DuckDB's). nanosAsLong stays on for back-compat with
+      // older testdata generations whose events.ts was timestamp[ns] —
+      // illegal in Spark 4 unless surfaced as raw nanos LongType
+      // (normalized at the reader, Tables.eventsNorm); on µs data the
+      // flag is inert.
       .config("spark.sql.parquet.inferTimestampNTZ.enabled", "false")
       .config("spark.sql.legacy.parquet.nanosAsLong", "true")
       // INT64 micros, not the legacy INT96 default: INT96 carries no

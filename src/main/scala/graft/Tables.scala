@@ -24,14 +24,21 @@ object Tables {
   def lineitem(s: SparkSession, d: String): DataFrame = apply(s, d, "lineitem")
   def events(s: SparkSession, d: String): DataFrame = apply(s, d, "events")
 
-  /** events with `ts` normalized to TimestampType. With the session's
-    * `nanosAsLong` setting the column arrives as raw nanos; integer
-    * `div` (not `/`, which would round through double and lose
-    * precision at 1.7e18 ns) truncates to micros exactly like DuckDB's
-    * `epoch_us`. */
+  /** events with `ts` normalized to TimestampType, whatever the
+    * parquet physical type of the current testdata generation:
+    * TIMESTAMP_MICROS files arrive as TimestampType already (identity);
+    * legacy timestamp[ns] files arrive as raw nanos LongType under the
+    * session's `nanosAsLong` setting and are truncated to micros with
+    * integer `div` (not `/`, which would round through double and lose
+    * precision at 1.7e18 ns) — exactly DuckDB's `epoch_us`. */
   def eventsNorm(s: SparkSession, d: String): DataFrame = {
     import org.apache.spark.sql.functions._
-    events(s, d).withColumn("ts", timestamp_micros(expr("ts div 1000")))
+    import org.apache.spark.sql.types.LongType
+    val df = events(s, d)
+    df.schema("ts").dataType match {
+      case LongType => df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      case _        => df
+    }
   }
   def documents(s: SparkSession, d: String): DataFrame = apply(s, d, "documents")
   def embeddings(s: SparkSession, d: String): DataFrame = apply(s, d, "embeddings")

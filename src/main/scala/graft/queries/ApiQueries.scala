@@ -30,9 +30,11 @@ import org.apache.spark.sql.functions._
   * Corpus invariant the twins lean on: `user_id`/`event_id`/`ts` are
   * NON-NEGATIVE in the driver parquet (TESTDATA.md sequential ids).
   * Spark's pmod and DuckDB's `%` agree only on non-negative operands
-  * (DuckDB % is remainder, sign of the dividend), and
-  * `epoch_ms(ts) ≡ ts div 1000000` only for ts ≥ 0 — every modular
-  * room/name mapping here and in RefQueries shares this assumption.
+  * (DuckDB % is remainder, sign of the dividend), and Spark's
+  * `unix_millis(ts) ≡ DuckDB epoch_ms(ts)` relies on the session TZ
+  * pinned UTC (Sessions.scala) so both read the naive µs timestamps
+  * identically — every modular room/name mapping here and in
+  * RefQueries shares these assumptions.
   */
 object ApiQueries {
 
@@ -83,14 +85,14 @@ object ApiQueries {
   private def msgsFrame(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     val fixedTs = to_timestamp(lit("2024-06-01 00:00:00"))
-    Tables.events(s, dir).select( // ts = raw nanos (LongType, nanosAsLong)
+    Tables.eventsNorm(s, dir).select( // ts = TimestampType (µs, UTC)
       md5(concat(lit("e"), $"event_id")).as("id"),
       concat(lit("e"), $"event_id").as("event_id"),
       concat(lit("r"), pmod($"user_id", lit(RoomsN))).as("room_id"),
       concat(lit("@u"), $"user_id").as("sender"),
       $"props".as("content"),
       $"event_type",
-      expr("ts div 1000000").as("timestamp"),
+      unix_millis($"ts").as("timestamp"),
       (pmod($"event_id", lit(7L)) === 0).as("is_encrypted"),
       lit(null).cast("string").as("relates_to"),
       when($"event_type" === "error", lit("ingest_error"))
@@ -146,7 +148,7 @@ object ApiQueries {
       Seq("user_id", "room_id"), Seq("joined_ts"))
 
     val days = ev
-      .groupBy(to_date(timestamp_millis(expr("ts div 1000000"))).as("day"))
+      .groupBy(to_date($"ts").as("day"))
       .agg(max($"event_id").as("mx"))
       .select(concat(lit("d"), date_format($"day", "yyyy-MM-dd")).as("id"),
         concat(lit("b"), $"mx").as("next_batch"),
@@ -156,7 +158,7 @@ object ApiQueries {
     cat.append(s, "sync_state", days.filter($"created_at" >= to_timestamp(lit("2024-01-16 00:00:00"))))
 
     val logs = ev.select(
-      timestamp_micros(expr("ts div 1000")).as("timestamp"),
+      $"ts".as("timestamp"),
       when($"event_type" === "error", lit("error")).otherwise(lit("info")).as("level"),
       concat(lit("evt e"), $"event_id").as("message"))
     cat.append(s, "logs", logs)
@@ -192,14 +194,14 @@ object ApiQueries {
   private def buildT4(s: SparkSession, dir: String, cat: Catalog): Unit = {
     import s.implicits._
     cat.bootstrap()
-    val ev = Tables.events(s, dir) // ts = raw nanos (LongType)
+    val ev = Tables.eventsNorm(s, dir) // ts = TimestampType (µs, UTC)
     def memberRaw(batch: DataFrame, prefix: String,
         dn: org.apache.spark.sql.Column): DataFrame = batch.select(
       concat(lit("$t4m"), $"event_id", lit(":x")).as("event_id"),
       concat(lit("!t"), pmod($"user_id", lit(20L)), lit(":x")).as("room_id"),
       concat(lit(prefix), $"user_id", lit(":x")).as("sender"),
       lit("m.room.member").as("event_type"),
-      expr("ts div 1000000").as("origin_server_ts"),
+      unix_millis($"ts").as("origin_server_ts"),
       concat(lit("{\"membership\":\"join\",\"displayname\":\""), dn, lit("\"}"))
         .as("content"),
       lit(null).cast("string").as("relates_to"),

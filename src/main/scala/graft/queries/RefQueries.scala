@@ -285,15 +285,13 @@ object RefQueries {
     "ref_q3_message_page" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        // keyset predicate on the RAW nanos column so it pushes to the
-        // parquet scan (a predicate on the converted timestamp cannot);
-        // equivalent for whole-second cut points since µs-truncation
-        // only ever decreases the value
-        val cutNs = java.time.Instant.parse("2024-01-25T00:00:00Z")
-          .getEpochSecond * 1000000000L
-        Tables.events(s, dir)
-          .filter($"user_id" === 7 && $"ts" < cutNs)
-          .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        // keyset predicate directly on the TimestampType column — a
+        // foldable timestamp literal pushes to the parquet scan as
+        // LessThan against the µs column stats (QueriesSpec asserts it
+        // lands in PushedFilters)
+        val cut = to_timestamp(lit("2024-01-25 00:00:00"))
+        Tables.eventsNorm(s, dir)
+          .filter($"user_id" === 7 && $"ts" < cut)
           .orderBy($"ts".desc, $"event_id".desc)
           .limit(50)
           .select($"event_id", unix_micros($"ts").as("ts_us"),

@@ -39,7 +39,7 @@ object MemberCorpus {
         .as("room_id"),
       concat(lit(senderPrefix), col("user_id"), lit(":x")).as("sender"),
       lit("m.room.member").as("event_type"),
-      (col("ts") / lit(1000000L)).cast("long").as("origin_server_ts"),
+      unix_millis(col("ts")).as("origin_server_ts"),
       content.as("content"),
       lit(null).cast("string").as("relates_to"),
       lit(false).as("is_encrypted"),

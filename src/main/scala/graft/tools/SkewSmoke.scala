@@ -83,7 +83,7 @@ object SkewSmoke {
       concat(lit("@s"), col("event_id") + lit(i * 10000000L), lit(":x"))
         .as("sender"),
       lit("m.room.member").as("event_type"),
-      (col("ts") / lit(1000000L)).cast("long").as("origin_server_ts"),
+      unix_millis(col("ts")).as("origin_server_ts"),
       concat(lit("{\"membership\":\"join\",\"displayname\":\""), dn, lit("\"}"))
         .as("content"),
       lit(null).cast("string").as("relates_to"),

@@ -73,7 +73,7 @@ object WriteSmoke {
         concat(lit("@u"), col("user_id"), lit(":x")).as("sender"),
         col("props").as("content"),
         col("event_type"),
-        (col("ts") / lit(1000000L)).cast("long").as("timestamp"),
+        unix_millis(col("ts")).as("timestamp"),
         lit(false).as("is_encrypted"),
         lit(null).cast("string").as("relates_to"),
         lit(null).cast("string").as("error"),
