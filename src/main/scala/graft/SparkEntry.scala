@@ -20,6 +20,7 @@ object SparkEntry {
     _root_.graft.ext.TextStats.defs,
     _root_.graft.ext.Corpus.defs,
     _root_.graft.ext.Dedup.defs,
+    _root_.graft.ext.Cluster.defs,
     _root_.graft.ext.Similarity.defs,
     _root_.graft.ext.Multimodal.defs,
   )

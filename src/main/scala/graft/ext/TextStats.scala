@@ -279,6 +279,90 @@ object TextStats {
                list_min(list_transform(generate_series(1, len(toks)-2),
                         i -> md5(toks[i] || ' ' || toks[i+1] || ' ' || toks[i+2]))) AS min_shingle_md5
         FROM t"""),
-      doc = "fingerprinting: normalized-content md5 + min word-3-gram shingle hash")
+      doc = "fingerprinting: normalized-content md5 + min word-3-gram shingle hash"),
+
+    // repetition signals (Gopher-style quality filtering, Rae et al.
+    // 2021 §A1.1, adapted token-level for a single-line corpus): the
+    // fraction of mass held by the most frequent token and by repeated
+    // word-2-grams. High values mark boilerplate/spam for the drop
+    // set. Shuffle-free per-doc scan; the per-doc most-frequent-token
+    // search is O(types·tokens) inside one row — bounded by doc length,
+    // no cross-doc state.
+    "txt_repetition" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val g2 = "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks)-2), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1])) ELSE array() END"
+        Tables.documents(s, dir)
+          .withColumn("toks", expr(toksE))
+          .withColumn("g2", expr(g2))
+          .select(
+            $"doc_id",
+            size($"toks").as("n_tokens"),
+            round(expr("array_max(transform(array_distinct(toks), w -> size(filter(toks, t -> t = w))))")
+              .cast("double") / size($"toks"), 4).as("top_tok_frac"),
+            when(size($"g2") > 0,
+              round((size($"g2") - size(array_distinct($"g2"))).cast("double") / size($"g2"), 4))
+              .otherwise(0.0).as("dup_2gram_frac"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        g AS (SELECT doc_id, tk,
+                     CASE WHEN len(tk) >= 2
+                          THEN list_transform(generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])
+                          ELSE [] END AS g2
+              FROM t)
+        SELECT doc_id,
+               len(tk) AS n_tokens,
+               round(CAST(list_max(list_transform(list_distinct(tk),
+                       w -> len(list_filter(tk, x -> x = w)))) AS DOUBLE) / len(tk), 4) AS top_tok_frac,
+               CASE WHEN len(g2) > 0
+                    THEN round(CAST(len(g2) - len(list_distinct(g2)) AS DOUBLE) / len(g2), 4)
+                    ELSE 0.0 END AS dup_2gram_frac
+        FROM g"""),
+      doc = "repetition signals: top-token mass + duplicate word-2-gram fraction (Gopher-style quality gate)"),
+
+    // benchmark decontamination (the 13-gram-overlap practice of the
+    // GPT-3/PaLM reports, 8-grams here to fit the 10-99-token corpus):
+    // flag every training doc sharing any word-8-gram with the probe
+    // set (doc_id % 97 — a stand-in for a held-out benchmark suite).
+    // The probe n-gram set is tiny relative to the corpus by
+    // construction, so it BROADCASTS: at 100 TB the corpus-side scan
+    // joins against an in-memory hash set, no corpus shuffle. The
+    // corpus invariant doc_id >= 0 makes Spark % ≡ DuckDB %.
+    "txt_decontaminate" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val g8 = "CASE WHEN size(toks) >= 8 THEN array_distinct(transform(sequence(0, size(toks)-8), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], " +
+          "toks[i+4], toks[i+5], toks[i+6], toks[i+7]))) ELSE array() END"
+        val docs = Tables.documents(s, dir).withColumn("toks", expr(toksE))
+        val grams = docs.select($"doc_id", explode(expr(g8)).as("sh"))
+        val probe = grams.filter($"doc_id" % 97 === 0).select($"sh").distinct()
+        val hits = grams.filter($"doc_id" % 97 =!= 0)
+          .join(broadcast(probe), "sh")
+          .groupBy($"doc_id").agg(count(lit(1)).as("n_hits"))
+        docs.filter($"doc_id" % 97 =!= 0)
+          .join(hits, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"n_hits", lit(0L)).as("n_hits"),
+            (coalesce($"n_hits", lit(0L)) > 0).as("contaminated"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(list_distinct(list_transform(generate_series(1, len(tk)-7),
+                       i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||
+                            tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7]))) AS sh
+              FROM t WHERE len(tk) >= 8),
+        probe AS (SELECT DISTINCT sh FROM g WHERE doc_id % 97 = 0),
+        hits AS (SELECT g.doc_id, count(*) AS n_hits
+                 FROM g JOIN probe USING (sh)
+                 WHERE g.doc_id % 97 <> 0 GROUP BY 1)
+        SELECT d.doc_id, coalesce(h.n_hits, 0) AS n_hits,
+               coalesce(h.n_hits, 0) > 0 AS contaminated
+        FROM documents d LEFT JOIN hits h USING (doc_id)
+        WHERE d.doc_id % 97 <> 0"""),
+      doc = "benchmark decontamination: word-8-gram overlap vs a broadcast probe set, per-doc hit counts")
   )
 }
