@@ -11,42 +11,76 @@ import org.scalatest.funsuite.AnyFunSuite
 class ClusterSpec extends AnyFunSuite {
   lazy val spark: SparkSession = Sessions.local(cores = 4, appName = "graft-cluster")
 
-  private def components(nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
+  import org.apache.spark.sql.DataFrame
+  private val algos: Map[String, (DataFrame, DataFrame) => DataFrame] = Map(
+    "minlabel" -> (graft.ext.Cluster.connectedComponents(_, _)),
+    "logrounds" -> (graft.ext.Cluster.connectedComponentsLogRounds(_, _)))
+
+  private def components(algo: String, nodes: Seq[Long], edges: Seq[(Long, Long)]): Map[Long, Long] = {
     import spark.implicits._
     val n = nodes.toDF("id")
     val e = edges.toDF("src", "dst")
-    graft.ext.Cluster.connectedComponents(n, e)
-      .collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
+    algos(algo)(n, e).collect().map(r => r.getLong(0) -> r.getLong(1)).toMap
   }
 
-  test("chain clusters transitively to the min endpoint; disjoint parts stay apart") {
-    // 1-2-3-4 is a path (no direct 1-4 pair), {10,11} a separate pair,
-    // 99 isolated. Min-label must flow the full chain length.
-    val comp = components(
-      nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L),
-      edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)))
-    assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
-      10L -> 10L, 11L -> 10L, 99L -> 99L))
+  for (algo <- algos.keys.toSeq.sorted) {
+    test(s"[$algo] chain clusters transitively to the min endpoint; disjoint parts stay apart") {
+      // 1-2-3-4 is a path (no direct 1-4 pair), {10,11} a separate pair,
+      // 99 isolated. Labels must flow the full chain length.
+      val comp = components(algo,
+        nodes = Seq(1L, 2L, 3L, 4L, 10L, 11L, 99L),
+        edges = Seq((2L, 1L), (2L, 3L), (3L, 4L), (10L, 11L)))
+      assert(comp == Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+        10L -> 10L, 11L -> 10L, 99L -> 99L))
+    }
+
+    test(s"[$algo] edge orientation and duplicates don't change the result") {
+      val a = components(algo, Seq(5L, 6L, 7L), Seq((7L, 5L), (6L, 7L)))
+      val b = components(algo, Seq(5L, 6L, 7L), Seq((5L, 7L), (7L, 6L), (6L, 7L), (7L, 5L)))
+      assert(a == b && a.values.toSet == Set(5L))
+    }
+
+    test(s"[$algo] star graph elects the hub-independent min") {
+      // hub 50 with spokes 1..20: min is a SPOKE, so labels must cross
+      // the hub — catches any implementation that only pushes labels
+      // one direction.
+      val spokes = (1L to 20L)
+      val comp = components(algo, 50L +: spokes, spokes.map(sp => (50L, sp)))
+      assert(comp.values.toSet == Set(1L))
+    }
   }
 
-  test("edge orientation and duplicates don't change the result") {
-    val a = components(Seq(5L, 6L, 7L), Seq((7L, 5L), (6L, 7L)))
-    val b = components(Seq(5L, 6L, 7L), Seq((5L, 7L), (7L, 6L), (6L, 7L), (7L, 5L)))
-    assert(a == b && a.values.toSet == Set(5L))
+  test("both algorithms agree on a seeded pseudo-random multigraph") {
+    // 200 nodes, 150 deterministic edges incl. self-candidates and
+    // repeated pairs — no structure to hide behind
+    val nodes = (0L until 200L)
+    val edges = (0 until 150).map { i =>
+      val a = (i * i * 31 + 7) % 200; val b = (a * 17 + i) % 200
+      (a.toLong, b.toLong)
+    }.filter { case (a, b) => a != b }
+    assert(components("minlabel", nodes, edges) == components("logrounds", nodes, edges))
   }
 
-  test("star graph converges in few rounds and elects the hub-independent min") {
-    // hub 50 with spokes 1..20: min is a SPOKE, so labels must cross
-    // the hub — catches any implementation that only pushes labels
-    // one direction.
-    val spokes = (1L to 20L)
-    val comp = components(50L +: spokes, spokes.map(sp => (50L, sp)))
-    assert(comp.values.toSet == Set(1L))
+  test("long chain: star alternation is diameter-independent, propagation is not") {
+    import spark.implicits._
+    val n = 300
+    val nodes = (1L to n.toLong).toDF("id")
+    val edges = (1L until n.toLong).map(i => (i, i + 1)).toDF("src", "dst")
+    val (comp, rounds) = graft.ext.Cluster.ccLogRoundsWithRounds(nodes, edges)
+    assert(comp.agg(max("comp")).collect()(0).getLong(0) == 1L, "one component rooted at 1")
+    assert(rounds <= 15, s"log-round bound: took $rounds rounds for a 300-chain")
+    // the same graph exhausts min-label propagation capped below the
+    // diameter — the documented limitation the sibling exists for
+    val ex = intercept[IllegalArgumentException] {
+      graft.ext.Cluster.connectedComponents(nodes, edges, maxRounds = 20)
+    }
+    assert(ex.getMessage.contains("did not converge"))
   }
 
-  test("dedup_clusters: keeper per cluster, sizes sum to corpus, pair endpoints co-clustered") {
+  for (entry <- Seq("dedup_clusters", "dedup_clusters_logrounds"))
+  test(s"$entry: keeper per cluster, sizes sum to corpus, pair endpoints co-clustered") {
     val sf = "/root/testdata/sf0.001"
-    val out = SparkEntry.queries("dedup_clusters")(spark, sf)
+    val out = SparkEntry.queries(entry)(spark, sf)
     val rows = out.collect().map(r =>
       (r.getLong(0), r.getLong(1), r.getLong(2), r.getBoolean(3)))
     val total = Tables.documents(spark, sf).count()
