@@ -162,6 +162,36 @@ object Corpus {
                CAST(sum(n) AS BIGINT) AS n_tokens,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM c GROUP BY 1"""),
-      doc = s"sequence packing (concat-then-chunk, $SeqLen tokens): global token offsets via distributed two-phase prefix sum, no single-task window")
+      doc = s"sequence packing (concat-then-chunk, $SeqLen tokens): global token offsets via distributed two-phase prefix sum, no single-task window"),
+
+    // ---- deterministic stratified sampling — the data-MIXING step: each
+    // source keeps a per-source rate (here rate = f(source number mod 4):
+    // 1.0 / 0.6 / 0.3 / 0.1 — the upsample/downsample table a pipeline
+    // tunes per domain), decided per doc by a SALTED id hash
+    // ('mix|' prefix — deliberately decorrelated from txt_hash_split's
+    // unsalted bucket, so sampling never biases which train/val/test
+    // cell survives). Same determinism argument as the split: shuffle-
+    // free, reproducible across engines and reruns, stable under corpus
+    // growth — rand()/TABLESAMPLE are none of these.
+    "txt_sample_stratified" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .withColumn("mix_bucket", expr(
+            "CAST(conv(substr(md5(concat('mix|', CAST(doc_id AS STRING))), 1, 4), 16, 10) AS INT) % 10000"))
+          .withColumn("rate_bp", // basis points, exact integers
+            element_at(array(lit(10000), lit(6000), lit(3000), lit(1000)),
+              pmod(substring($"source", 4, 10).cast("int"), lit(4)) + 1))
+          .filter($"mix_bucket" < $"rate_bp")
+          .select($"doc_id", $"source", $"mix_bucket", $"rate_bp")
+      },
+      oracle = Some("""
+        WITH m AS (SELECT doc_id, source,
+                          ('0x' || substr(md5('mix|' || CAST(doc_id AS VARCHAR)), 1, 4))::INT % 10000 AS mix_bucket,
+                          [10000, 6000, 3000, 1000][(CAST(substr(source, 4) AS INT) % 4) + 1] AS rate_bp
+                   FROM documents)
+        SELECT doc_id, source, mix_bucket, rate_bp
+        FROM m WHERE mix_bucket < rate_bp"""),
+      doc = "stratified sampling: per-source keep rates via salted id-hash thresholds — deterministic data mixing, shuffle-free")
   )
 }

@@ -363,6 +363,54 @@ object TextStats {
                coalesce(h.n_hits, 0) > 0 AS contaminated
         FROM documents d LEFT JOIN hits h USING (doc_id)
         WHERE d.doc_id % 97 <> 0"""),
-      doc = "benchmark decontamination: word-8-gram overlap vs a broadcast probe set, per-doc hit counts")
+      doc = "benchmark decontamination: word-8-gram overlap vs a broadcast probe set, per-doc hit counts"),
+
+    // the terminal KEEP/DROP gate (Gopher-style rule stack, thresholds
+    // fitted to this corpus's signal quantiles so the gate actually
+    // discriminates): fixed precedence — too_short, then top-token
+    // mass, then duplicate-2-gram mass — and the FIRST failing rule is
+    // the recorded reason, mirroring how production filters report
+    // drop attribution. Shuffle-free scan.
+    "txt_gopher_gate" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val g2 = "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks)-2), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1])) ELSE array() END"
+        Tables.documents(s, dir)
+          .withColumn("toks", expr(toksE))
+          .withColumn("g2", expr(g2))
+          .withColumn("n_tokens", size($"toks"))
+          .withColumn("ttf",
+            expr("array_max(transform(array_distinct(toks), w -> size(filter(toks, t -> t = w))))")
+              .cast("double") / $"n_tokens")
+          .withColumn("d2", when(size($"g2") > 0,
+            (size($"g2") - size(array_distinct($"g2"))).cast("double") / size($"g2"))
+            .otherwise(0.0))
+          .select($"doc_id",
+            when($"n_tokens" < 20, lit("too_short"))
+              .when($"ttf" > 0.125, lit("top_token"))
+              .when($"d2" > 0.06, lit("dup_2gram"))
+              .otherwise(lit("pass")).as("verdict"),
+            ($"n_tokens" >= 20 && $"ttf" <= 0.125 && $"d2" <= 0.06).as("keep"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        m AS (SELECT doc_id, len(tk) AS n,
+                     CAST(list_max(list_transform(list_distinct(tk),
+                       w -> len(list_filter(tk, x -> x = w)))) AS DOUBLE) / len(tk) AS ttf,
+                     CASE WHEN len(tk) >= 2
+                          THEN CAST(len(tk) - 1 - len(list_distinct(list_transform(
+                                 generate_series(1, len(tk)-1), i -> tk[i] || ' ' || tk[i+1])))
+                               AS DOUBLE) / (len(tk) - 1)
+                          ELSE 0.0 END AS d2
+              FROM t)
+        SELECT doc_id,
+               CASE WHEN n < 20 THEN 'too_short'
+                    WHEN ttf > 0.125 THEN 'top_token'
+                    WHEN d2 > 0.06 THEN 'dup_2gram'
+                    ELSE 'pass' END AS verdict,
+               n >= 20 AND ttf <= 0.125 AND d2 <= 0.06 AS keep
+        FROM m"""),
+      doc = "Gopher-style keep/drop gate: fixed-precedence rule stack with drop attribution")
   )
 }
