@@ -411,6 +411,56 @@ object TextStats {
                     ELSE 'pass' END AS verdict,
                n >= 20 AND ttf <= 0.125 AND d2 <= 0.06 AS keep
         FROM m"""),
-      doc = "Gopher-style keep/drop gate: fixed-precedence rule stack with drop attribution")
+      doc = "Gopher-style keep/drop gate: fixed-precedence rule stack with drop attribution"),
+
+    // corpus-level TF-IDF: the classic two-phase corpus-statistics
+    // plan — one shuffle builds the global document-frequency table,
+    // which joins back to the per-doc term list (equi-join on term; at
+    // 100 TB that is the canonical vocab-partitioned shuffle), and a
+    // per-doc window picks the most distinctive term. The idf factor is
+    // the LOG-FREE monotone form (N+1)/(df+1): ranking is identical to
+    // ln-idf, but the score stays pure rational double arithmetic with
+    // one operation order on both engines — ln() ULP differences
+    // between engines could flip a tie, a hash-gate hazard with zero
+    // ranking benefit. N rides a sanctioned 1-row broadcast (the
+    // api_q6_stats pattern, QueriesSpec allowlist).
+    "txt_tfidf_top" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val docs = Tables.documents(s, dir)
+          .withColumn("toks", expr(toksE))
+          .withColumn("n_tokens", size($"toks"))
+        val terms = docs.select($"doc_id", $"n_tokens", explode(expr(
+          "transform(array_distinct(toks), w -> struct(w AS term, size(filter(toks, t -> t = w)) AS cnt))")).as("tc"))
+          .select($"doc_id", $"n_tokens", $"tc.term", $"tc.cnt")
+        val dfTab = terms.groupBy($"term").agg(count(lit(1)).as("df"))
+        val nTab = docs.agg(count(lit(1)).as("n"))
+        val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
+        terms.join(dfTab, "term")
+          .crossJoin(broadcast(nTab))
+          .withColumn("score",
+            ($"cnt".cast("double") / $"n_tokens") * (($"n" + 1).cast("double") / ($"df" + 1)))
+          .withColumn("rk", row_number().over(w))
+          .filter($"rk" === 1)
+          .select($"doc_id", $"term".as("top_term"), round($"score", 6).as("tfidf"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        n AS (SELECT count(*) AS n FROM documents),
+        terms AS (SELECT doc_id, len(tk) AS ntok, tk,
+                         unnest(list_distinct(tk)) AS term
+                  FROM t),
+        counted AS (SELECT doc_id, ntok, term,
+                           len(list_filter(tk, x -> x = term)) AS cnt
+                    FROM terms),
+        dfv AS (SELECT term, count(*) AS df FROM counted GROUP BY 1),
+        scored AS (SELECT c.doc_id, c.term,
+                          (CAST(c.cnt AS DOUBLE) / c.ntok) * (CAST(n.n + 1 AS DOUBLE) / (d.df + 1)) AS score
+                   FROM counted c JOIN dfv d USING (term) CROSS JOIN n)
+        SELECT doc_id, term AS top_term, round(score, 6) AS tfidf
+        FROM scored
+        QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) = 1"""),
+      doc = "corpus TF-IDF: global df table joined back per doc, top distinctive term per doc (log-free monotone idf for cross-engine determinism)")
   )
 }

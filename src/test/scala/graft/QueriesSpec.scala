@@ -85,7 +85,8 @@ class QueriesSpec extends AnyFunSuite {
       "api_q6_stats",       // crossJoin of five 1-row aggregate panels (Api.scala)
       "sim_lsh_bucket_topk", // 8-row broadcast hyperplane set (Similarity.scala)
       "sim_lsh_planes12_topk", // same hyperplane panel at 12 rows — the oracle-gated scale knob
-      "sim_cosine_topk")     // broadcast ~50-row query set — the declared exact baseline
+      "sim_cosine_topk",     // broadcast ~50-row query set — the declared exact baseline
+      "txt_tfidf_top")       // 1-row corpus-count broadcast (the api_q6_stats shape)
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
       val cart = if (plan.contains("CartesianProduct")) Seq(s"$name: CartesianProduct") else Nil
