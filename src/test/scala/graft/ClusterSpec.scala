@@ -61,6 +61,29 @@ class ClusterSpec extends AnyFunSuite {
     assert(components("minlabel", nodes, edges) == components("logrounds", nodes, edges))
   }
 
+  test("property: the algorithms agree on 25 seeded random graphs across the density range") {
+    // graphs from edgeless through near-complete (m ~ n^2/4), the
+    // in-between densities where partially-merged star shapes are most
+    // likely to expose a bad fixpoint; plus a self-consistency check
+    // that every returned label is a member of its own component
+    val rnd = new scala.util.Random(1717)
+    for (trial <- 1 to 25) {
+      val n = 2 + rnd.nextInt(60)
+      val m = rnd.nextInt(1 + n * n / 4)
+      val nodes = (0L until n.toLong)
+      val edges = (0 until m).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      val ml = components("minlabel", nodes, edges)
+      val lr = components("logrounds", nodes, edges)
+      assert(ml == lr, s"trial $trial (n=$n m=${edges.size}): algorithms diverge")
+      // label validity: comp(id) <= id and comp(comp(id)) == comp(id)
+      ml.foreach { case (id, c) =>
+        assert(c <= id && ml(c) == c, s"trial $trial: invalid label $id -> $c")
+      }
+    }
+  }
+
   test("long chain: star alternation is diameter-independent, propagation is not") {
     import spark.implicits._
     val n = 300
