@@ -326,10 +326,15 @@ object TextStats {
     // GPT-3/PaLM reports, 8-grams here to fit the 10-99-token corpus):
     // flag every training doc sharing any word-8-gram with the probe
     // set (doc_id % 97 — a stand-in for a held-out benchmark suite).
-    // The probe n-gram set is tiny relative to the corpus by
-    // construction, so it BROADCASTS: at 100 TB the corpus-side scan
-    // joins against an in-memory hash set, no corpus shuffle. The
-    // corpus invariant doc_id >= 0 makes Spark % ≡ DuckDB %.
+    // A REAL benchmark suite is fixed-size (MMLU+HellaSwag+... is a
+    // few hundred MB of n-grams however big the corpus), which is what
+    // justifies the broadcast: the corpus-side scan joins an in-memory
+    // hash set, no corpus shuffle. The %97 stand-in is NOT that — it is
+    // ~1% of the corpus's distinct 8-grams and grows linearly with it,
+    // fine at test SFs but a deployment would size-check the probe
+    // (spark.sql.autoBroadcastJoinThreshold semantics) and fall back to
+    // a shuffle join past ~8 GB. The corpus invariant doc_id >= 0 makes
+    // Spark % ≡ DuckDB %.
     "txt_decontaminate" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._

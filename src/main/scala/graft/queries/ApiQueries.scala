@@ -117,7 +117,10 @@ object ApiQueries {
     import s.implicits._
     cat.bootstrap()
     val fixedTs = to_timestamp(lit("2024-06-01 00:00:00"))
-    val ev = Tables.events(s, dir) // ts = raw nanos (LongType, nanosAsLong)
+    // ts normalized to TimestampType whatever the parquet generation
+    // (identity on timestamp[us] testdata; truncating div on legacy
+    // ns-as-Long) — same reader boundary as msgsFrame/buildT4.
+    val ev = Tables.eventsNorm(s, dir)
 
     val msgs = msgsFrame(s, dir)
     loadMessages(s, dir, cat)

@@ -47,7 +47,16 @@ object ClusterSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    val seedDir = s"/tmp/graft-scale/cluster/v1/${Paths.get(sf).getFileName}"
+    // Cache key includes a cheap corpus fingerprint (row count + max
+    // doc_id, one-column scan) so a driver-side testdata regeneration
+    // — a known recurring event — reseeds instead of validating the
+    // xK assertions against a stale pair graph.
+    val fp = {
+      val r = spark.read.parquet(s"$sf/documents.parquet")
+        .agg(count(lit(1)), max(col("doc_id"))).collect()(0)
+      s"n${r.getLong(0)}-m${r.getLong(1)}"
+    }
+    val seedDir = s"/tmp/graft-scale/cluster/v1/${Paths.get(sf).getFileName}-$fp"
     if (!Files.exists(Paths.get(s"$seedDir/pairs"))) {
       Dedup.minhashPairs(spark, sf).select("a_id", "b_id")
         .write.mode("overwrite").parquet(s"$seedDir/pairs")

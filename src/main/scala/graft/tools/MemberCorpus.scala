@@ -18,7 +18,12 @@ object MemberCorpus {
 
   /** `senderPrefix`/`idOffset` let a caller mint a batch of NEW users
     * (disjoint from the seeded corpus) whose names still draw from the
-    * same collision pool — the [[StateSmoke]] joiner batch. */
+    * same collision pool — the [[StateSmoke]] joiner batch.
+    *
+    * `ev.ts` must be TimestampType — callers read via
+    * [[graft.Tables.eventsNorm]], which normalizes both parquet
+    * generations (timestamp[us] and legacy ns-as-Long) before the
+    * `unix_millis` below. */
   def memberShape(ev: DataFrame, i: Int, senderPrefix: String = "@u",
       idOffset: Long = 0L): DataFrame = {
     val mode = pmod(col("user_id"), lit(10L))

@@ -56,7 +56,11 @@ object MemberSmoke {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.NfdNormalize.register(spark)
 
-    def events: DataFrame = spark.read.parquet(s"$sf/events.parquet")
+    // ts normalized at the reader boundary (identity on current
+    // timestamp[us] testdata; truncating div on a legacy nanos-as-Long
+    // generation) so the unix_millis(ts) in the shape fns is always
+    // analyzable — the back-compat the session's nanosAsLong opts into.
+    def events: DataFrame = graft.Tables.eventsNorm(spark, sf)
 
     /** Shared generator — see [[MemberCorpus.memberShape]] (extracted
       * so [[StateSmoke]] measures the same corpus shape). */

@@ -72,7 +72,11 @@ object SkewSmoke {
     spark.sparkContext.setLogLevel("WARN")
     graft.functions.NfdNormalize.register(spark)
 
-    def events: DataFrame = spark.read.parquet(s"$sf/events.parquet")
+    // ts normalized at the reader boundary (identity on current
+    // timestamp[us] testdata; truncating div on a legacy nanos-as-Long
+    // generation) so the unix_millis(ts) in the shape fns is always
+    // analyzable — the back-compat the session's nanosAsLong opts into.
+    def events: DataFrame = graft.Tables.eventsNorm(spark, sf)
 
     def shape(i: Int, room: org.apache.spark.sql.Column,
         dn: org.apache.spark.sql.Column): DataFrame = events.select(

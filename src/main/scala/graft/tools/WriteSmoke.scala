@@ -82,7 +82,11 @@ object WriteSmoke {
         .select("id", "event_id", "room_id", "sender", "content", "event_type",
           "timestamp", "is_encrypted", "relates_to", "error", "processed_at")
 
-    def events: DataFrame = spark.read.parquet(s"$sf/events.parquet")
+    // ts normalized at the reader boundary (identity on current
+    // timestamp[us] testdata; truncating div on a legacy nanos-as-Long
+    // generation) so the unix_millis(ts) in the shape fns is always
+    // analyzable — the back-compat the session's nanosAsLong opts into.
+    def events: DataFrame = graft.Tables.eventsNorm(spark, sf)
 
     def corpus(k: Int): DataFrame =
       (0 until k).map(msgShape(events, _)).reduce(_ unionByName _)
