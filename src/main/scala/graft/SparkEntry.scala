@@ -13,6 +13,7 @@ object SparkEntry {
   private def modules: Seq[Map[String, QueryDef]] = Seq(
     _root_.graft.queries.Tpch.defs,
     _root_.graft.queries.Tpch2.defs,
+    _root_.graft.queries.Tpch3.defs,
     _root_.graft.queries.RefQueries.defs,
     _root_.graft.queries.ApiQueries.defs,
     _root_.graft.queries.Windows.defs,

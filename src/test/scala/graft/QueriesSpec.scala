@@ -127,6 +127,41 @@ class QueriesSpec extends AnyFunSuite {
     }
   }
 
+  test("TPC-H suite is complete: all 22 query shapes registered") {
+    val have = SparkEntry.queries.keySet
+    val q = (1 to 22).map {
+      case 1 => "q1_pricing_summary"; case 2 => "q2_correlated_min"
+      case 3 => "q3_shipping_priority"; case 4 => "q4_order_priority"
+      case 5 => "q5_local_supplier"; case 6 => "q6_revenue_forecast"
+      case 7 => "q7_volume_shipping"; case 8 => "q8_market_share"
+      case 9 => "q9_product_profit"; case 10 => "q10_returned_items"
+      case 11 => "q11_important_parts"; case 12 => "q12_shipmode_priority"
+      case 13 => "q13_customer_distribution"; case 14 => "q14_promo_effect"
+      case 15 => "q15_top_supplier"; case 16 => "q16_distinct_suppliers"
+      case 17 => "q17_small_quantity"; case 18 => "q18_large_volume"
+      case 19 => "q19_disjunctive"; case 20 => "q20_promotion_suppliers"
+      case 21 => "q21_anti_join"; case 22 => "q22_above_avg_inactive"
+    }
+    val missing = q.filterNot(have)
+    assert(missing.isEmpty, s"missing TPC-H shapes: $missing")
+  }
+
+  test("q13 histogram conserves customers; left join preserves zero-count bucket rows") {
+    // the histogram is a partition of the customer table: bucket counts
+    // must sum exactly to |customer| whatever the predicate selectivity
+    val rows = SparkEntry.queries("q13_customer_distribution")(spark, sf).collect()
+    val total = rows.map(_.getLong(1)).sum
+    val nCust = graft.Tables.customer(spark, sf).count()
+    assert(total == nCust, s"histogram sums to $total, |customer| = $nCust")
+  }
+
+  test("q20 plans the IN-subquery as a bounded semi-join over the grouped table") {
+    val plan = SparkEntry.queries("q20_promotion_suppliers")(spark, sf)
+      .queryExecution.executedPlan.toString
+    assert(plan.contains("LeftSemi"), s"IN must plan as semi-join:\n$plan")
+    assert(!plan.contains("CartesianProduct"), plan)
+  }
+
   test("retired ML MinHashLSH variant agrees with the shipped banded operator (sf0.01)") {
     val sf01 = "/root/testdata/sf0.01"
     // the ML variant is no longer a registered query (13s for the same
