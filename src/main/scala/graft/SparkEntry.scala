@@ -23,6 +23,7 @@ object SparkEntry {
     _root_.graft.ext.Dedup.defs,
     _root_.graft.ext.Cluster.defs,
     _root_.graft.ext.Similarity.defs,
+    _root_.graft.ext.Embeddings.defs,
     _root_.graft.ext.Multimodal.defs,
   )
 

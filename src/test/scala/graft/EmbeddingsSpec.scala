@@ -1,0 +1,84 @@
+package graft
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contracts of the embedding family the DuckDB gate can't express:
+  * full Lloyd's iteration (the registered sim_kmeans_assign is ONE
+  * step), the int8 quantization fidelity bound, and the SemDeDup
+  * keep-set laws.
+  */
+class EmbeddingsSpec extends AnyFunSuite {
+  lazy val spark: SparkSession = Sessions.local(cores = 4, appName = "graft-test")
+  val sf = "/root/testdata/sf0.001"
+
+  import graft.ext.Embeddings
+
+  /** Three well-separated synthetic clusters at offsets 0 / 100 / 200
+    * in every dimension, deliberately MIS-labeled round-robin so the
+    * seed partition is maximally wrong. */
+  private def separable(n: Int): DataFrame = {
+    import spark.implicits._
+    spark.range(n.toLong).select(
+      $"id".as("vec_id"),
+      ($"id" % 3).cast("int").as("label"), // wrong on purpose
+      expr("transform(sequence(1, 8), i -> CAST((id % 4) / 10.0 + (CASE WHEN id < 10 THEN 0 WHEN id < 20 THEN 100 ELSE 200 END) AS FLOAT))")
+        .as("embedding"))
+  }
+
+  test("Lloyd's iteration recovers separable clusters from an adversarial seed") {
+    val got = Embeddings.kmeans(separable(30), rounds = 4)
+      .collect().map(r => r.getLong(0) -> r.getInt(1)).toMap
+    // every vector in the same true cluster must share a cell, and the
+    // three true clusters must land in three DISTINCT cells
+    val cells = Seq(0 until 10, 10 until 20, 20 until 30)
+      .map(g => g.map(i => got(i.toLong)).toSet)
+    cells.foreach(c => assert(c.size == 1, s"cluster split across cells: $cells"))
+    assert(cells.flatten.toSet.size == 3, s"clusters merged: $cells")
+  }
+
+  test("Lloyd's iteration is a fixpoint once assignments stop moving") {
+    val v = separable(30)
+    val a4 = Embeddings.kmeans(v, rounds = 4).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    val a5 = Embeddings.kmeans(v, rounds = 5).collect().map(r => (r.getLong(0), r.getInt(1))).toSet
+    assert(a4 == a5, "converged assignment must not move on an extra round")
+  }
+
+  test("kmeans assign step is deterministic across runs (exact quantized centroids)") {
+    val e = Tables.embeddings(spark, sf)
+    def run() = Embeddings.assign(e, Embeddings.centroids(e))
+      .collect().map(r => (r.getLong(0), r.getInt(2), r.getDouble(3))).toSeq.sorted
+    assert(run() == run())
+  }
+
+  test("int8 quantization: cosine error bounded, codes within [-127, 127]") {
+    val rows = SparkEntry.queries("sim_quantize_int8")(spark, sf).collect()
+    assert(rows.nonEmpty)
+    rows.foreach { r =>
+      val err = r.getDouble(r.fieldIndex("cos_err"))
+      assert(err <= 0.02, s"vec ${r.getLong(0)}: int8 cosine error $err > 0.02")
+      Seq("q_first", "q_last").foreach { c =>
+        val q = r.getInt(r.fieldIndex(c))
+        assert(q >= -127 && q <= 127, s"vec ${r.getLong(0)}: $c=$q outside int8 range")
+      }
+    }
+  }
+
+  test("SemDeDup laws: representatives are never dups; dup_of is a lower-id same-cell keeper") {
+    val rows = SparkEntry.queries("dedup_semantic")(spark, sf).collect()
+    val byId = rows.map(r => r.getLong(0) -> r).toMap
+    val dups = rows.filter(_.getBoolean(4))
+    dups.foreach { r =>
+      val dupOf = r.getLong(3)
+      assert(dupOf < r.getLong(0), "dup_of must be a lower id")
+      assert(byId(dupOf).getInt(1) == r.getInt(1), "dup_of must share the cell")
+    }
+    // keep-first rule: the lowest id of any cell can never be a dup
+    rows.groupBy(_.getInt(1)).foreach { case (_, cell) =>
+      val first = cell.minBy(_.getLong(0))
+      assert(!first.getBoolean(4), s"cell minimum ${first.getLong(0)} marked dup")
+    }
+    assert(dups.nonEmpty, "fitted tau must mark at least one dup at sf0.001")
+  }
+}

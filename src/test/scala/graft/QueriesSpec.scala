@@ -86,6 +86,8 @@ class QueriesSpec extends AnyFunSuite {
       "sim_lsh_bucket_topk", // 8-row broadcast hyperplane set (Similarity.scala)
       "sim_lsh_planes12_topk", // same hyperplane panel at 12 rows — the oracle-gated scale knob
       "sim_cosine_topk",     // broadcast ~50-row query set — the declared exact baseline
+      "sim_quantize_int8",   // 1-row broadcast query-vector panel (Embeddings.scala)
+      "sim_kmeans_assign",   // k-row broadcast centroid panel (Embeddings.scala)
       "txt_tfidf_top")       // 1-row corpus-count broadcast (the api_q6_stats shape)
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
