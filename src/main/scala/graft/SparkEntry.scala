@@ -25,6 +25,7 @@ object SparkEntry {
     _root_.graft.ext.Similarity.defs,
     _root_.graft.ext.Embeddings.defs,
     _root_.graft.ext.Multimodal.defs,
+    _root_.graft.ext.Profile.defs,
   )
 
   lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)
