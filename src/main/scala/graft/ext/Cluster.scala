@@ -1,7 +1,7 @@
 package graft.ext
 
 import graft.{QueryDef, Tables}
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Near-dup CLUSTER ASSIGNMENT — the step a training-data pipeline runs
@@ -121,13 +121,34 @@ object Cluster {
           .union(m.select(col("u").as("x"), col("m").as("y"))))
     }
 
+    /** convergence fingerprint: (|E|, order-independent checksum) in ONE
+      * agg pass over the canonical edge set. The old test was two
+      * `exceptAll` passes per round — each a full distinct-shuffle over
+      * 2|E| rows, i.e. two extra shuffles per round just to ask "same
+      * set?". Equal sets always fingerprint equal; a false "stable" needs
+      * a sum-of-xxhash64 collision between consecutive rounds' DIFFERENT
+      * sets (~2⁻⁶⁴, and the per-round DuckDB oracle hash gate re-checks
+      * the RESULT, so a collision cannot ship a wrong assignment
+      * silently). A cycle that never converges still exhausts maxRounds
+      * exactly as before (both tests only compare consecutive rounds). */
+    def fingerprint(df: DataFrame): (Long, BigDecimal) = {
+      // the hash sum rides DECIMAL(38,0): exact, order-independent, and
+      // immune to the ANSI long-overflow a plain sum(xxhash64) hits
+      val r = df.agg(count(lit(1)),
+        sum(expr("xxhash64(a, b)").cast("decimal(38,0)"))).head()
+      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+    }
+
     var e = canonical(edges.select(col("src").as("x"), col("dst").as("y")))
       .localCheckpoint()
+    var fp = fingerprint(e)
     var round = 0
     var stable = false
     while (!stable && round < maxRounds) {
       val next = smallStar(largeStar(e)).localCheckpoint()
-      stable = next.exceptAll(e).isEmpty && e.exceptAll(next).isEmpty
+      val nfp = fingerprint(next)
+      stable = nfp == fp
+      fp = nfp
       e = next
       round += 1
     }
@@ -139,18 +160,102 @@ object Cluster {
       .select(col("id"), coalesce(col("root"), col("id")).as("comp")), round)
   }
 
+  /** Key-space offset for [[assignIncremental]]'s old-wins label
+    * priority: old component roots keep their plain id, new nodes ride
+    * `id + NewKeyOffset`, so the min-label fold prefers ANY old root
+    * over ANY new id. Requires ids in [0, 2^41) — the corpus
+    * non-negative-id invariant (ApiQueries.scala header) plus 2 Tdocs
+    * of headroom; 2^62 of key space remains above the offset. */
+  private[ext] val NewKeyOffset: Long = 1L << 41
+
+  /** INCREMENTAL cluster assignment — the corpus-growth path a 100 TB
+    * pipeline actually runs: new documents join EXISTING clusters
+    * without recomputing the full component graph, and cluster ids stay
+    * STABLE (an old cluster keeps its root even when a smaller-id new
+    * document joins it — the same LWW discipline as the merge writer;
+    * mirrors the reference's incremental-vs-backfill branch,
+    * /root/reference/src/app/matrix/client.ts:304-314, lifted to the
+    * dedup domain).
+    *
+    * Mechanics: the old graph is CONTRACTED to its component roots
+    * (each old endpoint of a delta edge maps to its persisted root), so
+    * the iteration runs over the FRONTIER only — delta-edge endpoints
+    * plus new nodes — never the full corpus. Label priority is encoded
+    * in one long key ([[NewKeyOffset]]): min over keys = "min old root
+    * if the cluster touches any old component, else min new id".
+    * Merges of two old clusters through a new bridge resolve to the
+    * smaller old root (deterministic; the losing root's members are
+    * relabeled — the same semantics a batch rerun would pick between
+    * those two roots).
+    *
+    * Contract: `oldAsg` is a prior (id, comp) assignment (comp = the
+    * cluster root, itself a member); `newNodes` the new doc ids
+    * (disjoint from oldAsg); `deltaEdges` every near-dup pair touching
+    * at least one new doc (old↔old delta edges are also legal and
+    * merge their clusters). Returns (id, comp, is_new) covering
+    * oldAsg ∪ newNodes. Untouched old components pass through without
+    * entering the iteration.
+    */
+  def assignIncremental(oldAsg: DataFrame, newNodes: DataFrame,
+      deltaEdges: DataFrame, maxRounds: Int = 64): DataFrame = {
+    val asgS = oldAsg.select(col("id").as("src"), col("comp").as("sk"))
+    val asgD = oldAsg.select(col("id").as("dst"), col("comp").as("dk"))
+    val mapped = deltaEdges
+      .join(asgS, Seq("src"), "left")
+      .join(asgD, Seq("dst"), "left")
+      .select(coalesce(col("sk"), col("src") + NewKeyOffset).as("src"),
+        coalesce(col("dk"), col("dst") + NewKeyOffset).as("dst"))
+    // frontier node set: mapped delta endpoints + every new node
+    // (isolated new docs become their own singleton clusters)
+    val frontier = mapped.select(col("src").as("id"))
+      .union(mapped.select(col("dst").as("id")))
+      .union(newNodes.select((col("id") + NewKeyOffset).as("id")))
+      .distinct()
+    val dec = connectedComponents(frontier, mapped, maxRounds)
+      .select(col("id").as("k"),
+        when(col("comp") >= NewKeyOffset, col("comp") - NewKeyOffset)
+          .otherwise(col("comp")).as("fc"))
+    val oldOut = oldAsg
+      .join(dec.withColumnRenamed("k", "comp"), Seq("comp"), "left")
+      .select(col("id"), coalesce(col("fc"), col("comp")).as("comp"),
+        lit(false).as("is_new"))
+    val newOut = newNodes.select(col("id"), (col("id") + NewKeyOffset).as("k"))
+      .join(dec, "k")
+      .select(col("id"), col("fc").as("comp"), lit(true).as("is_new"))
+    oldOut.union(newOut)
+  }
+
+  /** (nodes, pairs) of the near-dup graph: every document plus the
+    * [[Dedup.minhashPairs]] edge set, checkpointed ACROSS jobs (the
+    * policy stated on minhashPairs — the LSH+verify lineage would
+    * otherwise re-run every component round). Shared by every cluster
+    * entry so "the graph" has one definition. */
+  private def graph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
+    import s.implicits._
+    val pairs = Dedup.minhashPairs(s, dir)
+      .select($"a_id".as("src"), $"b_id".as("dst"))
+      .localCheckpoint()
+    val nodes = Tables.documents(s, dir).select($"doc_id".as("id"))
+    (nodes, pairs)
+  }
+
+  /** Batch cluster assignment (doc_id, cluster_id) with the default
+    * algorithm — the frame downstream consumers (keeper election, the
+    * end-to-end corpus pipeline) join against. */
+  private[ext] def assignFrame(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (nodes, pairs) = graph(s, dir)
+    connectedComponents(nodes, pairs)
+      .select($"id".as("doc_id"), $"comp".as("cluster_id"))
+  }
+
   /** The `dedup_clusters` build body, parameterized by the component
     * algorithm — both registry entries run THIS code, so the only
     * degree of freedom between them is the algorithm under test. */
   private def clustersBuild(cc: (DataFrame, DataFrame) => DataFrame)(
       s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    // checkpoint ACROSS jobs (the policy stated on minhashPairs):
-    // the LSH+verify lineage would otherwise re-run every round
-    val pairs = Dedup.minhashPairs(s, dir)
-      .select($"a_id".as("src"), $"b_id".as("dst"))
-      .localCheckpoint()
-    val nodes = Tables.documents(s, dir).select($"doc_id".as("id"))
+    val (nodes, pairs) = graph(s, dir)
     val comp = cc(nodes, pairs)
     val sz = comp.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
     comp.join(sz, "comp")
@@ -158,17 +263,22 @@ object Cluster {
         $"cluster_size", ($"id" === $"comp").as("keep"))
   }
 
-  /** Shared DuckDB twin of both cluster entries — an independent
-    * recursive-CTE reachable-minimum fixpoint over the same pair CTEs. */
-  private val clustersOracle: String = s"""
-        WITH RECURSIVE ${Dedup.minhashPairsCtes},
+  /** Component CTE chain ending in `comp(doc_id, cluster_id)` — the
+    * independent recursive-CTE reachable-minimum fixpoint over the
+    * shared pair CTEs; prefixed by `WITH RECURSIVE` at each use site.
+    * Shared by every cluster-family oracle. */
+  private val compCtes: String = s"""${Dedup.minhashPairsCtes},
         sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
                 UNION ALL SELECT b_id, a_id FROM pairs),
         reach(id, r) AS (
           SELECT doc_id, doc_id FROM documents
           UNION
           SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id),
-        comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1),
+        comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)"""
+
+  /** Shared DuckDB twin of both batch cluster entries. */
+  private val clustersOracle: String = s"""
+        WITH RECURSIVE $compCtes,
         sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
         SELECT c.doc_id, c.cluster_id, s.cluster_size,
                c.doc_id = c.cluster_id AS keep
@@ -190,6 +300,99 @@ object Cluster {
     "dedup_clusters_logrounds" -> QueryDef(
       build = clustersBuild(connectedComponentsLogRounds(_, _)),
       oracle = Some(clustersOracle),
-      doc = "cluster assignment via large-star/small-star (Kiveris SoCC'14): O(log n) rounds, diameter-independent — same oracle as dedup_clusters")
+      doc = "cluster assignment via large-star/small-star (Kiveris SoCC'14): O(log n) rounds, diameter-independent — same oracle as dedup_clusters"),
+
+    // ---- INCREMENTAL assignment over a grown corpus: docs with
+    // doc_id % 10 < 7 are the "persisted" generation (their clusters
+    // computed batch-mode over the old-only pair subgraph — exact,
+    // because LSH banding is per-doc so restricting pairs to old
+    // endpoints IS the pair set the old corpus alone would produce);
+    // the rest arrive as the delta. Cluster ids must stay STABLE: the
+    // oracle derives them INDEPENDENTLY as "min old-subgraph root in
+    // the full-graph component, else min doc_id" — no frontier, no
+    // key encoding — so the hash gate checks the stability semantics,
+    // not the iteration. The split deliberately leaves small-id docs
+    // (7, 8, 9, 17, …) in the NEW batch so old-root-beats-smaller-new-id
+    // is exercised, not vacuous. doc_id >= 0 (corpus invariant, see
+    // ApiQueries header) makes Spark pmod ≡ DuckDB %.
+    "dedup_clusters_incremental" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val (nodes, pairs) = graph(s, dir)
+        val isOld = (c: Column) => pmod(c, lit(10)) < 7
+        val oldAsg = connectedComponents(
+          nodes.filter(isOld($"id")),
+          pairs.filter(isOld($"src") && isOld($"dst"))).localCheckpoint()
+        val asg = assignIncremental(oldAsg,
+          nodes.filter(!isOld($"id")),
+          pairs.filter(!(isOld($"src") && isOld($"dst"))))
+        val sz = asg.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
+        asg.join(sz, "comp")
+          .select($"id".as("doc_id"), $"comp".as("cluster_id"),
+            $"cluster_size", $"is_new", ($"id" === $"comp").as("keep"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $compCtes,
+        old_sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                    WHERE a_id % 10 < 7 AND b_id % 10 < 7
+                    UNION ALL
+                    SELECT b_id, a_id FROM pairs
+                    WHERE a_id % 10 < 7 AND b_id % 10 < 7),
+        old_reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 < 7
+          UNION
+          SELECT s.dst, r.r FROM old_reach r JOIN old_sym s ON s.src = r.id),
+        old_comp AS (SELECT id AS doc_id, min(r) AS oc FROM old_reach GROUP BY 1),
+        cid AS (SELECT c.cluster_id AS fc,
+                       coalesce(min(o.oc), min(c.doc_id)) AS cluster_id
+                FROM comp c LEFT JOIN old_comp o USING (doc_id)
+                GROUP BY 1),
+        asg AS (SELECT c.doc_id, i.cluster_id
+                FROM comp c JOIN cid i ON c.cluster_id = i.fc),
+        sz AS (SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY 1)
+        SELECT a.doc_id, a.cluster_id, s.cluster_size,
+               a.doc_id % 10 >= 7 AS is_new,
+               a.doc_id = a.cluster_id AS keep
+        FROM asg a JOIN sz s USING (cluster_id)"""),
+      doc = "incremental cluster assignment: new docs join persisted clusters via frontier-only iteration with stable old-root ids (old wins over smaller new ids)"),
+
+    // ---- quality-aware keeper election: a real pipeline keeps each
+    // cluster's HIGHEST-QUALITY member, not its min id. Joins the
+    // cluster assignment with txt_quality_score's composite (the
+    // REGISTERED build — one quality definition across the registry)
+    // and elects max-by(quality, tie → min doc_id). The ordering key is
+    // the ROUNDED quality — the exact column txt_quality_score already
+    // hash-gates as engine-identical — so cross-engine ULP noise cannot
+    // flip the election. One extra shuffle over (doc_id, quality) plus
+    // a per-cluster window; cluster sizes are near-dup-bounded, so the
+    // window partition never degenerates at scale.
+    "dedup_keeper_quality" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val qual = TextStats.defs("txt_quality_score").build(s, dir)
+          .select($"doc_id", $"quality")
+        val w = Window.partitionBy($"cluster_id")
+          .orderBy($"quality".desc, $"doc_id".asc)
+        assignFrame(s, dir).join(qual, "doc_id")
+          .withColumn("rk", row_number().over(w))
+          .select($"doc_id", $"cluster_id", $"quality", ($"rk" === 1).as("keep"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $compCtes,
+        qt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS qtoks FROM documents),
+        qm AS (SELECT doc_id,
+                      CAST(len(list_filter(qtoks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(qtoks) AS stop_ratio,
+                      1.0 - CAST(len(list_distinct(qtoks)) AS DOUBLE) / len(qtoks) AS rep_ratio,
+                      least(CAST(len(qtoks) AS DOUBLE) / 200.0, 1.0) AS len_score
+               FROM qt),
+        q AS (SELECT doc_id,
+                     round(0.5 * len_score + 0.3 * (1.0 - rep_ratio) + 0.2 * (1.0 - abs(stop_ratio - 0.1)), 4) AS quality
+              FROM qm)
+        SELECT c.doc_id, c.cluster_id, q.quality,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.quality DESC, c.doc_id ASC) = 1 AS keep
+        FROM comp c JOIN q USING (doc_id)"""),
+      doc = "quality-aware keeper election: per cluster keep the max-quality member (tie -> min doc_id) — the keeper column consumed by the corpus pipeline")
   )
 }

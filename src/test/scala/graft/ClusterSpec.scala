@@ -100,6 +100,81 @@ class ClusterSpec extends AnyFunSuite {
     assert(ex.getMessage.contains("did not converge"))
   }
 
+  /** Run [[graft.ext.Cluster.assignIncremental]] over (nodes, edges)
+    * split by `isOld`: old subgraph batch-assigned first, the rest
+    * arrives as the delta. Returns id -> (comp, is_new). */
+  private def incremental(nodes: Seq[Long], edges: Seq[(Long, Long)],
+      isOld: Long => Boolean): Map[Long, (Long, Boolean)] = {
+    import spark.implicits._
+    val oldAsg = graft.ext.Cluster.connectedComponents(
+      nodes.filter(isOld).toDF("id"),
+      edges.filter(e => isOld(e._1) && isOld(e._2)).toDF("src", "dst"))
+    val asg = graft.ext.Cluster.assignIncremental(oldAsg,
+      nodes.filterNot(isOld).toDF("id"),
+      edges.filterNot(e => isOld(e._1) && isOld(e._2)).toDF("src", "dst"))
+    asg.collect().map(r => r.getLong(0) -> (r.getLong(1), r.getBoolean(2))).toMap
+  }
+
+  test("incremental: old root survives a smaller-id new joiner (stability law)") {
+    // old cluster {10, 11} rooted at 10; new doc 3 bridges into it.
+    // Batch-mode would relabel the cluster 3; the incremental contract
+    // keeps the persisted root 10 — the LWW discipline under growth.
+    val asg = incremental(Seq(3L, 10L, 11L), Seq((10L, 11L), (3L, 11L)), _ >= 10L)
+    assert(asg == Map(10L -> (10L, false), 11L -> (10L, false), 3L -> (10L, true)))
+  }
+
+  test("incremental: new bridge merging two old clusters resolves to the smaller old root") {
+    // old clusters {20,21} and {30,31}; new doc 40 bridges them. Also:
+    // an untouched old cluster {50,51} must pass through unchanged, and
+    // an isolated new doc 60 becomes its own singleton.
+    val asg = incremental(
+      nodes = Seq(20L, 21L, 30L, 31L, 40L, 50L, 51L, 60L),
+      edges = Seq((20L, 21L), (30L, 31L), (40L, 21L), (40L, 31L), (50L, 51L)),
+      isOld = id => id != 40L && id != 60L)
+    assert(asg(20L) == ((20L, false)) && asg(21L) == ((20L, false)))
+    assert(asg(30L) == ((20L, false)) && asg(31L) == ((20L, false)),
+      "losing old root's members relabeled to the winning (smaller) old root")
+    assert(asg(40L) == ((20L, true)))
+    assert(asg(50L) == ((50L, false)) && asg(51L) == ((50L, false)), "untouched cluster stable")
+    assert(asg(60L) == ((60L, true)), "isolated new doc is a singleton keeper")
+  }
+
+  test("property: incremental == batch partition with stable ids on 15 seeded random graphs") {
+    // invariance law: applying the delta incrementally produces the SAME
+    // partition as one batch run over the union; ids differ only by the
+    // stability rule — a cluster's id is the min OLD-subgraph root it
+    // contains, else its min (new) id. Old membership is id%3!=0, so
+    // plenty of new ids are smaller than old roots and the priority
+    // encoding is genuinely exercised.
+    val rnd = new scala.util.Random(4242)
+    for (trial <- 1 to 15) {
+      val n = 2 + rnd.nextInt(50)
+      val m = rnd.nextInt(1 + n * n / 6)
+      val nodes = (0L until n.toLong)
+      val edges = (0 until m).map { _ =>
+        (rnd.nextInt(n).toLong, rnd.nextInt(n).toLong)
+      }.filter { case (a, b) => a != b }
+      val isOld = (id: Long) => id % 3 != 0
+      val inc = incremental(nodes, edges, isOld)
+      val batch = components("minlabel", nodes, edges)
+      // same partition: grouping by label yields identical member sets
+      val incParts = inc.toSeq.groupBy(_._2._1).values.map(_.map(_._1).toSet).toSet
+      val batchParts = batch.toSeq.groupBy(_._2).values.map(_.map(_._1).toSet).toSet
+      assert(incParts == batchParts, s"trial $trial (n=$n m=${edges.size}): partitions diverge")
+      // stable-id law per cluster
+      val oldEdges = edges.filter(e => isOld(e._1) && isOld(e._2))
+      val oldComp = components("minlabel", nodes.filter(isOld), oldEdges)
+      incParts.foreach { members =>
+        val label = inc(members.head)._1
+        val oldRoots = members.filter(isOld).map(oldComp)
+        val expected = if (oldRoots.nonEmpty) oldRoots.min else members.min
+        assert(label == expected, s"trial $trial: cluster $members labeled $label, want $expected")
+      }
+      // is_new mirrors the split
+      inc.foreach { case (id, (_, isN)) => assert(isN == !isOld(id)) }
+    }
+  }
+
   for (entry <- Seq("dedup_clusters", "dedup_clusters_logrounds"))
   test(s"$entry: keeper per cluster, sizes sum to corpus, pair endpoints co-clustered") {
     val sf = "/root/testdata/sf0.001"
