@@ -26,6 +26,7 @@ object SparkEntry {
     _root_.graft.ext.Embeddings.defs,
     _root_.graft.ext.Multimodal.defs,
     _root_.graft.ext.Profile.defs,
+    _root_.graft.ext.Pipe.defs,
   )
 
   lazy val all: Map[String, QueryDef] = modules.reduce(_ ++ _)

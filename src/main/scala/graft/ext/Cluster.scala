@@ -266,8 +266,8 @@ object Cluster {
   /** Component CTE chain ending in `comp(doc_id, cluster_id)` — the
     * independent recursive-CTE reachable-minimum fixpoint over the
     * shared pair CTEs; prefixed by `WITH RECURSIVE` at each use site.
-    * Shared by every cluster-family oracle. */
-  private val compCtes: String = s"""${Dedup.minhashPairsCtes},
+    * Shared by every cluster-family oracle (and [[Pipe]]'s). */
+  private[ext] val compCtes: String = s"""${Dedup.minhashPairsCtes},
         sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
                 UNION ALL SELECT b_id, a_id FROM pairs),
         reach(id, r) AS (

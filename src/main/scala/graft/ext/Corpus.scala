@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Corpus-organization operators — the steps between a cleaned document
@@ -32,6 +33,59 @@ object Corpus {
   val TargetDocsPerBucket: Long = 2L * 1024 * 1024
   val MaxPackBuckets: Int = 65536
 
+  /** The 80/10/10 split assignment of `txt_hash_split`, as a column
+    * over `doc_id` — ONE definition shared by the split entry and the
+    * end-to-end pipeline ([[Pipe]]), so the two cannot drift. */
+  private[ext] def splitCol: Column = {
+    val bucket = expr(
+      "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT) % 100")
+    when(bucket < 80, "train").when(bucket < 90, "validation").otherwise("test")
+  }
+
+  /** Chunk assignment for sequence packing, generalized per split:
+    * `docs` carries (split, doc_id, n_tokens); within each split the
+    * documents are laid out in doc_id order and cut into [[SeqLen]]-token
+    * chunks, each doc assigned to the chunk its start offset falls in.
+    * Returns docs + (chunk_id). The global offsets are the distributed
+    * two-phase prefix sum described on `txt_pack_chunks` (range-bucketed
+    * on doc_id, driver-side subtotal collect bounded by
+    * [[MaxPackBuckets]] × splits, per-(split,bucket) windows — no
+    * single-task window at any scale); with a single constant split it
+    * reduces exactly to the original single-stream packing. */
+  private[ext] def packAssign(s: SparkSession, docs: DataFrame): DataFrame = {
+    import s.implicits._
+    import org.apache.spark.sql.expressions.Window
+    val bounds = docs.agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"),
+      count(lit(1)).as("n")).head()
+    val (mn, nDocs) =
+      if (bounds.isNullAt(0)) (0L, 0L)
+      else (bounds.getLong(0), bounds.getLong(2))
+    val buckets = s.conf.getOption("spark.graft.packBuckets").map(_.toInt)
+      .getOrElse(packBuckets(nDocs, s.sparkContext.defaultParallelism))
+    val span = if (nDocs == 0) 1L else bounds.getLong(1) - mn + 1
+    val width = math.max(1L, (span + buckets - 1) / buckets)
+    val withB = docs.withColumn("pbucket", expr(s"(doc_id - $mn) DIV $width"))
+    // per-(split,bucket) subtotals -> cumulative start offset per bucket
+    // WITHIN its split (driver state stays ≤ splits × bucket-count rows)
+    val subtotals = withB.groupBy($"split", $"pbucket")
+      .agg(sum($"n_tokens").as("bt"))
+      .collect().map(r => (r.getString(0), r.getLong(1), r.getLong(2)))
+      .groupBy(_._1)
+    val offsets = subtotals.toSeq.flatMap { case (split, rows) =>
+      val sorted = rows.sortBy(_._2)
+      sorted.map(_._2).zip(sorted.map(_._3).scanLeft(0L)(_ + _))
+        .map { case (b, off) => (split, b, off) }
+    }
+    val offDf = offsets.toDF("split", "pbucket", "bucket_off")
+    val w = Window.partitionBy($"split", $"pbucket").orderBy($"doc_id")
+      .rowsBetween(Window.unboundedPreceding, -1)
+    withB.join(broadcast(offDf), Seq("split", "pbucket"))
+      .withColumn("start_off",
+        $"bucket_off" + coalesce(sum($"n_tokens").over(w), lit(0L)))
+      .withColumn("chunk_id", expr(s"start_off DIV $SeqLen"))
+      .select($"split", $"doc_id", $"n_tokens", $"chunk_id")
+  }
+
   def packBuckets(nDocs: Long, cores: Int): Int = {
     // overflow-free ceiling division, then clamp on the Long BEFORE
     // narrowing: the additive form (nDocs + Target - 1) wraps negative
@@ -56,12 +110,7 @@ object Corpus {
         import s.implicits._
         Tables.documents(s, dir)
           .withColumn("toks", expr(toksE))
-          .withColumn("bucket", expr(
-            "CAST(conv(substr(md5(CAST(doc_id AS STRING)), 1, 4), 16, 10) AS INT) % 100"))
-          .withColumn("split",
-            when($"bucket" < 80, "train")
-              .when($"bucket" < 90, "validation")
-              .otherwise("test"))
+          .withColumn("split", splitCol)
           .groupBy($"split")
           .agg(count(lit(1)).as("n_docs"),
             sum(size($"toks").cast("long")).as("n_tokens"),
@@ -100,10 +149,6 @@ object Corpus {
     "txt_pack_chunks" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        import org.apache.spark.sql.expressions.Window
-        val docs = Tables.documents(s, dir)
-          .withColumn("toks", expr(toksE))
-          .select($"doc_id", size($"toks").cast("long").as("n_tokens"))
         // range buckets: count derived from corpus size (packBuckets;
         // spark.graft.packBuckets overrides for the invariance spec) so
         // driver state stays metadata-scale AND per-bucket window work
@@ -113,35 +158,15 @@ object Corpus {
         // roughly uniform over [min, max] — true for sequential or
         // hash-assigned ids; pathological clustering degrades only
         // parallelism (one fat bucket), never correctness, and the
-        // packing stays bucket-count-invariant either way
-        val bounds = Tables.documents(s, dir)
-          .agg(min($"doc_id").as("mn"), max($"doc_id").as("mx"),
-            count(lit(1)).as("n")).head()
-        // empty corpus: the min/max aggregates are NULL — fall through
-        // with mn=0/width=1 (everything downstream is empty-safe) rather
-        // than NPE on getLong
-        val (mn, nDocs) =
-          if (bounds.isNullAt(0)) (0L, 0L)
-          else (bounds.getLong(0), bounds.getLong(2))
-        val buckets = s.conf.getOption("spark.graft.packBuckets").map(_.toInt)
-          .getOrElse(packBuckets(nDocs, s.sparkContext.defaultParallelism))
-        val span = if (nDocs == 0) 1L else bounds.getLong(1) - mn + 1
-        val width = math.max(1L, (span + buckets - 1) / buckets)
-        val withB = docs.withColumn("pbucket", expr(s"(doc_id - $mn) DIV $width"))
-        // per-bucket subtotals -> cumulative start offset per bucket
-        val subtotals = withB.groupBy($"pbucket")
-          .agg(sum($"n_tokens").as("bt"))
-          .collect().map(r => (r.getLong(0), r.getLong(1))).sortBy(_._1)
-        val offsets = subtotals.scanLeft((0L, 0L)) {
-          case ((_, acc), (b, bt)) => (b, acc + bt)
-        }.sliding(2).collect { case Array((_, acc), (b, _)) => (b, acc) }.toSeq
-        val offDf = offsets.toDF("pbucket", "bucket_off")
-        val w = Window.partitionBy($"pbucket").orderBy($"doc_id")
-          .rowsBetween(Window.unboundedPreceding, -1)
-        withB.join(broadcast(offDf), Seq("pbucket"))
-          .withColumn("start_off",
-            $"bucket_off" + coalesce(sum($"n_tokens").over(w), lit(0L)))
-          .withColumn("chunk_id", expr(s"start_off DIV $SeqLen"))
+        // packing stays bucket-count-invariant either way. The prefix
+        // sum itself lives in [[packAssign]] (shared with the pipeline
+        // entry); with this single constant split it reduces exactly to
+        // the original single-stream packing.
+        val docs = Tables.documents(s, dir)
+          .withColumn("toks", expr(toksE))
+          .select(lit("all").as("split"),
+            $"doc_id", size($"toks").cast("long").as("n_tokens"))
+        packAssign(s, docs)
           .groupBy($"chunk_id")
           .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
             min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
