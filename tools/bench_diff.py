@@ -28,6 +28,18 @@ i.e. the query's cost in units of "calibration probes" on each host.
 When either side lacks calib_sec (rounds before r13), the tool falls
 back to raw ratios and says so.
 
+`--bands bands.json` supplies per-query variance bands recorded from
+≥3 same-code runs: {"calib_sec": anchor, "bands": {name: [lo, hi]}}
+in raw seconds at the anchor host speed. For a banded query the
+ratio rules are REPLACED by the band: the NEW time is rescaled to the
+anchor (new_sec * anchor_calib / new_calib, raw when either calib is
+missing) and flagged REGRESSION only above `hi`, IMPROVED only below
+`lo`, never flagged inside the band — so a known oscillator whose
+trough→crest ratio trips the 1.2× rule stops re-flagging every round,
+while a move beyond its recorded envelope still fires. The band file
+is maintained in-repo (bands.json) next to the PLANS.md series it is
+derived from.
+
 A ≥`--min-sec` (default 1.0 s on either side) entry is flagged
 REGRESSION only when BOTH drift opinions agree it moved: its
 calib-normalized ratio exceeds `--threshold` (default 1.2×) AND its
@@ -165,9 +177,21 @@ def main():
     ap.add_argument("--min-board", type=int, default=8,
                     help="below this many common queries the vs-median "
                          "criterion is disabled (median too noisy; default 8)")
+    ap.add_argument("--bands", default=None,
+                    help="per-query variance band file: {'calib_sec': anchor, "
+                         "'bands': {name: [lo, hi]}} in raw seconds at the "
+                         "anchor host speed; banded queries flag only outside "
+                         "their band")
     ap.add_argument("--fail-on-regression", action="store_true",
                     help="exit 1 if any entry is flagged REGRESSION")
     args = ap.parse_args()
+
+    bands, band_calib = {}, None
+    if args.bands:
+        with open(args.bands) as f:
+            bf = json.load(f)
+        bands = {k: (float(v[0]), float(v[1])) for k, v in bf["bands"].items()}
+        band_calib = bf.get("calib_sec")
 
     old_q, old_c, old_m = load_bench(args.old)
     new_q, new_c, new_m = load_bench(args.new)
@@ -229,12 +253,29 @@ def main():
         print(f"board too small for the vs-median criterion "
               f"({len(finite)} < {args.min_board}): flagging on calib-norm alone")
 
+    if bands:
+        print(f"bands: {len(bands)} banded queries from {args.bands} "
+              f"(anchor calib {band_calib}); banded entries flag only "
+              f"outside their [lo, hi]")
+
     rows = []
     for name, o, n, raw, norm in pre:
         vs_med = raw / med_ratio if med_ratio == med_ratio and med_ratio > 0 \
             else float("nan")
         eligible = max(o, n) >= args.min_sec
-        if eligible and norm > args.threshold and \
+        if name in bands:
+            # band rule replaces the ratio rules: rescale NEW to the
+            # anchor host speed and compare against the recorded envelope
+            lo, hi = bands[name]
+            scaled = n * (band_calib / new_c) \
+                if band_calib is not None and new_c else n
+            if eligible and scaled > hi:
+                flag = f"REGRESSION(>band {lo:.2f}-{hi:.2f}@{scaled:.2f})"
+            elif eligible and scaled < lo:
+                flag = f"IMPROVED(<band {lo:.2f}-{hi:.2f}@{scaled:.2f})"
+            else:
+                flag = f"in-band({lo:.2f}-{hi:.2f}@{scaled:.2f})"
+        elif eligible and norm > args.threshold and \
                 (not use_median or vs_med > args.median_threshold):
             flag = "REGRESSION"
         elif eligible and norm < 1.0 / args.threshold:
@@ -261,8 +302,8 @@ def main():
     print("-" * len(hdr))
     print(f"{'TOTAL (common)':<28}{tot_o:>9.3f}{tot_n:>9.3f}{raw_t:>7.2f}{norm_t:>7.2f}")
 
-    regs = [r for r in rows if r[6] == "REGRESSION"]
-    imps = [r for r in rows if r[6] == "IMPROVED"]
+    regs = [r for r in rows if r[6].startswith("REGRESSION")]
+    imps = [r for r in rows if r[6].startswith("IMPROVED")]
     rule = (f"norm > {args.threshold}x AND vs-median > {args.median_threshold}x"
             if use_median else f"norm > {args.threshold}x [median disabled]")
     print()

@@ -183,6 +183,52 @@ def main():
     assert "REGRESSION bad" in p.stdout, p.stdout
     assert "vs-median 2.00x" in p.stdout, p.stdout
 
+    # 7. --bands: the band rule REPLACES the ratio rules for banded
+    #    queries. A banded oscillator at its crest (norm 1.4x — the old
+    #    rule would flag) whose rescaled NEW time sits inside [lo, hi]
+    #    must NOT flag; the same query beyond hi must flag REGRESSION;
+    #    below lo must report IMPROVED; unbanded queries keep the ratio
+    #    rules untouched. Band units rescale by anchor/new calib: run at
+    #    calib 0.2 vs anchor 0.1 means raw seconds halve in band units.
+    def with_bands(old, new, bands, *args):
+        with tempfile.NamedTemporaryFile("w", suffix=".json",
+                                         delete=False) as fb:
+            json.dump(bands, fb)
+            fb.flush()
+            p = run(old, new, "--bands", fb.name, *args)
+        os.unlink(fb.name)
+        return p
+
+    bandfile = {"calib_sec": 0.1, "bands": {"osc": [1.2, 1.7]}}
+    wide = {"b": 1.5, "c": 1.2, "d": 3.0, "e": 0.4, "f": 1.1,
+            "g": 1.8, "h": 2.2, "i": 1.4, "j": 2.0}
+    # crest: 1.25 -> 1.65, norm 1.32x — ratio rule would flag; in band -> no flag
+    p = with_bands(bench(dict(wide, osc=1.25), calib=0.1),
+                   bench(dict(wide, osc=1.65), calib=0.1),
+                   bandfile, "--fail-on-regression")
+    assert p.returncode == 0, "in-band oscillator crest must not flag:\n" + p.stdout
+    assert "in-band(1.20-1.70@1.65)" in p.stdout, p.stdout
+    assert "0 regression(s)" in p.stdout, p.stdout
+    # beyond the envelope: 1.25 -> 1.85 > hi -> REGRESSION
+    p = with_bands(bench(dict(wide, osc=1.25), calib=0.1),
+                   bench(dict(wide, osc=1.85), calib=0.1),
+                   bandfile, "--fail-on-regression")
+    assert p.returncode == 1, "beyond-band move must flag:\n" + p.stdout
+    assert "REGRESSION(>band 1.20-1.70@1.85)" in p.stdout, p.stdout
+    # below lo -> IMPROVED; and an unbanded genuine regression still flags
+    p = with_bands(bench(dict(wide, osc=1.60, j=2.0), calib=0.1),
+                   bench(dict(wide, osc=0.9, j=4.0), calib=0.1),
+                   bandfile)
+    assert "IMPROVED(<band 1.20-1.70@0.90)" in p.stdout, p.stdout
+    assert "REGRESSION j" in p.stdout, \
+        "unbanded ratio rule must survive --bands:\n" + p.stdout
+    # calib rescale: new host 2x slower (calib 0.2 vs anchor 0.1) — raw
+    # 3.0s is 1.5 in anchor units, inside the band -> no flag
+    p = with_bands(bench(dict(wide, osc=1.4), calib=0.1),
+                   bench(dict(wide, osc=3.0), calib=0.2),
+                   bandfile, "--fail-on-regression")
+    assert "in-band(1.20-1.70@1.50)" in p.stdout, p.stdout
+
     # 6. Errored queries (-1 sec) are excluded from comparison.
     p = run(bench({"a": 1.0, "dead": -1.0}, calib=0.1),
             bench({"a": 1.0, "dead": 2.0}, calib=0.1))
