@@ -233,7 +233,7 @@ object Cluster {
   private def graph(s: SparkSession, dir: String): (DataFrame, DataFrame) = {
     import s.implicits._
     val pairs = Dedup.minhashPairs(s, dir)
-      .select($"a_id".as("src"), $"b_id".as("dst"))
+      .select($"a_id".as("src"), $"b_id".as("dst"), $"jaccard")
       .localCheckpoint()
     val nodes = Tables.documents(s, dir).select($"doc_id".as("id"))
     (nodes, pairs)
@@ -241,11 +241,22 @@ object Cluster {
 
   /** Batch cluster assignment (doc_id, cluster_id) with the default
     * algorithm — the frame downstream consumers (keeper election, the
-    * end-to-end corpus pipeline) join against. */
-  private[ext] def assignFrame(s: SparkSession, dir: String): DataFrame = {
+    * end-to-end corpus pipeline) join against. `minJaccard` restricts
+    * the edge set to pairs at or above the threshold: the pair FAMILY
+    * keeps its high-recall ≥0.01 cut (analysis surface), but a
+    * DELETION decision must cluster on genuine near-dups only — the
+    * corpus's pair-similarity distribution is bimodal (background
+    * transitive glue ≤ ~0.05, template near-dups ≥ ~0.96; measured at
+    * sf0.01 AND sf0.1, PLANS round 18), and at the ≥0.01 cut the sf0.1
+    * graph collapses to 7 giant components, which would "dedup" 5,000
+    * documents down to 7. Any threshold inside the gap yields the same
+    * clusters; [[Pipe.DedupTau]] = 0.5 is the conventional mid-gap
+    * choice. */
+  private[graft] def assignFrame(s: SparkSession, dir: String,
+      minJaccard: Double = 0.0): DataFrame = {
     import s.implicits._
     val (nodes, pairs) = graph(s, dir)
-    connectedComponents(nodes, pairs)
+    connectedComponents(nodes, pairs.filter($"jaccard" >= minJaccard))
       .select($"id".as("doc_id"), $"comp".as("cluster_id"))
   }
 
@@ -265,16 +276,19 @@ object Cluster {
 
   /** Component CTE chain ending in `comp(doc_id, cluster_id)` — the
     * independent recursive-CTE reachable-minimum fixpoint over the
-    * shared pair CTEs; prefixed by `WITH RECURSIVE` at each use site.
+    * shared pair CTEs, with the same `minJaccard` edge cut as
+    * [[assignFrame]]; prefixed by `WITH RECURSIVE` at each use site.
     * Shared by every cluster-family oracle (and [[Pipe]]'s). */
-  private[ext] val compCtes: String = s"""${Dedup.minhashPairsCtes},
-        sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
-                UNION ALL SELECT b_id, a_id FROM pairs),
+  private[graft] def compCtesAt(minJaccard: Double): String = s"""${Dedup.minhashPairsCtes},
+        sym AS (SELECT a_id AS src, b_id AS dst FROM pairs WHERE jaccard >= $minJaccard
+                UNION ALL SELECT b_id, a_id FROM pairs WHERE jaccard >= $minJaccard),
         reach(id, r) AS (
           SELECT doc_id, doc_id FROM documents
           UNION
           SELECT s.dst, r.r FROM reach r JOIN sym s ON s.src = r.id),
         comp AS (SELECT id AS doc_id, min(r) AS cluster_id FROM reach GROUP BY 1)"""
+
+  private[ext] val compCtes: String = compCtesAt(0.0)
 
   /** Shared DuckDB twin of both batch cluster entries. */
   private val clustersOracle: String = s"""

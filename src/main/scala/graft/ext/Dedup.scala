@@ -114,17 +114,60 @@ object Dedup {
     val cand = l.join(r, Seq("band", "h"))
       .filter($"a_id" < $"b_id")
       .select($"a_id", $"b_id").distinct()
-    val cnt = sigs.select($"doc_id", $"n")
-    val shA = sh.select($"doc_id".as("a_id"), $"sh")
-    val shB = sh.select($"doc_id".as("b_id"), $"sh")
+    jaccardVerify(cand, sigs, sh)
+  }
+
+  /** The exact-Jaccard verification stage of [[minhashPairs]], shared
+    * with [[minhashPairsDelta]] so "verified near-dup pair" has one
+    * definition whatever candidate generator fed it: shingle
+    * intersection per candidate, |A∩B| / (|A| + |B| − |A∩B|) rounded
+    * to 4 places, kept at ≥ 0.01. */
+  private def jaccardVerify(cand: DataFrame, sigs: DataFrame, sh: DataFrame): DataFrame = {
+    val cnt = sigs.select(col("doc_id"), col("n"))
+    val shA = sh.select(col("doc_id").as("a_id"), col("sh"))
+    val shB = sh.select(col("doc_id").as("b_id"), col("sh"))
     val inter = cand.join(shA, "a_id").join(shB, Seq("b_id", "sh"))
-      .groupBy($"a_id", $"b_id").agg(count(lit(1)).as("inter"))
+      .groupBy(col("a_id"), col("b_id")).agg(count(lit(1)).as("inter"))
     inter
-      .join(cnt.select($"doc_id".as("a_id"), $"n".as("na")), "a_id")
-      .join(cnt.select($"doc_id".as("b_id"), $"n".as("nb")), "b_id")
-      .select($"a_id", $"b_id",
-        round($"inter".cast("double") / ($"na" + $"nb" - $"inter"), 4).as("jaccard"))
-      .filter($"jaccard" >= 0.01)
+      .join(cnt.select(col("doc_id").as("a_id"), col("n").as("na")), "a_id")
+      .join(cnt.select(col("doc_id").as("b_id"), col("n").as("nb")), "b_id")
+      .select(col("a_id"), col("b_id"),
+        round(col("inter").cast("double") / (col("na") + col("nb") - col("inter")), 4).as("jaccard"))
+      .filter(col("jaccard") >= 0.01)
+  }
+
+  /** DELTA pair generation — the incremental sibling of
+    * [[minhashPairs]]: all verified near-dup pairs touching at least
+    * one NEW document (per `isNew` over doc_id), found by probing the
+    * new docs' bands against the FULL band table instead of
+    * self-joining it. Produces exactly `minhashPairs ∩ (≥1 new
+    * endpoint)`: any band collision involving a new doc has that doc's
+    * row in the probe side, and the verify stage is [[jaccardVerify]],
+    * shared verbatim.
+    *
+    * Scale (100 TB lens): on a grown corpus the old bands are a
+    * PERSISTED index (8 rows/doc — the signature table a deployment
+    * maintains alongside the corpus, same discipline as the persisted
+    * cluster assignment consumed by `Cluster.assignIncremental`); the
+    * probe side is |delta|-proportional, so the band join shuffles the
+    * DELTA, not the corpus, and the shingle-verify joins touch only
+    * candidate docs. In-query both sides recompute from parquet (entry
+    * convention — no hidden state), which still never materializes an
+    * all-pairs or old-old candidate. */
+  def minhashPairsDelta(s: SparkSession, dir: String,
+      isNew: Column => Column): DataFrame = {
+    import s.implicits._
+    val sh = shingles(s, dir)
+    val sigs = minhashSigs(s, dir)
+    val bands = bandsOf(sigs)
+    val probe = bands.filter(isNew($"doc_id"))
+      .select($"doc_id".as("n_id"), $"band", $"h")
+    val cand = probe.join(bands, Seq("band", "h"))
+      .filter($"n_id" =!= $"doc_id")
+      .select(least($"n_id", $"doc_id").as("a_id"),
+        greatest($"n_id", $"doc_id").as("b_id"))
+      .distinct()
+    jaccardVerify(cand, sigs, sh)
   }
 
   /** DuckDB twin of [[minhashPairs]] as a CTE chain ending in
@@ -180,6 +223,24 @@ object Dedup {
         WITH $minhashPairsCtes
         SELECT a_id, b_id, jaccard FROM pairs"""),
       doc = "MinHash+LSH near-dedup: band-bucket candidates + Jaccard verify"),
+
+    // ---- the incremental pair path over the same 70/30 id-split as
+    // `dedup_clusters_incremental` (old = doc_id%10<7): the delta's
+    // verified near-dup edges, generated by probing new-doc bands
+    // against the full band table — never a corpus self-join. The
+    // oracle is the FULL pair set filtered to ≥1 new endpoint, so the
+    // gate proves probe-generation ≡ self-join-then-filter. Together
+    // with the cluster entry this is the complete incremental loop a
+    // growing corpus runs: delta pairs → frontier assignment.
+    // doc_id >= 0 (corpus invariant) makes Spark pmod ≡ DuckDB %.
+    "dedup_pairs_incremental" -> QueryDef(
+      build = (s, dir) =>
+        minhashPairsDelta(s, dir, c => pmod(c, lit(10)) >= 7),
+      oracle = Some(s"""
+        WITH $minhashPairsCtes
+        SELECT a_id, b_id, jaccard FROM pairs
+        WHERE a_id % 10 >= 7 OR b_id % 10 >= 7"""),
+      doc = "incremental near-dup pairs: new-doc bands probe the persisted band index — delta-proportional candidate generation, same Jaccard verify as dedup_minhash_lsh"),
 
     // ---- n-gram Jaccard: block on the single global min-shingle hash
     // (1-minhash blocking), rank the top-20 most similar pairs.

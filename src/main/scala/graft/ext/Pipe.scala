@@ -9,8 +9,8 @@ import org.apache.spark.sql.functions._
   *
   *   quality gate (txt_gopher_gate) →
   *   benchmark decontamination (txt_decontaminate) →
-  *   near-dup cluster keeper election (dedup clusters × txt_quality_score,
-  *     elected among the stage's SURVIVORS) →
+  *   near-dup cluster keeper election (dedup clusters at [[DedupTau]] ×
+  *     txt_quality_score, elected among the stage's SURVIVORS) →
   *   stratified mixing (txt_sample_stratified) →
   *   deterministic split assignment (txt_hash_split's shared splitCol) →
   *   sequence packing (txt_pack_chunks' shared packAssign, per split).
@@ -43,6 +43,17 @@ import org.apache.spark.sql.functions._
   */
 object Pipe {
 
+  /** Jaccard threshold for the pipeline's DELETION decision. The pair
+    * family's ≥0.01 cut is the high-recall ANALYSIS surface; deleting
+    * on its transitive closure would collapse the corpus (at sf0.1 the
+    * ≥0.01 graph is 7 giant components over 5,000 docs — measured,
+    * PLANS round 18). The corpus pair-similarity distribution is
+    * bimodal — background glue ≤ ~0.05, template near-dups ≥ ~0.96 at
+    * both sf0.01 and sf0.1 — so any mid-gap threshold yields identical
+    * clusters; 0.5 is the conventional choice. Same
+    * fitted-to-the-signal practice as txt_gopher_gate / dedup_semantic. */
+  val DedupTau = 0.5
+
   val defs: Map[String, QueryDef] = Map(
     "pipe_corpus_end2end" -> QueryDef(
       build = (s, dir) => {
@@ -57,7 +68,7 @@ object Pipe {
         val w = Window.partitionBy($"cluster_id")
           .orderBy($"quality".desc, $"doc_id".asc)
         val keepers = gate.join(decon, "doc_id")
-          .join(Cluster.assignFrame(s, dir), "doc_id")
+          .join(Cluster.assignFrame(s, dir, DedupTau), "doc_id")
           .join(qual, "doc_id")
           .withColumn("rk", row_number().over(w))
           .filter($"rk" === 1).select($"doc_id")
@@ -77,7 +88,7 @@ object Pipe {
             min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
       },
       oracle = Some(s"""
-        WITH RECURSIVE ${Cluster.compCtes},
+        WITH RECURSIVE ${Cluster.compCtesAt(DedupTau)},
         pt AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS tk
                FROM documents),
         -- stage 1: Gopher-style keep gate (txt_gopher_gate twin)

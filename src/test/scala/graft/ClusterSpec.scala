@@ -175,6 +175,24 @@ class ClusterSpec extends AnyFunSuite {
     }
   }
 
+  test("incremental pair generation composes: delta == full pair set minus old-old") {
+    // the probe-join delta generator must produce EXACTLY the pairs a
+    // full self-join would attribute to the new docs — no candidate
+    // lost to the probe restriction, none fabricated by the two-sided
+    // band orientation (both-new collisions arrive twice pre-distinct)
+    import org.apache.spark.sql.functions.{lit, pmod}
+    val sf = "/root/testdata/sf0.001"
+    def key(r: org.apache.spark.sql.Row) =
+      (r.getLong(0), r.getLong(1), r.getDouble(2))
+    val full = graft.ext.Dedup.minhashPairs(spark, sf).collect().map(key).toSet
+    val delta = graft.ext.Dedup.minhashPairsDelta(spark, sf,
+      c => pmod(c, lit(10)) >= 7).collect().map(key).toSet
+    val oldOld = full.filter { case (a, b, _) => a % 10 < 7 && b % 10 < 7 }
+    assert(delta == (full -- oldOld), "delta pairs must be full minus old-old")
+    assert(delta.exists { case (a, b, _) => a % 10 >= 7 && b % 10 >= 7 },
+      "fixture must exercise both-new collisions (the double-orientation case)")
+  }
+
   for (entry <- Seq("dedup_clusters", "dedup_clusters_logrounds"))
   test(s"$entry: keeper per cluster, sizes sum to corpus, pair endpoints co-clustered") {
     val sf = "/root/testdata/sf0.001"

@@ -36,12 +36,12 @@ class PipeSpec extends AnyFunSuite {
       .filter(!$"contaminated").select($"doc_id")
     val mix = graft.ext.Corpus.defs("txt_sample_stratified").build(spark, sf)
       .select($"doc_id")
-    // cluster assignment via the registered keeper entry (same
-    // assignFrame the pipeline joins); its keep column is the
-    // corpus-wide election — the pipeline's is survivor-scoped, so the
-    // election is re-derived below over the survivor frame
-    val clusters = SparkEntry.queries("dedup_keeper_quality")(spark, sf)
-      .select($"doc_id", $"cluster_id")
+    // cluster assignment at the pipeline's deletion threshold (the
+    // keeper ENTRY elects corpus-wide over the full ≥0.01 graph; the
+    // pipeline clusters at DedupTau and elects among survivors — both
+    // re-derived here)
+    val clusters = graft.ext.Cluster.assignFrame(spark, sf,
+      graft.ext.Pipe.DedupTau)
     val surv = gate.join(decon, "doc_id")
     val toks = Tables.documents(spark, sf)
       .withColumn("n", size(expr(graft.ext.TextExpr.toksE)).cast("long"))
