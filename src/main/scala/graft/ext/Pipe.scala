@@ -59,8 +59,19 @@ object Pipe {
       build = (s, dir) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
+        // localCheckpoint BEFORE filtering on the gate's computed
+        // column: pushing the `keep` predicate through the gate's
+        // projection inlines the tokenizer alias into the lambda
+        // bodies, so `toks[i]` re-runs split(trim(text)) PER ELEMENT —
+        // O(tokens²) re-tokenization per doc — and the lambda-bearing
+        // predicate is CodegenFallback with no subexpression
+        // elimination (measured at sf0.1: 22.9 s pushed vs 1.3 s
+        // materialized-then-filtered; CollapseProject's duplication
+        // guard protects the standalone entry, predicate pushdown has
+        // no such guard — PLANS round 18). The barrier is |docs| rows
+        // × 3 columns; a deployment materializes stage outputs anyway.
         val gate = TextStats.defs("txt_gopher_gate").build(s, dir)
-          .filter($"keep").select($"doc_id")
+          .localCheckpoint().filter($"keep").select($"doc_id")
         val decon = TextStats.defs("txt_decontaminate").build(s, dir)
           .filter(!$"contaminated").select($"doc_id")
         val qual = TextStats.defs("txt_quality_score").build(s, dir)

@@ -188,6 +188,30 @@ object ScaleSmoke {
         val (sec, rows) = timeCount(q, dir)
         println(f"""{"decade":"$q","scale":$k,"sec":$sec%.2f,"rows":$rows,"cand_pairs":$cand,"cand_sec":$csec%.2f,"expect":"~K candidates"}""")
       }
+      // incremental delta pairs (dedup_pairs_incremental): candidate
+      // generation probes NEW-doc bands (30 % of docs at the %10>=7
+      // split) against the full band table instead of self-joining it,
+      // so the candidate set and the verify scope carry only pairs
+      // touching the delta (~1-0.7^2 = 51 % of pair mass here). The
+      // in-query sig/band stage is still corpus-wide — a deployment
+      // reads the PERSISTED signature index instead (the honest split
+      // of the claim; see Dedup.minhashPairsDelta scaladoc) — so wall
+      // lands between the delta share and the full run, while
+      // cand_pairs must track the delta share exactly.
+      {
+        val (dcsec, dcand) = timed {
+          val bands = Dedup.minhashBands(spark, dir)
+          val l = bands.filter(pmod(col("doc_id"), lit(10)) >= 7)
+            .select(col("doc_id").as("a_id"), col("band"), col("h"))
+          val r = bands.select(col("doc_id").as("b_id"), col("band"), col("h"))
+          l.join(r, Seq("band", "h")).filter(col("a_id") =!= col("b_id"))
+            .select(least(col("a_id"), col("b_id")).as("x"),
+              greatest(col("a_id"), col("b_id")).as("y"))
+            .distinct().count()
+        }
+        val (dsec, drows) = timeCount("dedup_pairs_incremental", dir)
+        println(f"""{"decade":"dedup_pairs_incremental","scale":$k,"sec":$dsec%.2f,"rows":$drows,"cand_pairs":$dcand,"cand_sec":$dcsec%.2f,"expect":"~K rows at the delta share; wall <= full pair gen"}""")
+      }
       // fixed 8 planes: candidates ~K^2/256 by construction (the
       // honest record that fixed bits do NOT scale)...
       val (c8sec, cand8) = timed(bucketCandidates(Similarity.hyperplaneBuckets(spark, dir, 8)))
