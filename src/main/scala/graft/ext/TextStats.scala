@@ -466,6 +466,62 @@ object TextStats {
         SELECT doc_id, term AS top_term, round(score, 6) AS tfidf
         FROM scored
         QUALIFY row_number() OVER (PARTITION BY doc_id ORDER BY score DESC, term ASC) = 1"""),
-      doc = "corpus TF-IDF: global df table joined back per doc, top distinctive term per doc (log-free monotone idf for cross-engine determinism)")
+      doc = "corpus TF-IDF: global df table joined back per doc, top distinctive term per doc (log-free monotone idf for cross-engine determinism)"),
+
+    // bigram-LM fluency scoring (the CCNet/Wenzek et al. 2020 practice:
+    // rank documents by language-model perplexity; here the LM is the
+    // corpus's own bigram MLE — self-trained, the in-query variant; a
+    // deployment scores against a FIXED reference-corpus LM, which
+    // broadcasts and makes this scan shuffle-free). Plan shape: one
+    // shuffle builds the bigram count table, its regroup yields the
+    // prefix counts, and the (w1, w2) join back to per-doc positions is
+    // the vocab-partitioned shuffle (the tfidf shape, keyed two-deep).
+    // Determinism: P(w2|w1) = c2/c1 rides PURE INTEGER fixed-point —
+    // fp = (c2 * 1e9) DIV c1 — so no float exists until the final
+    // per-doc render; sums of fp are exact longs (c2 ≤ 9.2e9 before
+    // the scale must drop — a 100 TB deployment lifts the sum to
+    // DECIMAL(38) or scales at 1e6). Low avg_p / min_p mark disfluent
+    // docs (the drop signal); DuckDB `//` floors and Spark DIV
+    // truncates, identical on the non-negative operands here.
+    "txt_lm_score" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).withColumn("toks", expr(toksE))
+        val bb = docs.select($"doc_id", explode(expr(
+          "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks)-2), " +
+            "i -> struct(toks[i] AS w1, toks[i+1] AS w2)) ELSE array() END")).as("b"))
+          .select($"doc_id", $"b.w1", $"b.w2")
+        val c2 = bb.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+        val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
+        val pd = bb.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
+          .withColumn("fp", expr("(c2 * 1000000000) DIV c1"))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"), sum($"fp").as("sfp"),
+            min($"fp").as("min_fp"))
+        docs.select($"doc_id").join(pd, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+            round(coalesce($"sfp".cast("double") / ($"n_bigrams" * lit(1e9)), lit(0.0)), 6).as("avg_p"),
+            round(coalesce($"min_fp".cast("double") / lit(1e9), lit(0.0)), 6).as("min_p"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        bb AS (SELECT doc_id,
+                      unnest(list_transform(generate_series(1, len(tk)-1),
+                        i -> {'w1': tk[i], 'w2': tk[i+1]}), recursive := true)
+               FROM t WHERE len(tk) >= 2),
+        cb AS (SELECT w1, w2, count(*) AS c2 FROM bb GROUP BY 1, 2),
+        cp AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM cb GROUP BY 1),
+        sc AS (SELECT doc_id, (cb.c2 * 1000000000) // cp.c1 AS fp
+               FROM bb JOIN cb USING (w1, w2) JOIN cp USING (w1)),
+        pd AS (SELECT doc_id, count(*) AS n_bigrams,
+                      CAST(sum(fp) AS BIGINT) AS sfp, min(fp) AS min_fp
+               FROM sc GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(pd.n_bigrams, 0) AS n_bigrams,
+               round(coalesce(CAST(pd.sfp AS DOUBLE) / (pd.n_bigrams * 1000000000.0), 0.0), 6) AS avg_p,
+               round(coalesce(CAST(pd.min_fp AS DOUBLE) / 1000000000.0, 0.0), 6) AS min_p
+        FROM documents d LEFT JOIN pd USING (doc_id)"""),
+      doc = "bigram-LM fluency score (CCNet-style): corpus-MLE conditional probabilities on pure-integer fixed-point, per-doc average and minimum — low scores mark disfluent documents")
   )
 }
