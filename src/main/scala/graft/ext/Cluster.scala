@@ -121,22 +121,31 @@ object Cluster {
           .union(m.select(col("u").as("x"), col("m").as("y"))))
     }
 
-    /** convergence fingerprint: (|E|, order-independent checksum) in ONE
-      * agg pass over the canonical edge set. The old test was two
-      * `exceptAll` passes per round — each a full distinct-shuffle over
-      * 2|E| rows, i.e. two extra shuffles per round just to ask "same
-      * set?". Equal sets always fingerprint equal; a false "stable" needs
-      * a sum-of-xxhash64 collision between consecutive rounds' DIFFERENT
-      * sets (~2⁻⁶⁴, and the per-round DuckDB oracle hash gate re-checks
-      * the RESULT, so a collision cannot ship a wrong assignment
-      * silently). A cycle that never converges still exhausts maxRounds
-      * exactly as before (both tests only compare consecutive rounds). */
-    def fingerprint(df: DataFrame): (Long, BigDecimal) = {
+    /** convergence fingerprint: (|E|, order-independent checksum, min
+      * hash, max hash) in ONE agg pass over the canonical edge set. The
+      * old test was two `exceptAll` passes per round — each a full
+      * distinct-shuffle over 2|E| rows, i.e. two extra shuffles per
+      * round just to ask "same set?". Equal sets always fingerprint
+      * equal; a false "stable" now needs consecutive DIFFERENT edge
+      * sets to collide on count AND the sum-of-xxhash64 AND both order
+      * statistics of the per-edge hashes simultaneously — the min/max
+      * components are not linear in the element multiset, so the
+      * algebraic trick that fools a sum (two edge swaps canceling)
+      * cannot fool them; an adversarial-or-unlucky collision needs all
+      * four at once (r18 ADVICE hardening; the per-round DuckDB oracle
+      * gate additionally re-checks the RESULT). A cycle that never
+      * converges still exhausts maxRounds exactly as before (both tests
+      * only compare consecutive rounds). */
+    def fingerprint(df: DataFrame): (Long, BigDecimal, Long, Long) = {
       // the hash sum rides DECIMAL(38,0): exact, order-independent, and
       // immune to the ANSI long-overflow a plain sum(xxhash64) hits
       val r = df.agg(count(lit(1)),
-        sum(expr("xxhash64(a, b)").cast("decimal(38,0)"))).head()
-      (r.getLong(0), if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)))
+        sum(expr("xxhash64(a, b)").cast("decimal(38,0)")),
+        min(expr("xxhash64(a, b)")), max(expr("xxhash64(a, b)"))).head()
+      (r.getLong(0),
+        if (r.isNullAt(1)) BigDecimal(0) else BigDecimal(r.getDecimal(1)),
+        if (r.isNullAt(2)) 0L else r.getLong(2),
+        if (r.isNullAt(3)) 0L else r.getLong(3))
     }
 
     var e = canonical(edges.select(col("src").as("x"), col("dst").as("y")))
@@ -377,9 +386,16 @@ object Cluster {
     // and elects max-by(quality, tie → min doc_id). The ordering key is
     // the ROUNDED quality — the exact column txt_quality_score already
     // hash-gates as engine-identical — so cross-engine ULP noise cannot
-    // flip the election. One extra shuffle over (doc_id, quality) plus
-    // a per-cluster window; cluster sizes are near-dup-bounded, so the
-    // window partition never degenerates at scale.
+    // flip the election. Scope: this is the CORPUS-WIDE ANALYSIS
+    // variant, electing over the full high-recall ≥0.01 graph — whose
+    // transitive-glue components are GIANT (7 components over 5,000
+    // docs at sf0.1, PLANS r18), so its window partitions scale with
+    // corpus size, not near-dup cluster size; at 100 TB this entry's
+    // shape is a skew hazard and the row_number window would ride a
+    // salted two-phase election. The DELETION-grade election a
+    // production pipeline runs is `pipe_corpus_end2end`'s: clustered at
+    // Pipe.DedupTau (bounded near-dup cells) and scoped to gate
+    // survivors — that composed entry does NOT consume this one.
     "dedup_keeper_quality" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
@@ -407,6 +423,6 @@ object Cluster {
                row_number() OVER (PARTITION BY c.cluster_id
                                   ORDER BY q.quality DESC, c.doc_id ASC) = 1 AS keep
         FROM comp c JOIN q USING (doc_id)"""),
-      doc = "quality-aware keeper election: per cluster keep the max-quality member (tie -> min doc_id) — the keeper column consumed by the corpus pipeline")
+      doc = "quality-aware keeper election: per cluster keep the max-quality member (tie -> min doc_id) — corpus-wide analysis variant over the full >=0.01 graph; the deletion-grade survivor-scoped election at DedupTau lives in pipe_corpus_end2end")
   )
 }

@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.{QueryDef, Tables}
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** The end-to-end corpus pipeline — every stage of the cleaned-corpus →
@@ -54,24 +55,27 @@ object Pipe {
     * fitted-to-the-signal practice as txt_gopher_gate / dedup_semantic. */
   val DedupTau = 0.5
 
-  val defs: Map[String, QueryDef] = Map(
-    "pipe_corpus_end2end" -> QueryDef(
-      build = (s, dir) => {
+  /** The composed-pipeline body, parameterized by the r18 gate barrier
+    * so PipeProbe can time both shapes on identical code. With the
+    * lambda-chain gate, pushing the `keep` predicate through the gate's
+    * projection inlined the tokenizer alias into the lambda bodies —
+    * O(tokens²) re-tokenization per doc, measured 22.9 s pushed vs
+    * 1.3 s materialized-then-filtered at sf0.1 (PLANS round 18 §8) —
+    * so the entry carried a localCheckpoint barrier. The r19 codegen
+    * `token_stats` gate removed the hazard's root: a pushed predicate
+    * now re-evaluates an O(tokens) expression (once per conjunct), so
+    * the barrier is OFF in the registered entry — measured at sf0.1
+    * via PipeProbe: no_barrier 7.98 s vs barrier 7.76 s (parity within
+    * host noise; the 17× cliff is gone — PLANS round 19). PipeSpec's
+    * plan-shape case pins the root cause closed: no HOF lambda chain
+    * may reappear inside the composed plan. */
+  private[graft] def pipeBuild(s: SparkSession, dir: String,
+      gateBarrier: Boolean): DataFrame = {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
-        // localCheckpoint BEFORE filtering on the gate's computed
-        // column: pushing the `keep` predicate through the gate's
-        // projection inlines the tokenizer alias into the lambda
-        // bodies, so `toks[i]` re-runs split(trim(text)) PER ELEMENT —
-        // O(tokens²) re-tokenization per doc — and the lambda-bearing
-        // predicate is CodegenFallback with no subexpression
-        // elimination (measured at sf0.1: 22.9 s pushed vs 1.3 s
-        // materialized-then-filtered; CollapseProject's duplication
-        // guard protects the standalone entry, predicate pushdown has
-        // no such guard — PLANS round 18). The barrier is |docs| rows
-        // × 3 columns; a deployment materializes stage outputs anyway.
-        val gate = TextStats.defs("txt_gopher_gate").build(s, dir)
-          .localCheckpoint().filter($"keep").select($"doc_id")
+        val gateRaw = TextStats.defs("txt_gopher_gate").build(s, dir)
+        val gate = (if (gateBarrier) gateRaw.localCheckpoint() else gateRaw)
+          .filter($"keep").select($"doc_id")
         val decon = TextStats.defs("txt_decontaminate").build(s, dir)
           .filter(!$"contaminated").select($"doc_id")
         val qual = TextStats.defs("txt_quality_score").build(s, dir)
@@ -97,7 +101,11 @@ object Pipe {
           .groupBy($"split", $"chunk_id")
           .agg(count(lit(1)).as("n_docs"), sum($"n_tokens").as("n_tokens"),
             min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
-      },
+  }
+
+  val defs: Map[String, QueryDef] = Map(
+    "pipe_corpus_end2end" -> QueryDef(
+      build = (s, dir) => pipeBuild(s, dir, gateBarrier = false),
       oracle = Some(s"""
         WITH RECURSIVE ${Cluster.compCtesAt(DedupTau)},
         pt AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS tk

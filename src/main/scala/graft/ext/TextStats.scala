@@ -16,21 +16,39 @@ import org.apache.spark.sql.functions._
 object TextStats {
   import TextExpr.toksE
 
+  /** The quality-family stopword vocabulary as a SQL array literal —
+    * the second argument of `token_stats` (and still spelled out inside
+    * the lambda-based entries that filter on it). */
+  private val stopArrE = "array('the','a','of','and','to','in','is','it')"
+
+  /** `token_stats(toks, stops)` over the tokenized text — ONE O(tokens)
+    * codegen pass (graft.functions.TokenStats) emitting every signal the
+    * quality/repetition family reads; the per-signal HOF lambda chains
+    * this replaces were the bench's CodegenFallback noise floor AND the
+    * O(tokens²) pushdown hazard (r18 VERDICT item 1). */
+  private def tokenStats(s: org.apache.spark.sql.SparkSession,
+      stops: String = "array()"): org.apache.spark.sql.Column = {
+    graft.functions.TokenStats.register(s)
+    expr(s"token_stats($toksE, $stops)")
+  }
+
   val defs: Map[String, QueryDef] = Map(
-    // token counting (whitespace tokenizer + distinct-type stats)
+    // token counting (whitespace tokenizer + distinct-type stats) — all
+    // counts from the one-pass token_stats struct; ratio operation
+    // order unchanged (sum/size as double ÷ int, exactly the values
+    // the lambda chain produced, so the oracle is untouched)
     "txt_token_stats" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
         Tables.documents(s, dir)
-          .withColumn("toks", expr(toksE))
+          .withColumn("st", tokenStats(s))
           .select(
             $"doc_id",
-            size($"toks").as("n_tokens"),
+            $"st.n_tokens".as("n_tokens"),
             length($"text").as("len_chars"),
-            size(array_distinct($"toks")).as("n_distinct"),
-            round(expr("aggregate(transform(toks, t -> length(t)), 0, (acc, x) -> acc + x)")
-              .cast("double") / size($"toks"), 4).as("avg_token_len"),
-            round(size(array_distinct($"toks")).cast("double") / size($"toks"), 4).as("ttr"))
+            $"st.n_distinct".as("n_distinct"),
+            round($"st.sum_len".cast("double") / $"st.n_tokens", 4).as("avg_token_len"),
+            round($"st.n_distinct".cast("double") / $"st.n_tokens", 4).as("ttr"))
       },
       oracle = Some("""
         WITH t AS (SELECT doc_id, text, string_split_regex(trim(text), '\s+') AS toks FROM documents)
@@ -92,13 +110,11 @@ object TextStats {
       build = (s, dir) => {
         import s.implicits._
         Tables.documents(s, dir)
-          .withColumn("toks", expr(toksE))
-          .withColumn("n_tokens", size($"toks"))
-          .withColumn("n_stop", size(expr(
-            "filter(toks, t -> t IN ('the','a','of','and','to','in','is','it'))")))
-          .withColumn("stop_ratio", $"n_stop".cast("double") / $"n_tokens")
+          .withColumn("st", tokenStats(s, stopArrE))
+          .withColumn("n_tokens", $"st.n_tokens")
+          .withColumn("stop_ratio", $"st.n_stop".cast("double") / $"n_tokens")
           .withColumn("rep_ratio",
-            lit(1.0) - size(array_distinct($"toks")).cast("double") / $"n_tokens")
+            lit(1.0) - $"st.n_distinct".cast("double") / $"n_tokens")
           .withColumn("len_score", least($"n_tokens".cast("double") / 200.0, lit(1.0)))
           .select($"doc_id", $"n_tokens",
             round($"stop_ratio", 4).as("stop_ratio"),
@@ -285,24 +301,19 @@ object TextStats {
     // 2021 §A1.1, adapted token-level for a single-line corpus): the
     // fraction of mass held by the most frequent token and by repeated
     // word-2-grams. High values mark boilerplate/spam for the drop
-    // set. Shuffle-free per-doc scan; the per-doc most-frequent-token
-    // search is O(types·tokens) inside one row — bounded by doc length,
-    // no cross-doc state.
+    // set. Shuffle-free per-doc scan; all three signals ride the ONE
+    // O(tokens) token_stats pass — no cross-doc state.
     "txt_repetition" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        val g2 = "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks)-2), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1])) ELSE array() END"
         Tables.documents(s, dir)
-          .withColumn("toks", expr(toksE))
-          .withColumn("g2", expr(g2))
+          .withColumn("st", tokenStats(s))
           .select(
             $"doc_id",
-            size($"toks").as("n_tokens"),
-            round(expr("array_max(transform(array_distinct(toks), w -> size(filter(toks, t -> t = w))))")
-              .cast("double") / size($"toks"), 4).as("top_tok_frac"),
-            when(size($"g2") > 0,
-              round((size($"g2") - size(array_distinct($"g2"))).cast("double") / size($"g2"), 4))
+            $"st.n_tokens".as("n_tokens"),
+            round($"st.top_cnt".cast("double") / $"st.n_tokens", 4).as("top_tok_frac"),
+            when($"st.n_2grams" > 0,
+              round($"st.n_dup2".cast("double") / $"st.n_2grams", 4))
               .otherwise(0.0).as("dup_2gram_frac"))
       },
       oracle = Some("""
@@ -379,17 +390,12 @@ object TextStats {
     "txt_gopher_gate" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        val g2 = "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks)-2), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1])) ELSE array() END"
         Tables.documents(s, dir)
-          .withColumn("toks", expr(toksE))
-          .withColumn("g2", expr(g2))
-          .withColumn("n_tokens", size($"toks"))
-          .withColumn("ttf",
-            expr("array_max(transform(array_distinct(toks), w -> size(filter(toks, t -> t = w))))")
-              .cast("double") / $"n_tokens")
-          .withColumn("d2", when(size($"g2") > 0,
-            (size($"g2") - size(array_distinct($"g2"))).cast("double") / size($"g2"))
+          .withColumn("st", tokenStats(s))
+          .withColumn("n_tokens", $"st.n_tokens")
+          .withColumn("ttf", $"st.top_cnt".cast("double") / $"n_tokens")
+          .withColumn("d2", when($"st.n_2grams" > 0,
+            $"st.n_dup2".cast("double") / $"st.n_2grams")
             .otherwise(0.0))
           .select($"doc_id",
             when($"n_tokens" < 20, lit("too_short"))

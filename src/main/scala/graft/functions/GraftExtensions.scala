@@ -38,6 +38,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         SimHash60(children.head)
       }))
     ext.injectFunction((
+      FunctionIdentifier("token_stats"),
+      new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
+      binary("token_stats", TokenStats.apply) _))
+    ext.injectFunction((
       FunctionIdentifier("nfd_normalize"),
       new ExpressionInfo(classOf[NfdNormalize].getName, "nfd_normalize"),
       { children: Seq[Expression] =>

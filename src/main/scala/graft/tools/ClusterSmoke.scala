@@ -33,6 +33,14 @@ import graft.ext.{Cluster, Dedup}
   */
 object ClusterSmoke {
 
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val all = scala.util.Using.resource(Files.walk(p))(
+        _.sorted(java.util.Comparator.reverseOrder()).iterator().asScala.toSeq)
+      all.foreach(Files.delete)
+    }
+
   def main(args: Array[String]): Unit = {
     val sf = sys.env.getOrElse("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "32")
@@ -103,6 +111,11 @@ object ClusterSmoke {
         grown(pairs0, k, Seq("a_id", "b_id"))
           .select(col("a_id").as("src"), col("b_id").as("dst"))
           .write.mode("overwrite").parquet(s"$kd/edges")
+        // the derived old-assignment cache (incremental series below) is
+        // a function of THESE fixtures: rebuilding them must invalidate
+        // it, or the incremental-equals-batch assert would compare the
+        // new graph against a stale persisted state (r18 ADVICE item 5)
+        deleteRecursively(Paths.get(s"$kd/oldasg"))
       }
       val nodes = spark.read.parquet(s"$kd/nodes")
       val edges = spark.read.parquet(s"$kd/edges")

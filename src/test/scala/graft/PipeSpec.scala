@@ -19,7 +19,19 @@ class PipeSpec extends AnyFunSuite {
     assert(out.nonEmpty, "pipeline must emit at least one chunk")
 
     // manifest shape: within each split, chunk ids are 0..max with no
-    // holes (a hole means a SeqLen span of the packed stream vanished)
+    // holes (a hole means a SeqLen span of the packed stream vanished).
+    // FIXTURE ASSUMPTION (guarded below): no packed document exceeds
+    // SeqLen tokens — a doc with n_tokens > SeqLen legitimately skips a
+    // chunk id (its start_off jumps more than one SeqLen window), so
+    // the contiguity assert is only meaningful when the guard holds.
+    val maxDocTokens = Tables.documents(spark, sf)
+      .select(max(size(expr(graft.ext.TextExpr.toksE))))
+      .collect()(0).getInt(0)
+    assert(maxDocTokens <= graft.ext.Corpus.SeqLen,
+      s"fixture drifted: a $maxDocTokens-token doc exceeds SeqLen " +
+        s"${graft.ext.Corpus.SeqLen}; the contiguity assert below would " +
+        "report legitimate holes as failures — re-derive the check " +
+        "against covered chunk ranges instead")
     out.groupBy(_.getString(0)).foreach { case (split, rows) =>
       val ids = rows.map(_.getLong(1)).sorted
       assert(ids.head == 0L && ids.last == ids.length - 1L,
@@ -65,5 +77,30 @@ class PipeSpec extends AnyFunSuite {
       s"chunk n_docs total $packedDocs != mixed survivor count $nDocs")
     assert(packedTokens == nTokens,
       s"chunk n_tokens total $packedTokens != mixed survivor tokens $nTokens")
+  }
+
+  test("composed plan carries no HOF lambda quality signals (the O(tokens²) pushdown hazard stays closed)") {
+    // The r18 gate barrier existed because the lambda-chain quality
+    // signals (array_max(transform(array_distinct(...)))) were
+    // CodegenFallback AND quadratic once a pushed predicate inlined the
+    // tokenizer alias per element. r19 replaced them with the one-pass
+    // codegen token_stats expression and removed the barrier (PipeProbe:
+    // 7.98 s vs 7.76 s at sf0.1 — the 17× cliff gone). This pins the
+    // fix structurally: if a refactor reintroduces a lambda-chain
+    // signal anywhere in the composed plan, the hazard is back and this
+    // fails — whatever the current barrier setting. (The pipe's own
+    // optimizedPlan can't be inspected end-to-end: its packing barrier
+    // is an EAGER localCheckpoint, so the upstream stages collapse to a
+    // LogicalRDD at build time. The hazard lived in exactly one frame —
+    // the keep-predicate pushed into the gate's projection — so that
+    // frame, as the composed pipeline builds it, is what's pinned.)
+    import spark.implicits._
+    val plan = graft.ext.TextStats.defs("txt_gopher_gate").build(spark, sf)
+      .filter($"keep").select($"doc_id")
+      .queryExecution.optimizedPlan.toString
+    assert(plan.contains("token_stats"),
+      "gate stage no longer routes quality signals through token_stats")
+    assert(!plan.contains("array_max(transform("),
+      "O(types·tokens) lambda top-token search reappeared in the pushed gate predicate")
   }
 }

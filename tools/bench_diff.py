@@ -265,16 +265,23 @@ def main():
         eligible = max(o, n) >= args.min_sec
         if name in bands:
             # band rule replaces the ratio rules: rescale NEW to the
-            # anchor host speed and compare against the recorded envelope
+            # anchor host speed and compare against the recorded envelope.
+            # The norm/vs-med ratios stay printed IN the flag for banded
+            # entries (r18 ADVICE): the band absorbs the flag decision,
+            # but any drift it absorbed must remain visible in the series
+            # — a banded query creeping toward its hi bound reads as
+            # "in-band(...) norm 1.3x", not as silence.
             lo, hi = bands[name]
             scaled = n * (band_calib / new_c) \
                 if band_calib is not None and new_c else n
+            ratios = f" norm {norm:.2f}x" + \
+                (f" vs-med {vs_med:.2f}x" if vs_med == vs_med else "")
             if eligible and scaled > hi:
-                flag = f"REGRESSION(>band {lo:.2f}-{hi:.2f}@{scaled:.2f})"
+                flag = f"REGRESSION(>band {lo:.2f}-{hi:.2f}@{scaled:.2f}){ratios}"
             elif eligible and scaled < lo:
-                flag = f"IMPROVED(<band {lo:.2f}-{hi:.2f}@{scaled:.2f})"
+                flag = f"IMPROVED(<band {lo:.2f}-{hi:.2f}@{scaled:.2f}){ratios}"
             else:
-                flag = f"in-band({lo:.2f}-{hi:.2f}@{scaled:.2f})"
+                flag = f"in-band({lo:.2f}-{hi:.2f}@{scaled:.2f}){ratios}"
         elif eligible and norm > args.threshold and \
                 (not use_median or vs_med > args.median_threshold):
             flag = "REGRESSION"
