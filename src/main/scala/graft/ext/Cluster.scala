@@ -1,8 +1,11 @@
 package graft.ext
 
 import graft.{QueryDef, Tables}
+import graft.etl.MergeWriter
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{IntegerType, LongType, StructField, StructType}
 
 /** Near-dup CLUSTER ASSIGNMENT — the step a training-data pipeline runs
   * after pair generation: fold the near-dup pair graph into connected
@@ -299,6 +302,121 @@ object Cluster {
 
   private[ext] val compCtes: String = compCtesAt(0.0)
 
+  /** CTE chain (appended after [[compCtes]]) deriving the INCREMENTAL
+    * generation split and its stable-id mapping, shared by the
+    * in-plan entry (`dedup_clusters_incremental`) and the
+    * persisted-state entry (`dedup_clusters_persisted`):
+    * `old_comp(doc_id, oc)` — the old-only subgraph's batch components;
+    * `asg(doc_id, cluster_id)` — final stable ids ("min old-subgraph
+    * root within the full-graph component, else min doc_id" — derived
+    * with NO frontier and NO key encoding, so it gates the stability
+    * SEMANTICS, not the implementation); `sz` — cluster sizes. */
+  private val incrCtes: String = s"""$compCtes,
+        old_sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
+                    WHERE a_id % 10 < 7 AND b_id % 10 < 7
+                    UNION ALL
+                    SELECT b_id, a_id FROM pairs
+                    WHERE a_id % 10 < 7 AND b_id % 10 < 7),
+        old_reach(id, r) AS (
+          SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 < 7
+          UNION
+          SELECT s.dst, r.r FROM old_reach r JOIN old_sym s ON s.src = r.id),
+        old_comp AS (SELECT id AS doc_id, min(r) AS oc FROM old_reach GROUP BY 1),
+        cid AS (SELECT c.cluster_id AS fc,
+                       coalesce(min(o.oc), min(c.doc_id)) AS cluster_id
+                FROM comp c LEFT JOIN old_comp o USING (doc_id)
+                GROUP BY 1),
+        asg AS (SELECT c.doc_id, i.cluster_id
+                FROM comp c JOIN cid i ON c.cluster_id = i.fc),
+        sz AS (SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY 1)"""
+
+  /** (doc_id, comp, gen) — the persisted-assignment table layout of
+    * [[materializePersisted]]; `gen` records which COMMIT last wrote
+    * the row (1 = initial batch, 2 = incremental merge), i.e. the
+    * SCD-1 change detection's verdict, which the oracle re-derives
+    * independently. */
+  private val storeSchema = StructType(Seq(
+    StructField("doc_id", LongType),
+    StructField("comp", LongType),
+    StructField("gen", IntegerType)))
+
+  private val builtStores = scala.collection.mutable.Set[String]()
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val all = scala.util.Using.resource(Files.walk(p))(
+        _.sorted(java.util.Comparator.reverseOrder()).iterator().asScala.toSeq)
+      all.foreach(Files.delete)
+    }
+
+  /** Store root keyed by sfDir AND a cheap corpus fingerprint (row
+    * count + max doc_id — the ClusterSmoke discipline), so a
+    * driver-side testdata regeneration reseeds instead of gating the
+    * new corpus against a stale persisted assignment. */
+  private def storeRoot(s: SparkSession, dir: String): String = {
+    val r = Tables.documents(s, dir)
+      .agg(count(lit(1)), max(col("doc_id"))).collect()(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    sys.env.getOrElse("GRAFT_DEDUP_STORE_DIR", "/root/repo/target/dedup-store") +
+      s"/$md-n${r.getLong(0)}-m${r.getLong(1)}"
+  }
+
+  /** The incremental dedup loop over REAL STORAGE (r18 VERDICT item 2 —
+    * the api_t4_roomstate discipline lifted to the dedup domain):
+    *
+    *   commit 1 — the old generation's batch assignment (doc_id%10<7,
+    *     old-only pair subgraph) lands through MergeWriter.merge
+    *     (versioned segment + atomic pointer swap) as (doc_id, comp,
+    *     gen=1);
+    *   commit 2 — [[assignIncremental]] runs against the COMMITTED
+    *     SNAPSHOT read back from disk (not an in-plan frame), and its
+    *     result merges with SCD-1 change detection on `comp`: an old
+    *     doc whose cluster id survived is a no-op HIT and keeps its
+    *     gen=1 row; a relabeled old doc (its cluster merged with a
+    *     smaller old root through a new bridge) is an UPDATE; a new
+    *     doc is an INSERT — both stamped gen=2.
+    *
+    * The registered entry reads the final snapshot, so the oracle's
+    * hash gate covers the whole loop: the frontier iteration's ids,
+    * the merge's LWW/change-detect semantics, and the physical
+    * snapshot layout. Built once per (sfDir, corpus fingerprint),
+    * cached via _DONE marker (the ApiQueries.materialize pattern). */
+  private def materializePersisted(s: SparkSession, dir: String): String = synchronized {
+    val root = storeRoot(s, dir)
+    val tdir = s"$root/assignments"
+    if (!builtStores.contains(tdir)) {
+      val done = Paths.get(root, "_DONE")
+      if (!Files.exists(done)) {
+        deleteRecursively(Paths.get(root))
+        Files.createDirectories(Paths.get(tdir))
+        val (nodes, pairs) = graph(s, dir)
+        val isOld = (c: Column) => pmod(c, lit(10)) < 7
+        val oldAsg = connectedComponents(
+          nodes.filter(isOld(col("id"))),
+          pairs.filter(isOld(col("src")) && isOld(col("dst"))))
+        MergeWriter.merge(s, tdir,
+          oldAsg.select(col("id").as("doc_id"), col("comp"), lit(1).as("gen")),
+          keys = Seq("doc_id"), orderBy = Seq("comp"))
+        // batch 2 consumes the COMMITTED state, not the in-plan frame
+        val persisted = MergeWriter.readSnapshot(s, tdir, storeSchema)
+          .select(col("doc_id").as("id"), col("comp"))
+        val asg2 = assignIncremental(persisted,
+          nodes.filter(!isOld(col("id"))),
+          pairs.filter(!(isOld(col("src")) && isOld(col("dst")))))
+        MergeWriter.merge(s, tdir,
+          asg2.select(col("id").as("doc_id"), col("comp"), lit(2).as("gen")),
+          keys = Seq("doc_id"), orderBy = Seq("comp"),
+          changeCols = Some(Seq("comp")))
+        Files.createFile(done)
+        ()
+      }
+      builtStores += tdir
+    }
+    tdir
+  }
+
   /** Shared DuckDB twin of both batch cluster entries. */
   private val clustersOracle: String = s"""
         WITH RECURSIVE $compCtes,
@@ -355,29 +473,41 @@ object Cluster {
             $"cluster_size", $"is_new", ($"id" === $"comp").as("keep"))
       },
       oracle = Some(s"""
-        WITH RECURSIVE $compCtes,
-        old_sym AS (SELECT a_id AS src, b_id AS dst FROM pairs
-                    WHERE a_id % 10 < 7 AND b_id % 10 < 7
-                    UNION ALL
-                    SELECT b_id, a_id FROM pairs
-                    WHERE a_id % 10 < 7 AND b_id % 10 < 7),
-        old_reach(id, r) AS (
-          SELECT doc_id, doc_id FROM documents WHERE doc_id % 10 < 7
-          UNION
-          SELECT s.dst, r.r FROM old_reach r JOIN old_sym s ON s.src = r.id),
-        old_comp AS (SELECT id AS doc_id, min(r) AS oc FROM old_reach GROUP BY 1),
-        cid AS (SELECT c.cluster_id AS fc,
-                       coalesce(min(o.oc), min(c.doc_id)) AS cluster_id
-                FROM comp c LEFT JOIN old_comp o USING (doc_id)
-                GROUP BY 1),
-        asg AS (SELECT c.doc_id, i.cluster_id
-                FROM comp c JOIN cid i ON c.cluster_id = i.fc),
-        sz AS (SELECT cluster_id, count(*) AS cluster_size FROM asg GROUP BY 1)
+        WITH RECURSIVE $incrCtes
         SELECT a.doc_id, a.cluster_id, s.cluster_size,
                a.doc_id % 10 >= 7 AS is_new,
                a.doc_id = a.cluster_id AS keep
         FROM asg a JOIN sz s USING (cluster_id)"""),
       doc = "incremental cluster assignment: new docs join persisted clusters via frontier-only iteration with stable old-root ids (old wins over smaller new ids)"),
+
+    // ---- the SAME incremental loop over REAL STORAGE: two MergeWriter
+    // commits (batch assignment, then the frontier merge with SCD-1
+    // change detection on the cluster id), entry reads the committed
+    // snapshot. `rewritten` is the change-detection verdict (gen=2:
+    // commit 2 inserted or updated the row) — the oracle re-derives it
+    // INDEPENDENTLY as "new doc, or final stable id differs from the
+    // old-subgraph component id", so a merge that rewrites too much
+    // (broken no-op detection) or too little (lost relabel) flips the
+    // hash even when the ids themselves land right.
+    "dedup_clusters_persisted" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val tdir = materializePersisted(s, dir)
+        val t = MergeWriter.readSnapshot(s, tdir, storeSchema)
+        val sz = t.groupBy($"comp").agg(count(lit(1)).as("cluster_size"))
+        t.join(sz, "comp")
+          .select($"doc_id", $"comp".as("cluster_id"), $"cluster_size",
+            (pmod($"doc_id", lit(10)) >= 7).as("is_new"),
+            ($"gen" === 2).as("rewritten"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $incrCtes
+        SELECT a.doc_id, a.cluster_id, s.cluster_size,
+               a.doc_id % 10 >= 7 AS is_new,
+               (a.doc_id % 10 >= 7 OR a.cluster_id <> o.oc) AS rewritten
+        FROM asg a JOIN sz s USING (cluster_id)
+        LEFT JOIN old_comp o ON a.doc_id = o.doc_id"""),
+      doc = "persisted incremental dedup loop: batch assignment committed through the real merge writer, frontier assignment run against the committed snapshot, SCD-1 change-detect merge back — final stored table hash-gated against an independent DuckDB derivation of ids AND rewrite set"),
 
     // ---- quality-aware keeper election: a real pipeline keeps each
     // cluster's HIGHEST-QUALITY member, not its min id. Joins the

@@ -1,10 +1,13 @@
 package graft.ext
 
 import graft.{QueryDef, Tables}
+import graft.etl.MergeWriter
 import graft.functions.VectorFunctions
+import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{ArrayType, DoubleType, IntegerType, LongType, StructField, StructType}
 
 /** Embedding-pipeline operators beyond similarity SEARCH: clustering
   * (k-means), compression (int8 scalar quantization), and semantic
@@ -44,11 +47,13 @@ object Embeddings {
       .agg(expr("transform(sort_array(collect_list(struct(pos, c))), s -> s.c)").as("cv"))
   }
 
-  /** One Lloyd ASSIGN step: each vector moves to the nearest centroid
-    * by squared L2 (sequential-fold, ties broken by lowest cell id).
-    * `cells` is small (k rows) → broadcast; the big side never
-    * shuffles. Returns (vec_id, label, assigned, d2). */
-  def assign(vecs: DataFrame, cells: DataFrame): DataFrame = {
+  /** Nearest `k` centroids per vector by squared L2 (sequential-fold,
+    * ties broken by lowest cell id). `cells` is small (k rows) →
+    * broadcast; the big side never shuffles. Returns
+    * (vec_id, label, assigned, d2, cell_rank) with cell_rank 1..k —
+    * k=1 is the Lloyd ASSIGN step, k>1 is the IVF nprobe cell
+    * selection (`sim_ivf_persisted_probe`). */
+  def assignTop(vecs: DataFrame, cells: DataFrame, k: Int): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
     val w = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"c_label".asc)
@@ -56,10 +61,14 @@ object Embeddings {
       .crossJoin(broadcast(cells.select($"label".as("c_label"), $"cv")))
       .select($"vec_id", $"label", $"c_label",
         round(expr("aggregate(zip_with(vd, cv, (a, b) -> (a - b) * (a - b)), 0.0d, (acc, x) -> acc + x)"), 6).as("d2"))
-      .withColumn("rn", row_number().over(w))
-      .filter($"rn" === 1)
-      .select($"vec_id", $"label", $"c_label".as("assigned"), $"d2")
+      .withColumn("cell_rank", row_number().over(w))
+      .filter($"cell_rank" <= k)
+      .select($"vec_id", $"label", $"c_label".as("assigned"), $"d2", $"cell_rank")
   }
+
+  /** One Lloyd ASSIGN step ([[assignTop]] at k=1). */
+  def assign(vecs: DataFrame, cells: DataFrame): DataFrame =
+    assignTop(vecs, cells, 1).drop("cell_rank")
 
   /** Full Lloyd's iteration (spec-exercised; the registered query is
     * one step so the oracle stays SQL-expressible): k cells seeded
@@ -88,6 +97,102 @@ object Embeddings {
   private def foldSql(arr: String): String =
     s"list_reduce(list_prepend(0.0, $arr), (a, b) -> a + b)"
 
+  /** Shared oracle CTEs: quantized vectors `q(vec_id, label, qv)` and
+    * label-seeded centroids `cent(c_label, cv)` — the coarse quantizer
+    * every k-means/IVF oracle re-derives. */
+  private val centCtes: String = """
+        q AS (SELECT vec_id, label,
+                     list_transform(embedding::DOUBLE[], x -> CAST(round(x * 10000.0) AS BIGINT)) AS qv
+              FROM embeddings),
+        cd AS (SELECT label, i, CAST(sum(qv[i]) AS DOUBLE) / (10000.0 * count(*)) AS c
+               FROM q, generate_series(1, 64) t(i) GROUP BY 1, 2),
+        cent AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM cd GROUP BY 1)"""
+
+  /** DuckDB twin of [[assignTop]]'s distance: quantized-vector squared
+    * L2 to a centroid list `cv`, rounded like the Spark side. */
+  private def d2Sql: String =
+    s"round(${foldSql("list_transform(list_zip(list_transform(qv, x -> x / 10000.0), cv), p -> (p[1] - p[2]) * (p[1] - p[2]))")}, 6)"
+
+  // ---- persisted IVF index (r18 VERDICT item 4): the 100 TB ANN shape
+  // is index-build ONCE (coarse quantizer + cell assignments committed
+  // to storage), then probe-only reads — `sim_ivf_label_topk`
+  // recomputes its cells per query, which is the correctness
+  // baseline, not the deployment shape. Two tables through the real
+  // MergeWriter write path:
+  //   centroids  (label, cv)    — the label-seeded quantizer, k·64
+  //                               doubles (broadcast side of probes)
+  //   assignments(vec_id, cell) — each vector's nearest cell, BUCKETED
+  //                               on cell: at scale a probe opens only
+  //                               the nprobe probed cells' buckets (the
+  //                               messages readForKey discipline); at
+  //                               this SF the entry reads the snapshot
+  //                               and filters — same rows either way.
+  private val idxCentSchema = StructType(Seq(
+    StructField("label", IntegerType),
+    StructField("cv", ArrayType(DoubleType))))
+  // cell_key = "c<cell>": the bucket key is a STRING (the room_id
+  // discipline — bucketExpr hashes the key's bytes; readForKey-style
+  // point pruning addresses a probed cell as "c3")
+  private val idxAsgSchema = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("cell", IntegerType),
+    StructField("cell_key", org.apache.spark.sql.types.StringType)))
+  private val IdxAsgBuckets = 8
+
+  private val builtIdx = scala.collection.mutable.Set[String]()
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val all = scala.util.Using.resource(Files.walk(p))(
+        _.sorted(java.util.Comparator.reverseOrder()).iterator().asScala.toSeq)
+      all.foreach(Files.delete)
+    }
+
+  /** Root keyed by sfDir + cheap corpus fingerprint (count + max
+    * vec_id) so a driver-side testdata regeneration reseeds the index
+    * instead of probing a stale one. */
+  private def idxRoot(s: SparkSession, dir: String): String = {
+    val r = Tables.embeddings(s, dir)
+      .agg(count(lit(1)), max(col("vec_id"))).collect()(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    sys.env.getOrElse("GRAFT_ANN_INDEX_DIR", "/root/repo/target/ann-index") +
+      s"/$md-n${r.getLong(0)}-m${r.getLong(1)}"
+  }
+
+  /** Build-once (per sfDir+fingerprint, _DONE-cached) IVF index commit:
+    * centroids from the label seed, one Lloyd assign step against them,
+    * both merged through MergeWriter (versioned segments + atomic
+    * pointer swap; assignments bucketed on cell). Returns
+    * (centroidsDir, assignmentsDir). */
+  private def materializeIndex(s: SparkSession, dir: String): (String, String) = synchronized {
+    val root = idxRoot(s, dir)
+    val (cdir, adir) = (s"$root/centroids", s"$root/assignments")
+    if (!builtIdx.contains(root)) {
+      val done = Paths.get(root, "_DONE")
+      if (!Files.exists(done)) {
+        deleteRecursively(Paths.get(root))
+        Files.createDirectories(Paths.get(cdir))
+        Files.createDirectories(Paths.get(adir))
+        val e = Tables.embeddings(s, dir)
+        val cells = centroids(e)
+        MergeWriter.merge(s, cdir,
+          cells.select(col("label"), col("cv")),
+          keys = Seq("label"), orderBy = Seq("label"))
+        MergeWriter.merge(s, adir,
+          assign(e, cells).select(col("vec_id"), col("assigned").as("cell"),
+            concat(lit("c"), col("assigned")).as("cell_key")),
+          keys = Seq("vec_id"), orderBy = Seq("cell"),
+          bucket = Some(MergeWriter.BucketSpec("cell_key", IdxAsgBuckets)))
+        Files.createFile(done)
+        ()
+      }
+      builtIdx += root
+    }
+    (cdir, adir)
+  }
+
   val defs: Map[String, QueryDef] = Map(
     // --- one k-means Lloyd step over the label partition: centroid
     // update (exact quantized mean per cell) + nearest reassignment.
@@ -101,19 +206,103 @@ object Embeddings {
         assign(e, centroids(e))
       },
       oracle = Some(s"""
-        WITH q AS (SELECT vec_id, label,
-                          list_transform(embedding::DOUBLE[], x -> CAST(round(x * 10000.0) AS BIGINT)) AS qv
-                   FROM embeddings),
-        cd AS (SELECT label, i, CAST(sum(qv[i]) AS DOUBLE) / (10000.0 * count(*)) AS c
-               FROM q, generate_series(1, 64) t(i) GROUP BY 1, 2),
-        cent AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM cd GROUP BY 1),
-        d AS (SELECT q.vec_id, q.label, cent.c_label,
-                     round(${foldSql("list_transform(list_zip(list_transform(qv, x -> x / 10000.0), cv), p -> (p[1] - p[2]) * (p[1] - p[2]))")}, 6) AS d2
+        WITH $centCtes,
+        d AS (SELECT q.vec_id, q.label, cent.c_label, $d2Sql AS d2
               FROM q CROSS JOIN cent)
         SELECT vec_id, label, c_label AS assigned, d2
         FROM d
         QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) = 1"""),
       doc = "k-means Lloyd step: exact quantized centroid update + broadcast nearest-cell assign"),
+
+    // --- IVF index BUILD through the real write path: per-cell summary
+    // read back from the COMMITTED index tables (quantizer row count
+    // audit + centroid head/tail coordinates + assigned population).
+    // The oracle re-derives quantizer AND assignment from the base
+    // table, so a wrong merge, a lost cell, or a corrupted centroid
+    // array all flip the hash. Build cost is one (cell, dim) shuffle of
+    // longs + one broadcast assign — then every probe amortizes it.
+    "sim_ivf_index_build" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val (cdir, adir) = materializeIndex(s, dir)
+        val cents = MergeWriter.readSnapshot(s, cdir, idxCentSchema)
+        val asgT = MergeWriter.readSnapshot(s, adir, idxAsgSchema)
+        val cnt = asgT.groupBy($"cell").agg(count(lit(1)).as("n_vecs"))
+        cents.join(cnt, $"label" === $"cell", "left")
+          .select($"label".as("cell"),
+            coalesce($"n_vecs", lit(0L)).as("n_vecs"),
+            round(element_at($"cv", 1), 6).as("c_first"),
+            round(element_at($"cv", 64), 6).as("c_last"))
+      },
+      oracle = Some(s"""
+        WITH $centCtes,
+        d AS (SELECT q.vec_id, cent.c_label, $d2Sql AS d2
+              FROM q CROSS JOIN cent),
+        asg AS (SELECT vec_id, c_label AS cell FROM d
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) = 1),
+        cnt AS (SELECT cell, count(*) AS n_vecs FROM asg GROUP BY 1)
+        SELECT cent.c_label AS cell, coalesce(cnt.n_vecs, 0) AS n_vecs,
+               round(cv[1], 6) AS c_first, round(cv[64], 6) AS c_last
+        FROM cent LEFT JOIN cnt ON cent.c_label = cnt.cell"""),
+      doc = "IVF index build: quantizer + cell assignments committed through the merge writer, per-cell summary of the COMMITTED tables hash-gated against a from-scratch derivation"),
+
+    // --- IVF PROBE against the persisted index, nprobe=2: rank the
+    // query against the COMMITTED quantizer, take its 2 nearest cells,
+    // score only those cells' assigned vectors (candidate set from the
+    // COMMITTED assignment table), cosine top-3. The production read
+    // path: no quantizer recompute, no corpus-wide scan — candidates
+    // are the probed cells' lists (bucketed layout: a deployment opens
+    // only those buckets' files). nprobe is THE recall knob: 2 cells
+    // ≈ 2/k of the corpus scored per query.
+    "sim_ivf_persisted_probe" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        VectorFunctions.register(s)
+        val (cdir, adir) = materializeIndex(s, dir)
+        val cents = MergeWriter.readSnapshot(s, cdir, idxCentSchema)
+        val asgT = MergeWriter.readSnapshot(s, adir, idxAsgSchema)
+        val e = Tables.embeddings(s, dir)
+        val probed = assignTop(e.filter($"vec_id" < 20), cents, 2)
+          .select($"vec_id".as("q_id"), $"assigned".as("cell"))
+        val qv = e.filter($"vec_id" < 20)
+          .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+        val w = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
+        probed.join(asgT.select($"vec_id".as("n_id"), $"cell"), Seq("cell"))
+          .filter($"q_id" =!= $"n_id")
+          .join(broadcast(qv), "q_id")
+          .join(e.select($"vec_id".as("n_id"), $"embedding".as("nv")), "n_id")
+          .select($"q_id", $"n_id", $"cell",
+            round(expr("cosine_sim(qv, nv)"), 4).as("cos"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+      },
+      oracle = Some {
+        val dot = (a: String, b: String) => foldSql(s"list_transform(list_zip($a, $b), x -> x[1] * x[2])")
+        val cos = (a: String, b: String) => s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+        s"""
+        WITH $centCtes,
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        d AS (SELECT q.vec_id, cent.c_label, $d2Sql AS d2
+              FROM q CROSS JOIN cent),
+        asg AS (SELECT vec_id, c_label AS cell FROM d
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) = 1),
+        probe AS (SELECT vec_id AS q_id, c_label AS cell FROM d
+                  WHERE vec_id < 20
+                  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) <= 2),
+        cand AS (SELECT p.q_id, a.vec_id AS n_id, a.cell
+                 FROM probe p JOIN asg a USING (cell)
+                 WHERE a.vec_id <> p.q_id),
+        scored AS (SELECT c.q_id, c.n_id, c.cell,
+                          round(${cos("qe.v", "ne.v")}, 4) AS cos
+                   FROM cand c
+                   JOIN e qe ON qe.vec_id = c.q_id
+                   JOIN e ne ON ne.vec_id = c.n_id)
+        SELECT q_id, n_id, cell, cos,
+               row_number() OVER (PARTITION BY q_id ORDER BY cos DESC, n_id ASC) AS rank
+        FROM scored
+        QUALIFY rank <= 3"""
+      },
+      doc = "IVF probe against the persisted index (nprobe=2): committed quantizer ranks the cells, committed assignment table supplies the candidates, cosine top-3 — the probe-only production read path"),
 
     // --- int8 scalar quantization (the embedding-compression pass a
     // 100 TB vector store runs before indexing): per-vector absmax

@@ -50,4 +50,40 @@ class BenchRenderSpec extends AnyFunSuite {
       s"errors after queries: $line")
     assert(line.contains("\"flaky\":{\"d_mid\":2}"), line)
   }
+
+  test("renderBandLine: per-group minima envelope, uniform run-calib rescale, one-line JSON") {
+    // two groups of two passes; run calib = min over ALL passes = 0.25.
+    // Anchor 0.50 → ONE uniform factor 0.50/0.25 = 2 for everything
+    // (per-pass calibs are recorded but must NOT rescale individual
+    // passes — the calib probe JIT-warms across passes and would
+    // imprint its warm-in curve on flat query series). The band bounds
+    // PER-GROUP MINIMA (what bench_diff sees from a run), so q's cold
+    // 9.9 first rep must NOT widen the envelope.
+    val groupData = Seq(
+      Seq((0.50, Seq("q" -> 9.9, "r" -> 4.0)),   // cold first rep
+          (0.30, Seq("q" -> 1.0, "r" -> 4.0))),  // group 1 min: q=1.0
+      Seq((0.25, Seq("q" -> 1.2, "r" -> 4.0)),
+          (0.40, Seq("q" -> 1.1, "r" -> 4.0))))  // group 2 min: q=1.1
+    val line = Bench.renderBandLine(groupData, anchor = 0.50, margin = 0.10, "/sf")
+    assert(!line.contains("\n"), s"must be one line: $line")
+    assert(line.startsWith(
+      "{\"mode\":\"band\",\"anchor_calib\":0.5000,\"run_calib\":0.2500,\"margin\":0.1,"), line)
+    assert(line.contains("\"groups\":2,\"passes_per_group\":2"), line)
+    assert(line.contains("\"calibs\":[[0.5000,0.3000],[0.2500,0.4000]]"), line)
+    // raw series recorded verbatim per group (the committed derivation)
+    assert(line.contains("\"q\":[[9.9000,1.0000],[1.2000,1.1000]]"), line)
+    // scaled group minima: [1.0, 1.1] × 2 = [2.0, 2.2] — 9.9 gone
+    assert(line.substring(line.indexOf("\"minima\":")).contains("\"q\":[2.0000,2.2000]"), line)
+    // band: [2.0·0.9, 2.2·1.1] = [1.8, 2.42]
+    assert(line.substring(line.indexOf("\"bands\":")).contains("\"q\":[1.8000,2.4200]"), line)
+    // flat r: minima [8, 8] → band [7.2, 8.8]
+    assert(line.substring(line.indexOf("\"bands\":")).contains("\"r\":[7.2000,8.8000]"), line)
+    assert(line.endsWith("\"sf\":\"/sf\"}"), line)
+    assert(line.count(_ == '{') == line.count(_ == '}'), line)
+
+    // self-anchored (anchor ≤ 0): factor 1, envelope IS the raw minima
+    val self = Bench.renderBandLine(groupData, anchor = 0.0, margin = 0.0, "/sf")
+    assert(self.contains("\"anchor_calib\":0.2500"), self)
+    assert(self.substring(self.indexOf("\"bands\":")).contains("\"q\":[1.0000,1.1000]"), self)
+  }
 }

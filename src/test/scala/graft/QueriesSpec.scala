@@ -88,6 +88,7 @@ class QueriesSpec extends AnyFunSuite {
       "sim_cosine_topk",     // broadcast ~50-row query set — the declared exact baseline
       "sim_quantize_int8",   // 1-row broadcast query-vector panel (Embeddings.scala)
       "sim_kmeans_assign",   // k-row broadcast centroid panel (Embeddings.scala)
+      "sim_ivf_persisted_probe", // same k-row centroid panel, read from the persisted index
       "txt_tfidf_top")       // 1-row corpus-count broadcast (the api_q6_stats shape)
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
