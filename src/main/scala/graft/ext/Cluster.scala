@@ -553,6 +553,56 @@ object Cluster {
                row_number() OVER (PARTITION BY c.cluster_id
                                   ORDER BY q.quality DESC, c.doc_id ASC) = 1 AS keep
         FROM comp c JOIN q USING (doc_id)"""),
-      doc = "quality-aware keeper election: per cluster keep the max-quality member (tie -> min doc_id) — corpus-wide analysis variant over the full >=0.01 graph; the deletion-grade survivor-scoped election at DedupTau lives in pipe_corpus_end2end")
+      doc = "quality-aware keeper election: per cluster keep the max-quality member (tie -> min doc_id) — corpus-wide analysis variant over the full >=0.01 graph; the deletion-grade survivor-scoped election at DedupTau lives in pipe_corpus_end2end"),
+
+    // ---- the SAME election, SKEW-PROOF: the analysis variant's window
+    // partitions are GIANT components (its own scaladoc's 100 TB
+    // hazard — a single row_number partition holding a meaningful
+    // fraction of the corpus lands on one task). Two-phase salted
+    // election: phase 1 elects within (cluster, doc_id % Salt) — every
+    // partition bounded at |cluster|/Salt, Salt sized to executor
+    // memory at scale — phase 2 elects among the ≤Salt partial winners
+    // per cluster. The ordering key (quality DESC, doc_id ASC) is a
+    // TOTAL order per cluster, so max-of-partial-maxes IS the global
+    // max and both phases together reproduce the single-window answer
+    // exactly. Hash-gated against the SAME DuckDB oracle as
+    // `dedup_keeper_quality`, so the equivalence is re-proven every
+    // round (the logrounds / lsh-planes discipline).
+    "dedup_keeper_salted" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val Salt = 16
+        val qual = TextStats.defs("txt_quality_score").build(s, dir)
+          .select($"doc_id", $"quality")
+        val scored = assignFrame(s, dir).join(qual, "doc_id")
+        val w1 = Window.partitionBy($"cluster_id", pmod($"doc_id", lit(Salt)))
+          .orderBy($"quality".desc, $"doc_id".asc)
+        val w2 = Window.partitionBy($"cluster_id")
+          .orderBy($"quality".desc, $"doc_id".asc)
+        val winners = scored
+          .withColumn("rk1", row_number().over(w1)).filter($"rk1" === 1)
+          .withColumn("rk2", row_number().over(w2)).filter($"rk2" === 1)
+          .select($"cluster_id", $"doc_id".as("keep_doc"))
+        scored.join(winners, "cluster_id")
+          .select($"doc_id", $"cluster_id", $"quality",
+            ($"doc_id" === $"keep_doc").as("keep"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE $compCtes,
+        qt AS (SELECT doc_id, string_split_regex(trim(text), '\\s+') AS qtoks FROM documents),
+        qm AS (SELECT doc_id,
+                      CAST(len(list_filter(qtoks, t -> t IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(qtoks) AS stop_ratio,
+                      1.0 - CAST(len(list_distinct(qtoks)) AS DOUBLE) / len(qtoks) AS rep_ratio,
+                      least(CAST(len(qtoks) AS DOUBLE) / 200.0, 1.0) AS len_score
+               FROM qt),
+        q AS (SELECT doc_id,
+                     round(0.5 * len_score + 0.3 * (1.0 - rep_ratio) + 0.2 * (1.0 - abs(stop_ratio - 0.1)), 4) AS quality
+              FROM qm)
+        SELECT c.doc_id, c.cluster_id, q.quality,
+               row_number() OVER (PARTITION BY c.cluster_id
+                                  ORDER BY q.quality DESC, c.doc_id ASC) = 1 AS keep
+        FROM comp c JOIN q USING (doc_id)"""),
+      doc = "salted two-phase keeper election: phase-1 top-1 per (cluster, doc_id % 16), phase-2 top-1 over partial winners — bounded window partitions in giant components; SAME oracle as dedup_keeper_quality, equivalence re-proven per round")
   )
 }

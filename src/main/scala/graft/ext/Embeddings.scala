@@ -99,14 +99,18 @@ object Embeddings {
 
   /** Shared oracle CTEs: quantized vectors `q(vec_id, label, qv)` and
     * label-seeded centroids `cent(c_label, cv)` — the coarse quantizer
-    * every k-means/IVF oracle re-derives. */
-  private val centCtes: String = """
+    * every k-means/IVF oracle re-derives. `centWhere` restricts the
+    * TRAINING set of the quantizer (e.g. the old generation) while `q`
+    * still covers every vector to assign. */
+  private def centCtesAt(centWhere: String): String = s"""
         q AS (SELECT vec_id, label,
                      list_transform(embedding::DOUBLE[], x -> CAST(round(x * 10000.0) AS BIGINT)) AS qv
               FROM embeddings),
         cd AS (SELECT label, i, CAST(sum(qv[i]) AS DOUBLE) / (10000.0 * count(*)) AS c
-               FROM q, generate_series(1, 64) t(i) GROUP BY 1, 2),
+               FROM q, generate_series(1, 64) t(i) $centWhere GROUP BY 1, 2),
         cent AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM cd GROUP BY 1)"""
+
+  private val centCtes: String = centCtesAt("")
 
   /** DuckDB twin of [[assignTop]]'s distance: quantized-vector squared
     * L2 to a centroid list `cv`, rounded like the Spark side. */
@@ -191,6 +195,50 @@ object Embeddings {
       builtIdx += root
     }
     (cdir, adir)
+  }
+
+  /** Corpus-growth index maintenance (the [[materializeIndex]] analog
+    * of Cluster's persisted incremental loop): commit 1 trains the
+    * quantizer on the OLD generation only (vec_id%10<7) and commits its
+    * assignments; commit 2 assigns the NEW vectors against the
+    * COMMITTED (frozen) quantizer read back from disk — the production
+    * behavior: an IVF quantizer is not retrained per batch, new data
+    * joins existing cells — and merges them in (pure inserts; old rows
+    * untouched). */
+  private def materializeIndexInc(s: SparkSession, dir: String): String = synchronized {
+    val root = idxRoot(s, dir) + "-inc"
+    val (cdir, adir) = (s"$root/centroids", s"$root/assignments")
+    if (!builtIdx.contains(root)) {
+      val done = Paths.get(root, "_DONE")
+      if (!Files.exists(done)) {
+        deleteRecursively(Paths.get(root))
+        Files.createDirectories(Paths.get(cdir))
+        Files.createDirectories(Paths.get(adir))
+        val e = Tables.embeddings(s, dir)
+        val isOld = pmod(col("vec_id"), lit(10)) < 7
+        val cells = centroids(e.filter(isOld))
+        MergeWriter.merge(s, cdir,
+          cells.select(col("label"), col("cv")),
+          keys = Seq("label"), orderBy = Seq("label"))
+        def commitAsg(vecs: DataFrame, quantizer: DataFrame): Unit = {
+          MergeWriter.merge(s, adir,
+            assign(vecs, quantizer).select(col("vec_id"),
+              col("assigned").as("cell"),
+              concat(lit("c"), col("assigned")).as("cell_key")),
+            keys = Seq("vec_id"), orderBy = Seq("cell"),
+            bucket = Some(MergeWriter.BucketSpec("cell_key", IdxAsgBuckets)))
+          ()
+        }
+        commitAsg(e.filter(isOld), cells)
+        // batch 2 consumes the COMMITTED quantizer, not the in-plan one
+        val committed = MergeWriter.readSnapshot(s, cdir, idxCentSchema)
+        commitAsg(e.filter(!isOld), committed)
+        Files.createFile(done)
+        ()
+      }
+      builtIdx += root
+    }
+    adir
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -303,6 +351,32 @@ object Embeddings {
         QUALIFY rank <= 3"""
       },
       doc = "IVF probe against the persisted index (nprobe=2): committed quantizer ranks the cells, committed assignment table supplies the candidates, cosine top-3 — the probe-only production read path"),
+
+    // --- incremental index MAINTENANCE: quantizer trained on the OLD
+    // generation only, committed; new vectors assigned against the
+    // COMMITTED quantizer (frozen — production never retrains per
+    // batch) and merged in. The oracle re-derives the old-trained
+    // quantizer and assigns EVERY vector against it from scratch — so
+    // a quantizer accidentally retrained on old∪new in commit 2, a
+    // stale snapshot read, or a merge that perturbs old rows all flip
+    // the hash. Corpus-growth cost: |delta| assigns against a k-row
+    // broadcast — the big side never shuffles, nothing old is re-read.
+    "sim_ivf_index_append" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val adir = materializeIndexInc(s, dir)
+        MergeWriter.readSnapshot(s, adir, idxAsgSchema)
+          .select($"vec_id", $"cell",
+            (pmod($"vec_id", lit(10)) >= 7).as("is_new"))
+      },
+      oracle = Some(s"""
+        WITH ${centCtesAt("WHERE q.vec_id % 10 < 7")},
+        d AS (SELECT q.vec_id, cent.c_label, $d2Sql AS d2
+              FROM q CROSS JOIN cent)
+        SELECT vec_id, c_label AS cell, vec_id % 10 >= 7 AS is_new
+        FROM d
+        QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) = 1"""),
+      doc = "incremental IVF maintenance: quantizer trained on the old generation and FROZEN, new vectors assigned against the committed quantizer and merged — oracle re-derives the old-trained quantizer and assigns all vectors from scratch"),
 
     // --- int8 scalar quantization (the embedding-compression pass a
     // 100 TB vector store runs before indexing): per-vector absmax
