@@ -131,17 +131,17 @@ object Embeddings {
   //                               messages readForKey discipline); at
   //                               this SF the entry reads the snapshot
   //                               and filters — same rows either way.
-  private val idxCentSchema = StructType(Seq(
+  private[graft] val idxCentSchema: StructType = StructType(Seq(
     StructField("label", IntegerType),
     StructField("cv", ArrayType(DoubleType))))
   // cell_key = "c<cell>": the bucket key is a STRING (the room_id
   // discipline — bucketExpr hashes the key's bytes; readForKey-style
   // point pruning addresses a probed cell as "c3")
-  private val idxAsgSchema = StructType(Seq(
+  private[graft] val idxAsgSchema: StructType = StructType(Seq(
     StructField("vec_id", LongType),
     StructField("cell", IntegerType),
     StructField("cell_key", org.apache.spark.sql.types.StringType)))
-  private val IdxAsgBuckets = 8
+  private[graft] val IdxAsgBuckets = 8
 
   private val builtIdx = scala.collection.mutable.Set[String]()
 
@@ -170,7 +170,7 @@ object Embeddings {
     * both merged through MergeWriter (versioned segments + atomic
     * pointer swap; assignments bucketed on cell). Returns
     * (centroidsDir, assignmentsDir). */
-  private def materializeIndex(s: SparkSession, dir: String): (String, String) = synchronized {
+  private[graft] def materializeIndex(s: SparkSession, dir: String): (String, String) = synchronized {
     val root = idxRoot(s, dir)
     val (cdir, adir) = (s"$root/centroids", s"$root/assignments")
     if (!builtIdx.contains(root)) {
