@@ -558,16 +558,25 @@ object Cluster {
     // ---- the SAME election, SKEW-PROOF: the analysis variant's window
     // partitions are GIANT components (its own scaladoc's 100 TB
     // hazard — a single row_number partition holding a meaningful
-    // fraction of the corpus lands on one task). Two-phase salted
-    // election: phase 1 elects within (cluster, doc_id % Salt) — every
-    // partition bounded at |cluster|/Salt, Salt sized to executor
-    // memory at scale — phase 2 elects among the ≤Salt partial winners
-    // per cluster. The ordering key (quality DESC, doc_id ASC) is a
-    // TOTAL order per cluster, so max-of-partial-maxes IS the global
-    // max and both phases together reproduce the single-window answer
-    // exactly. Hash-gated against the SAME DuckDB oracle as
-    // `dedup_keeper_quality`, so the equivalence is re-proven every
-    // round (the logrounds / lsh-planes discipline).
+    // fraction of the corpus lands on one task). The hazard is real
+    // PRECISELY because the entry tags ALL rows with `keep`: a
+    // `filter(rk = 1)` shape would let Catalyst plan
+    // WindowGroupLimitExec (map-side partial top-1, skew-immune — the
+    // first ElectSmoke draft measured exactly that and was flat), but
+    // rank-limit pushdown cannot apply to an all-rows projection, so
+    // the giant partition must fully sort on one task. Two-phase
+    // salted election instead: phase 1 elects within
+    // (cluster, doc_id % Salt) — bounded partitions, and being a
+    // FILTERED rank it also takes the group-limit path — phase 2
+    // elects among the ≤Salt partial winners, and the winner joins
+    // back to tag all rows. The ordering key (quality DESC, doc_id
+    // ASC) is a TOTAL order per cluster, so max-of-partial-maxes IS
+    // the global max. Measured on a synthesized one-cluster corpus
+    // (ElectSmoke decades, identical keeper asserted): single-window
+    // 0.29/1.24/16.08 s at 10⁵/10⁶/10⁷ vs salted 0.45/0.48/0.87 s —
+    // 18.5× at 10⁷ and diverging. Hash-gated against the SAME DuckDB
+    // oracle as `dedup_keeper_quality`, so the equivalence is
+    // re-proven every round (the logrounds / lsh-planes discipline).
     "dedup_keeper_salted" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
