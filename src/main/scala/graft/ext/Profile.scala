@@ -66,6 +66,77 @@ object Profile {
              FROM events"""
         }.mkString("\nUNION ALL\n")
       },
-      doc = "per-column profile (nulls, exact distinct, min/max) in one aggregate pass")
+      doc = "per-column profile (nulls, exact distinct, min/max) in one aggregate pass"),
+
+    // ---- corpus DRIFT between two document generations (the dataset-
+    // shift monitor a production pipeline runs on every new drop, the
+    // deequ AnomalyDetection / evidently niche): per-signal binned
+    // distributions of the old (doc_id%10<7, the established
+    // generation convention) vs new generation, scored by TOTAL
+    // VARIATION distance. TV = ½·Σ|p_new − p_old| is chosen over the
+    // usual PSI/KL deliberately: those need ln(), whose cross-engine
+    // ULP noise can flip a hash on ties, and a zero bin needs epsilon
+    // fudging — TV is exact rational arithmetic with none of that. The
+    // per-bin term rides PURE INTEGERS via cross-multiplication
+    // (|n_new·t_old − n_old·t_new|; exact long sums, order-free), and
+    // the single division happens once per row on exact operands. At
+    // 100 TB the cross products exceed long range — the scaladoc knob
+    // is DECIMAL(38,0) casts on the products (ANSI mode fails loudly,
+    // never wraps silently). Plan: one groupBy(signal, bin) shuffle +
+    // a 1-row totals broadcast + a per-signal window sum over ≤ bins
+    // rows. Signals: token-count decades and quality deciles — the
+    // quality column is txt_quality_score's REGISTERED rounded
+    // composite, one definition across the registry.
+    "qa_drift_tv" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val tagged = TextStats.defs("txt_quality_score").build(s, dir)
+          .select($"doc_id", $"n_tokens", $"quality")
+          .withColumn("is_new", pmod($"doc_id", lit(10)) >= 7)
+        val binned = tagged.select(lit("n_tokens").as("signal"),
+            floor($"n_tokens" / 10).cast("long").as("bin"), $"is_new")
+          .union(tagged.select(lit("quality").as("signal"),
+            floor($"quality" * 10).cast("long").as("bin"), $"is_new"))
+        val counts = binned.groupBy($"signal", $"bin")
+          .agg(sum(when(!$"is_new", 1L).otherwise(0L)).as("n_old"),
+            sum(when($"is_new", 1L).otherwise(0L)).as("n_new"))
+        val totals = tagged.agg(
+          sum(when(!$"is_new", 1L).otherwise(0L)).as("t_old"),
+          sum(when($"is_new", 1L).otherwise(0L)).as("t_new"))
+        val w = Window.partitionBy($"signal")
+        counts.crossJoin(broadcast(totals))
+          .withColumn("d", abs($"n_new" * $"t_old" - $"n_old" * $"t_new"))
+          .withColumn("tv", round(sum($"d").over(w).cast("double") /
+            (lit(2.0) * $"t_old" * $"t_new"), 6))
+          .select($"signal", $"bin", $"n_old", $"n_new", $"tv")
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        qm AS (SELECT doc_id, len(tk) AS n_tokens,
+                      CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(tk) AS stop_ratio,
+                      1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS rep_ratio,
+                      least(CAST(len(tk) AS DOUBLE) / 200.0, 1.0) AS len_score
+               FROM t),
+        tag AS (SELECT doc_id, n_tokens,
+                       round(0.5 * len_score + 0.3 * (1.0 - rep_ratio) + 0.2 * (1.0 - abs(stop_ratio - 0.1)), 4) AS quality,
+                       doc_id % 10 >= 7 AS is_new
+                FROM qm),
+        b AS (SELECT 'n_tokens' AS signal, CAST(floor(n_tokens / 10) AS BIGINT) AS bin, is_new FROM tag
+              UNION ALL
+              SELECT 'quality', CAST(floor(quality * 10) AS BIGINT), is_new FROM tag),
+        c AS (SELECT signal, bin,
+                     CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+                     CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+              FROM b GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS t_old,
+                       CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS t_new
+                FROM tag)
+        SELECT c.signal, c.bin, c.n_old, c.n_new,
+               round(CAST(CAST(sum(abs(c.n_new * tot.t_old - c.n_old * tot.t_new))
+                       OVER (PARTITION BY c.signal) AS BIGINT) AS DOUBLE)
+                     / (2.0 * tot.t_old * tot.t_new), 6) AS tv
+        FROM c CROSS JOIN tot"""),
+      doc = "generation drift monitor: binned token-count/quality distributions old-vs-new generation scored by total-variation distance — log-free, integer-exact per-bin terms, one shuffle + 1-row totals broadcast")
   )
 }
