@@ -137,6 +137,57 @@ object Profile {
                        OVER (PARTITION BY c.signal) AS BIGINT) AS DOUBLE)
                      / (2.0 * tot.t_old * tot.t_new), 6) AS tv
         FROM c CROSS JOIN tot"""),
-      doc = "generation drift monitor: binned token-count/quality distributions old-vs-new generation scored by total-variation distance — log-free, integer-exact per-bin terms, one shuffle + 1-row totals broadcast")
+      doc = "generation drift monitor: binned token-count/quality distributions old-vs-new generation scored by total-variation distance — log-free, integer-exact per-bin terms, one shuffle + 1-row totals broadcast"),
+
+    // ---- corpus COMPOSITION report (the mix dashboard every training
+    // run is planned against, and the observability twin of
+    // txt_sample_stratified's mixing knobs): per (source, lang) cell —
+    // doc count, token count, share of total tokens, and mean quality.
+    // Determinism: token sums are exact longs; the mean quality rides
+    // the registered ROUNDED 4-decimal quality lifted to fixed-point
+    // longs (round(q·10⁴)) so the cross-engine sum is exact and the
+    // one division per row runs on exact operands; token_share divides
+    // exact longs from a 1-row broadcast (the api_q6_stats pattern).
+    // One groupBy shuffle over ~|sources|·|langs| cells.
+    "qa_corpus_mix" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val qual = TextStats.defs("txt_quality_score").build(s, dir)
+          .select($"doc_id", $"n_tokens",
+            round($"quality" * 10000).cast("long").as("q4"))
+        val base = Tables.documents(s, dir).select($"doc_id", $"source", $"lang")
+          .join(qual, "doc_id")
+        val cells = base.groupBy($"source", $"lang")
+          .agg(count(lit(1)).as("n_docs"),
+            sum($"n_tokens".cast("long")).as("n_tokens"),
+            sum($"q4").as("sq4"))
+        val tot = base.agg(sum($"n_tokens".cast("long")).as("t_tokens"))
+        cells.crossJoin(broadcast(tot))
+          .select($"source", $"lang", $"n_docs", $"n_tokens",
+            round($"n_tokens".cast("double") / $"t_tokens", 6).as("token_share"),
+            round($"sq4".cast("double") / (lit(10000.0) * $"n_docs"), 6).as("mean_quality"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, source, lang,
+                          string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        qm AS (SELECT doc_id, source, lang, len(tk) AS n_tokens,
+                      CAST(len(list_filter(tk, x -> x IN ('the','a','of','and','to','in','is','it'))) AS DOUBLE) / len(tk) AS stop_ratio,
+                      1.0 - CAST(len(list_distinct(tk)) AS DOUBLE) / len(tk) AS rep_ratio,
+                      least(CAST(len(tk) AS DOUBLE) / 200.0, 1.0) AS len_score
+               FROM t),
+        q AS (SELECT doc_id, source, lang, n_tokens,
+                     CAST(round(round(0.5 * len_score + 0.3 * (1.0 - rep_ratio) + 0.2 * (1.0 - abs(stop_ratio - 0.1)), 4) * 10000) AS BIGINT) AS q4
+              FROM qm),
+        cells AS (SELECT source, lang,
+                         CAST(count(*) AS BIGINT) AS n_docs,
+                         CAST(sum(n_tokens) AS BIGINT) AS n_tokens,
+                         CAST(sum(q4) AS BIGINT) AS sq4
+                  FROM q GROUP BY 1, 2),
+        tot AS (SELECT CAST(sum(n_tokens) AS BIGINT) AS t_tokens FROM q)
+        SELECT c.source, c.lang, c.n_docs, c.n_tokens,
+               round(CAST(c.n_tokens AS DOUBLE) / tot.t_tokens, 6) AS token_share,
+               round(CAST(c.sq4 AS DOUBLE) / (10000.0 * c.n_docs), 6) AS mean_quality
+        FROM cells c CROSS JOIN tot"""),
+      doc = "corpus composition report: per (source, lang) doc/token counts, token share, fixed-point-exact mean quality — the mix dashboard behind stratified sampling decisions")
   )
 }
