@@ -528,6 +528,79 @@ object TextStats {
                round(coalesce(CAST(pd.sfp AS DOUBLE) / (pd.n_bigrams * 1000000000.0), 0.0), 6) AS avg_p,
                round(coalesce(CAST(pd.min_fp AS DOUBLE) / 1000000000.0, 0.0), 6) AS min_p
         FROM documents d LEFT JOIN pd USING (doc_id)"""),
-      doc = "bigram-LM fluency score (CCNet-style): corpus-MLE conditional probabilities on pure-integer fixed-point, per-doc average and minimum — low scores mark disfluent documents")
+      doc = "bigram-LM fluency score (CCNet-style): corpus-MLE conditional probabilities on pure-integer fixed-point, per-doc average and minimum — low scores mark disfluent documents"),
+
+    // DSIR-flavored DATA SELECTION (Xie et al. 2023 "Data Selection
+    // for Language Models via Importance Resampling", adapted to this
+    // engine's determinism discipline): score every document under TWO
+    // bigram LMs — the corpus LM (txt_lm_score's) and a TARGET-domain
+    // LM trained on a source slice (source suffix % 5 = 0, the
+    // txt_sample_stratified mapping) — and emit the affinity
+    // avg_p_target − avg_p_corpus. DSIR proper ranks by a
+    // log-likelihood ratio; ln() is a cross-engine ULP hazard with
+    // zero ranking benefit here (the paper's hashed-ngram features are
+    // ratios too), so the affinity stays in the SAME pure-integer
+    // fixed-point as txt_lm_score — fp = (c·1e9) DIV prefix, exact
+    // long sums, one double division per doc at render. Unseen-in-
+    // target bigrams back off to probability 0 (fp_t = 0) through the
+    // left join, exactly representable. Positive affinity = more
+    // target-like than corpus-average — the resampling keep signal.
+    // Plan: ONE bigram explode feeds both LM builds (the target table
+    // is a filtered regroup, not a second scan); the join back is the
+    // same vocab-partitioned (w1, w2) shuffle as txt_lm_score.
+    "txt_domain_affinity" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val docs = Tables.documents(s, dir).withColumn("toks", expr(toksE))
+          .withColumn("is_tgt", expr("CAST(substring(source, 4) AS INT) % 5 = 0"))
+        val bb = docs.select($"doc_id", $"is_tgt", explode(expr(
+          "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks)-2), " +
+            "i -> struct(toks[i] AS w1, toks[i+1] AS w2)) ELSE array() END")).as("b"))
+          .select($"doc_id", $"is_tgt", $"b.w1", $"b.w2")
+        val cc2 = bb.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
+        val cc1 = cc2.groupBy($"w1").agg(sum($"c2").as("c1"))
+        val tc2 = bb.filter($"is_tgt").groupBy($"w1", $"w2").agg(count(lit(1)).as("t2"))
+        val tc1 = tc2.groupBy($"w1").agg(sum($"t2").as("t1"))
+        val pd = bb.join(cc2, Seq("w1", "w2")).join(cc1, Seq("w1"))
+          .join(tc2, Seq("w1", "w2"), "left").join(tc1, Seq("w1"), "left")
+          .withColumn("fp_c", expr("(c2 * 1000000000) DIV c1"))
+          .withColumn("fp_t", coalesce(expr("(t2 * 1000000000) DIV t1"), lit(0L)))
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_bigrams"),
+            sum($"fp_c").as("sc2"), sum($"fp_t").as("st2"))
+        docs.select($"doc_id", $"is_tgt").join(pd, Seq("doc_id"), "left")
+          .select($"doc_id", $"is_tgt",
+            coalesce($"n_bigrams", lit(0L)).as("n_bigrams"),
+            round(coalesce($"st2".cast("double") / ($"n_bigrams" * lit(1e9)), lit(0.0)), 6).as("avg_p_target"),
+            round(coalesce($"sc2".cast("double") / ($"n_bigrams" * lit(1e9)), lit(0.0)), 6).as("avg_p_corpus"),
+            round(coalesce(($"st2" - $"sc2").cast("double") / ($"n_bigrams" * lit(1e9)), lit(0.0)), 6).as("affinity"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        d AS (SELECT doc_id, CAST(substr(source, 4) AS INT) % 5 = 0 AS is_tgt, tk FROM t),
+        bb AS (SELECT doc_id, is_tgt,
+                      unnest(list_transform(generate_series(1, len(tk)-1),
+                        i -> {'w1': tk[i], 'w2': tk[i+1]}), recursive := true)
+               FROM d WHERE len(tk) >= 2),
+        cc AS (SELECT w1, w2, count(*) AS c2 FROM bb GROUP BY 1, 2),
+        cp AS (SELECT w1, CAST(sum(c2) AS BIGINT) AS c1 FROM cc GROUP BY 1),
+        tcc AS (SELECT w1, w2, count(*) AS t2 FROM bb WHERE is_tgt GROUP BY 1, 2),
+        tcp AS (SELECT w1, CAST(sum(t2) AS BIGINT) AS t1 FROM tcc GROUP BY 1),
+        sc AS (SELECT bb.doc_id,
+                      (cc.c2 * 1000000000) // cp.c1 AS fp_c,
+                      COALESCE((tcc.t2 * 1000000000) // tcp.t1, 0) AS fp_t
+               FROM bb JOIN cc USING (w1, w2) JOIN cp USING (w1)
+               LEFT JOIN tcc USING (w1, w2) LEFT JOIN tcp USING (w1)),
+        pd AS (SELECT doc_id, count(*) AS n_bigrams,
+                      CAST(sum(fp_c) AS BIGINT) AS sc2,
+                      CAST(sum(fp_t) AS BIGINT) AS st2
+               FROM sc GROUP BY 1)
+        SELECT d.doc_id, d.is_tgt,
+               coalesce(pd.n_bigrams, 0) AS n_bigrams,
+               round(coalesce(CAST(pd.st2 AS DOUBLE) / (pd.n_bigrams * 1000000000.0), 0.0), 6) AS avg_p_target,
+               round(coalesce(CAST(pd.sc2 AS DOUBLE) / (pd.n_bigrams * 1000000000.0), 0.0), 6) AS avg_p_corpus,
+               round(coalesce(CAST(pd.st2 - pd.sc2 AS DOUBLE) / (pd.n_bigrams * 1000000000.0), 0.0), 6) AS affinity
+        FROM d LEFT JOIN pd USING (doc_id)"""),
+      doc = "DSIR-flavored domain-affinity data selection: per-doc average probability under a target-slice bigram LM vs the corpus LM, pure-integer fixed-point, positive affinity = target-like (the importance-resampling keep signal)")
   )
 }
