@@ -89,6 +89,8 @@ class QueriesSpec extends AnyFunSuite {
       "sim_quantize_int8",   // 1-row broadcast query-vector panel (Embeddings.scala)
       "sim_kmeans_assign",   // k-row broadcast centroid panel (Embeddings.scala)
       "sim_ivf_persisted_probe", // same k-row centroid panel, read from the persisted index
+      "qa_drift_tv",         // 1-row generation-totals broadcast (the api_q6_stats shape)
+      "qa_corpus_mix",       // 1-row corpus-token-total broadcast (the api_q6_stats shape)
       "txt_tfidf_top")       // 1-row corpus-count broadcast (the api_q6_stats shape)
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
