@@ -601,6 +601,58 @@ object TextStats {
                round(coalesce(CAST(pd.sc2 AS DOUBLE) / (pd.n_bigrams * 1000000000.0), 0.0), 6) AS avg_p_corpus,
                round(coalesce(CAST(pd.st2 - pd.sc2 AS DOUBLE) / (pd.n_bigrams * 1000000000.0), 0.0), 6) AS affinity
         FROM d LEFT JOIN pd USING (doc_id)"""),
-      doc = "DSIR-flavored domain-affinity data selection: per-doc average probability under a target-slice bigram LM vs the corpus LM, pure-integer fixed-point, positive affinity = target-like (the importance-resampling keep signal)")
+      doc = "DSIR-flavored domain-affinity data selection: per-doc average probability under a target-slice bigram LM vs the corpus LM, pure-integer fixed-point, positive affinity = target-like (the importance-resampling keep signal)"),
+
+    // cross-document SPAN redundancy (the signal behind exact-substring
+    // dedup, Lee et al. 2022 "Deduplicating Training Data Makes
+    // Language Models Better": drop verbatim spans already seen
+    // elsewhere in the corpus): per doc, the fraction of its distinct
+    // word-8-grams whose FIRST corpus occurrence (min doc_id over docs
+    // containing the gram — the keep-first convention of dedup_exact /
+    // SemDeDup) lies in an EARLIER document. High dup_span_frac marks
+    // boilerplate/mirrored text for span-level scrubbing; the full
+    // suffix-array pipeline the paper builds is the offline variant of
+    // exactly this signal. Plan: one explode + one gram-keyed shuffle
+    // (min doc per gram — the txt_decontaminate shape pointed at
+    // intra-corpus redundancy) + the join back. Docs under 8 tokens
+    // carry zero grams and report 0/0.0 via the left join.
+    "txt_span_redundancy" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val g8 = "CASE WHEN size(toks) >= 8 THEN array_distinct(transform(sequence(0, size(toks)-8), " +
+          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], " +
+          "toks[i+4], toks[i+5], toks[i+6], toks[i+7]))) ELSE array() END"
+        val grams = Tables.documents(s, dir).withColumn("toks", expr(toksE))
+          .select($"doc_id", explode(expr(g8)).as("sh"))
+        val first = grams.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
+        val per = grams.join(first, "sh")
+          .groupBy($"doc_id")
+          .agg(count(lit(1)).as("n_8grams"),
+            sum(when($"first_doc" < $"doc_id", 1L).otherwise(0L)).as("n_dup_spans"))
+        Tables.documents(s, dir).select($"doc_id").join(per, Seq("doc_id"), "left")
+          .select($"doc_id",
+            coalesce($"n_8grams", lit(0L)).as("n_8grams"),
+            coalesce($"n_dup_spans", lit(0L)).as("n_dup_spans"),
+            round(coalesce($"n_dup_spans".cast("double") / $"n_8grams", lit(0.0)), 6)
+              .as("dup_span_frac"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        g AS (SELECT doc_id,
+                     unnest(list_distinct(list_transform(generate_series(1, len(tk)-7),
+                       i -> tk[i]||' '||tk[i+1]||' '||tk[i+2]||' '||tk[i+3]||' '||
+                            tk[i+4]||' '||tk[i+5]||' '||tk[i+6]||' '||tk[i+7]))) AS sh
+              FROM t WHERE len(tk) >= 8),
+        f AS (SELECT sh, min(doc_id) AS first_doc FROM g GROUP BY 1),
+        per AS (SELECT g.doc_id,
+                       count(*) AS n_8grams,
+                       CAST(sum(CASE WHEN f.first_doc < g.doc_id THEN 1 ELSE 0 END) AS BIGINT) AS n_dup_spans
+                FROM g JOIN f USING (sh) GROUP BY 1)
+        SELECT d.doc_id,
+               coalesce(per.n_8grams, 0) AS n_8grams,
+               coalesce(per.n_dup_spans, 0) AS n_dup_spans,
+               round(coalesce(CAST(per.n_dup_spans AS DOUBLE) / per.n_8grams, 0.0), 6) AS dup_span_frac
+        FROM documents d LEFT JOIN per USING (doc_id)"""),
+      doc = "cross-document span redundancy: fraction of a doc's distinct word-8-grams first seen in an earlier document (keep-first) — the exact-substring-dedup drop signal")
   )
 }
