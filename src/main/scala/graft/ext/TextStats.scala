@@ -653,6 +653,64 @@ object TextStats {
                coalesce(per.n_dup_spans, 0) AS n_dup_spans,
                round(coalesce(CAST(per.n_dup_spans AS DOUBLE) / per.n_8grams, 0.0), 6) AS dup_span_frac
         FROM documents d LEFT JOIN per USING (doc_id)"""),
-      doc = "cross-document span redundancy: fraction of a doc's distinct word-8-grams first seen in an earlier document (keep-first) — the exact-substring-dedup drop signal")
+      doc = "cross-document span redundancy: fraction of a doc's distinct word-8-grams first seen in an earlier document (keep-first) — the exact-substring-dedup drop signal"),
+
+    // the ACTION on that signal: exact-substring SPAN SCRUBBING (Lee et
+    // al. 2022's dedup applied span-level, the txt_pii_scrub discipline
+    // of emitting the scrubbed artifact with proof columns): every
+    // token covered by ANY word-8-gram window whose first corpus
+    // occurrence is an earlier document is removed; the first
+    // occurrence keeps its text verbatim (keep-first — rerunning the
+    // scrub on a scrubbed corpus is a no-op). Position logic rides the
+    // ENGINES' index lambdas (Spark `filter(toks, (t, i) -> …)`
+    // 0-based ⇄ DuckDB `list_filter(tk, (x, i) -> …)` 1-based — each
+    // side's window starts use its own base, so the KEPT TOKEN SET is
+    // identical and the reassembled md5 hash-gates the scrub
+    // end-to-end). Plan: the span-redundancy shuffle + a per-doc
+    // covered-position set (bounded by doc length) + a shuffle-free
+    // reassembly scan.
+    "txt_span_scrub" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val g8win = "CASE WHEN size(toks) >= 8 THEN transform(sequence(0, size(toks)-8), " +
+          "j -> struct(j AS j, concat_ws(' ', toks[j], toks[j+1], toks[j+2], toks[j+3], " +
+          "toks[j+4], toks[j+5], toks[j+6], toks[j+7]) AS sh)) ELSE array() END"
+        val docs = Tables.documents(s, dir).withColumn("toks", expr(toksE))
+        val wins = docs.select($"doc_id", explode(expr(g8win)).as("w"))
+          .select($"doc_id", $"w.j", $"w.sh")
+        val first = wins.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
+        val cov = wins.join(first, "sh").filter($"first_doc" < $"doc_id")
+          .select($"doc_id", explode(expr("sequence(j, j + 7)")).as("pos"))
+          .groupBy($"doc_id").agg(collect_set($"pos").as("cov"))
+        docs.join(cov, Seq("doc_id"), "left")
+          .withColumn("cov", coalesce($"cov", expr("CAST(array() AS ARRAY<INT>)")))
+          .withColumn("kept", expr("filter(toks, (t, i) -> NOT array_contains(cov, i))"))
+          .select($"doc_id",
+            size($"toks").as("n_before"),
+            size($"kept").as("n_after"),
+            md5(array_join($"kept", " ")).as("scrub_hash"))
+      },
+      oracle = Some("""
+        WITH t AS (SELECT doc_id, string_split_regex(trim(text), '\s+') AS tk FROM documents),
+        w AS (SELECT doc_id,
+                     unnest(list_transform(generate_series(1, len(tk)-7),
+                       j -> {'j': j,
+                             'sh': tk[j]||' '||tk[j+1]||' '||tk[j+2]||' '||tk[j+3]||' '||
+                                   tk[j+4]||' '||tk[j+5]||' '||tk[j+6]||' '||tk[j+7]}),
+                       recursive := true)
+              FROM t WHERE len(tk) >= 8),
+        f AS (SELECT sh, min(doc_id) AS first_doc FROM w GROUP BY 1),
+        covp AS (SELECT w.doc_id, unnest(generate_series(w.j, w.j + 7)) AS pos
+                 FROM w JOIN f USING (sh) WHERE f.first_doc < w.doc_id),
+        cov AS (SELECT doc_id, list_distinct(list(pos)) AS cov FROM covp GROUP BY 1),
+        k AS (SELECT t.doc_id, t.tk,
+                     list_filter(t.tk, (x, i) -> NOT list_contains(coalesce(c.cov, []), i)) AS kept
+              FROM t LEFT JOIN cov c USING (doc_id))
+        SELECT doc_id, len(tk) AS n_before, len(kept) AS n_after,
+               -- array_to_string([]) is NULL in DuckDB where Spark's
+               -- array_join gives '' (a fully-scrubbed doc) — align
+               md5(coalesce(array_to_string(kept, ' '), '')) AS scrub_hash
+        FROM k"""),
+      doc = "exact-substring span scrubbing: tokens covered by any word-8-gram first seen in an earlier doc are removed (keep-first, idempotent), scrubbed text hash-gated end-to-end")
   )
 }
