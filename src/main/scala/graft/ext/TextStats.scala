@@ -660,8 +660,12 @@ object TextStats {
     // of emitting the scrubbed artifact with proof columns): every
     // token covered by ANY word-8-gram window whose first corpus
     // occurrence is an earlier document is removed; the first
-    // occurrence keeps its text verbatim (keep-first — rerunning the
-    // scrub on a scrubbed corpus is a no-op). Position logic rides the
+    // occurrence keeps its text verbatim (keep-first). NOTE: the scrub
+    // is deliberately defined on the ORIGINAL text's windows (the Lee
+    // et al. convention) — removal can make previously-distant tokens
+    // adjacent, so a re-scrub of scrubbed text is a DIFFERENT (and not
+    // generally empty) operation; pipelines run this pass once per
+    // corpus snapshot. Position logic rides the
     // ENGINES' index lambdas (Spark `filter(toks, (t, i) -> …)`
     // 0-based ⇄ DuckDB `list_filter(tk, (x, i) -> …)` 1-based — each
     // side's window starts use its own base, so the KEPT TOKEN SET is
@@ -711,6 +715,6 @@ object TextStats {
                -- array_join gives '' (a fully-scrubbed doc) — align
                md5(coalesce(array_to_string(kept, ' '), '')) AS scrub_hash
         FROM k"""),
-      doc = "exact-substring span scrubbing: tokens covered by any word-8-gram first seen in an earlier doc are removed (keep-first, idempotent), scrubbed text hash-gated end-to-end")
+      doc = "exact-substring span scrubbing: tokens covered by any word-8-gram first seen in an earlier doc are removed (keep-first, defined on the original text's windows), scrubbed text hash-gated end-to-end")
   )
 }
