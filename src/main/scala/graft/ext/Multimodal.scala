@@ -75,7 +75,126 @@ object Multimodal {
     else (width * maxDim / m, height * maxDim / m)
   }
 
+  // ---- REAL decode path (round 19): Netpbm P6 needs NO codec library
+  // — the format is a whitespace-tokenized ASCII header (`P6 <w> <h>
+  // <maxval>`) followed by w·h·3 raw RGB bytes — so a genuine
+  // byte-level image decoder CAN exist in this zero-egress container.
+  // The corpus ships no media, so payloads are PLANTED deterministically
+  // from doc_id (the txt_pii_scrub discipline: synthesize the hazard,
+  // prove the handling); the DECODER never sees the formula — it parses
+  // the actual bytes — and the DuckDB oracle predicts the channel
+  // statistics ARITHMETICALLY from doc_id, so a header misparse, an RGB
+  // stride slip, or a truncated-read bug flips the hash. The jpeg/audio
+  // kernels above remain honest stubs; this is the same mapPartitions
+  // batch shape with a real parser dropped in.
+
+  /** Deterministic P6 payload: w = 4 + id%13, h = 3 + id%7, maxval 255,
+    * pixel byte k = (id·31 + k·7) mod 256. */
+  def encodePpm(docId: Long): Array[Byte] = {
+    val w = 4 + (docId % 13).toInt
+    val h = 3 + (docId % 7).toInt
+    val header = s"P6\n$w $h\n255\n".getBytes("US-ASCII")
+    val px = new Array[Byte](w * h * 3)
+    var k = 0
+    while (k < px.length) {
+      px(k) = ((docId * 31 + k.toLong * 7) % 256).toByte
+      k += 1
+    }
+    header ++ px
+  }
+
+  /** Decoded P6 stats: one row per asset. */
+  final case class PpmStats(
+      doc_id: Long, n_bytes: Long, width: Int, height: Int, maxval: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL P6 parser: tokenizes the header (whitespace-separated, as the
+    * Netpbm spec requires — it never assumes the writer's exact
+    * spacing), validates magic/maxval/payload length, and computes
+    * per-channel means from the raw bytes. Throws on malformed input —
+    * the registered entry's payloads are all valid; an ingest pipeline
+    * would wrap this in the quarantine pattern (Ingest.rawFromJsonLines). */
+  def decodePpm(docId: Long, bytes: Array[Byte]): PpmStats = {
+    require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
+      s"not a P6 payload for doc $docId")
+    var i = 2
+    def skipWs(): Unit = {
+      while (i < bytes.length &&
+        (bytes(i) == ' ' || bytes(i) == '\n' || bytes(i) == '\t' || bytes(i) == '\r')) i += 1
+    }
+    def readInt(): Int = {
+      skipWs()
+      var v = 0
+      require(i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9',
+        s"bad P6 header int for doc $docId at byte $i")
+      while (i < bytes.length && bytes(i) >= '0' && bytes(i) <= '9') {
+        v = v * 10 + (bytes(i) - '0'); i += 1
+      }
+      v
+    }
+    val w = readInt(); val h = readInt(); val maxval = readInt()
+    // exactly ONE whitespace byte separates maxval from the raster
+    i += 1
+    require(maxval == 255, s"unsupported maxval $maxval for doc $docId")
+    require(bytes.length - i == w * h * 3,
+      s"P6 raster length ${bytes.length - i} != ${w * h * 3} for doc $docId")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var k = 0
+    val n = w * h * 3
+    while (k < n) {
+      val v = bytes(i + k) & 0xff
+      (k % 3: @annotation.switch) match {
+        case 0 => sr += v
+        case 1 => sg += v
+        case _ => sb += v
+      }
+      k += 1
+    }
+    val px = (w * h).toDouble
+    PpmStats(docId, bytes.length.toLong, w, h, maxval,
+      sr / px, sg / px, sb / px)
+  }
+
   val defs: Map[String, QueryDef] = Map(
+    // REAL image decode end-to-end (no stub): deterministic planted P6
+    // payloads → the byte-level [[decodePpm]] parser through the
+    // mapPartitions batch path → per-channel statistics, hash-gated
+    // against an oracle that PREDICTS the stats arithmetically from
+    // doc_id without ever seeing the bytes. The decoder tokenizes the
+    // header per the Netpbm spec (it does not assume the planter's
+    // spacing), so a parse/stride/truncation bug cannot hide.
+    "mm_ppm_decode" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, dir).select($"doc_id").as[Long]
+          .mapPartitions(_.map(id => (id, encodePpm(id)))).toDF("doc_id", "payload")
+        payloads.as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, bytes) => decodePpm(id, bytes) })
+          .toDF()
+          .select($"doc_id", $"n_bytes", $"width", $"height", $"maxval",
+            round($"mean_r", 6).as("mean_r"),
+            round($"mean_g", 6).as("mean_g"),
+            round($"mean_b", 6).as("mean_b"))
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents),
+        px AS (SELECT doc_id, w, h, unnest(generate_series(0, w*h*3 - 1)) AS k FROM d),
+        b AS (SELECT doc_id, w, h, (doc_id*31 + k*7) % 256 AS v, k % 3 AS ch FROM px),
+        agg AS (SELECT doc_id, w, h,
+                       CAST(sum(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sr,
+                       CAST(sum(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS sg,
+                       CAST(sum(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS sb
+                FROM b GROUP BY 1, 2, 3)
+        SELECT doc_id,
+               CAST(strlen('P6' || chr(10) || CAST(w AS VARCHAR) || ' ' || CAST(h AS VARCHAR)
+                           || chr(10) || '255' || chr(10)) + w*h*3 AS BIGINT) AS n_bytes,
+               CAST(w AS INT) AS width, CAST(h AS INT) AS height, 255 AS maxval,
+               round(CAST(sr AS DOUBLE) / (w*h), 6) AS mean_r,
+               round(CAST(sg AS DOUBLE) / (w*h), 6) AS mean_g,
+               round(CAST(sb AS DOUBLE) / (w*h), 6) AS mean_b
+        FROM agg"""),
+      doc = "REAL Netpbm P6 image decode (codec-free byte parser) through the mapPartitions batch path: planted deterministic payloads, per-channel means hash-gated against an arithmetic oracle that never sees the bytes"),
+
     // binary-column metadata: pure relational ops over the payload —
     // byte length, first byte, content digest.
     "mm_binary_meta" -> QueryDef(
