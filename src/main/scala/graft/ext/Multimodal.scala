@@ -108,13 +108,13 @@ object Multimodal {
       doc_id: Long, n_bytes: Long, width: Int, height: Int, maxval: Int,
       mean_r: Double, mean_g: Double, mean_b: Double)
 
-  /** REAL P6 parser: tokenizes the header (whitespace-separated, as the
-    * Netpbm spec requires — it never assumes the writer's exact
-    * spacing), validates magic/maxval/payload length, and computes
-    * per-channel means from the raw bytes. Throws on malformed input —
-    * the registered entry's payloads are all valid; an ingest pipeline
+  /** REAL P6 header parse: tokenizes the header (whitespace-separated,
+    * as the Netpbm spec requires — it never assumes the writer's exact
+    * spacing), validates magic/maxval/raster length, and returns
+    * (w, h, maxval, rasterOffset). Throws on malformed input — the
+    * registered entries' payloads are all valid; an ingest pipeline
     * would wrap this in the quarantine pattern (Ingest.rawFromJsonLines). */
-  def decodePpm(docId: Long, bytes: Array[Byte]): PpmStats = {
+  private def parsePpmHeader(docId: Long, bytes: Array[Byte]): (Int, Int, Int, Int) = {
     require(bytes.length >= 2 && bytes(0) == 'P' && bytes(1) == '6',
       s"not a P6 payload for doc $docId")
     var i = 2
@@ -138,11 +138,17 @@ object Multimodal {
     require(maxval == 255, s"unsupported maxval $maxval for doc $docId")
     require(bytes.length - i == w * h * 3,
       s"P6 raster length ${bytes.length - i} != ${w * h * 3} for doc $docId")
+    (w, h, maxval, i)
+  }
+
+  /** REAL P6 decode: parse + per-channel means from the raw bytes. */
+  def decodePpm(docId: Long, bytes: Array[Byte]): PpmStats = {
+    val (w, h, maxval, off) = parsePpmHeader(docId, bytes)
     var sr = 0L; var sg = 0L; var sb = 0L
     var k = 0
     val n = w * h * 3
     while (k < n) {
-      val v = bytes(i + k) & 0xff
+      val v = bytes(off + k) & 0xff
       (k % 3: @annotation.switch) match {
         case 0 => sr += v
         case 1 => sg += v
@@ -153,6 +159,39 @@ object Multimodal {
     val px = (w * h).toDouble
     PpmStats(docId, bytes.length.toLong, w, h, maxval,
       sr / px, sg / px, sb / px)
+  }
+
+  /** Resized-raster stats: one row per asset. */
+  final case class ResizedStats(
+      doc_id: Long, width: Int, height: Int, resized_w: Int, resized_h: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL nearest-neighbor P6 resize — resampling is pure index
+    * arithmetic, so like the parser it needs no codec: the output box
+    * comes from [[resizeStub]]'s aspect-preserving rule (real integer
+    * arithmetic, shared with the metadata entry), and each output
+    * pixel (x, y) reads input pixel ((x·w) / rw, (y·h) / rh) — floor
+    * mapping, the standard NN convention, reproduced exactly by
+    * DuckDB's `//` in the oracle. Returns the resized raster's
+    * per-channel means (the raster itself never leaves the kernel —
+    * the stats are the gateable surface). */
+  def resizePpmNearest(docId: Long, bytes: Array[Byte], maxDim: Int): ResizedStats = {
+    val (w, h, _, off) = parsePpmHeader(docId, bytes)
+    val (rw, rh) = resizeStub(w, h, maxDim)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var p = 0
+    val n = rw * rh
+    while (p < n) {
+      val x = p % rw; val y = p / rw
+      val xs = x * w / rw; val ys = y * h / rh
+      val base = off + 3 * (ys * w + xs)
+      sr += bytes(base) & 0xff
+      sg += bytes(base + 1) & 0xff
+      sb += bytes(base + 2) & 0xff
+      p += 1
+    }
+    val px = n.toDouble
+    ResizedStats(docId, w, h, rw, rh, sr / px, sg / px, sb / px)
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -194,6 +233,56 @@ object Multimodal {
                round(CAST(sb AS DOUBLE) / (w*h), 6) AS mean_b
         FROM agg"""),
       doc = "REAL Netpbm P6 image decode (codec-free byte parser) through the mapPartitions batch path: planted deterministic payloads, per-channel means hash-gated against an arithmetic oracle that never sees the bytes"),
+
+    // REAL resize end-to-end: decode + nearest-neighbor resample to an
+    // 8-px box (aspect-preserving) — resampling is index arithmetic,
+    // no codec needed — with the RESIZED raster's channel means gated
+    // against the same never-sees-the-bytes arithmetic oracle. Some
+    // planted images already fit the box (m ≤ 8) and pass through
+    // unscaled, so both branches of the box rule are gated.
+    "mm_ppm_resize" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, dir).select($"doc_id").as[Long]
+          .mapPartitions(_.map(id => (id, encodePpm(id)))).toDF("doc_id", "payload")
+        payloads.as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, bytes) => resizePpmNearest(id, bytes, 8) })
+          .toDF()
+          .select($"doc_id", $"width", $"height", $"resized_w", $"resized_h",
+            round($"mean_r", 6).as("mean_r"),
+            round($"mean_g", 6).as("mean_g"),
+            round($"mean_b", 6).as("mean_b"))
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents),
+        r AS (SELECT doc_id, w, h,
+                     CASE WHEN greatest(w, h) <= 8 THEN w
+                          ELSE (w * 8) // greatest(w, h) END AS rw,
+                     CASE WHEN greatest(w, h) <= 8 THEN h
+                          ELSE (h * 8) // greatest(w, h) END AS rh
+              FROM d),
+        px AS (SELECT doc_id, w, h, rw, rh, unnest(generate_series(0, rw*rh - 1)) AS p
+               FROM r),
+        m AS (SELECT doc_id, w, h, rw, rh,
+                     ((((p // rw) * h) // rh) * w + (((p % rw) * w) // rw)) AS src_px
+              FROM px),
+        v AS (SELECT doc_id, w, h, rw, rh,
+                     (doc_id*31 + (3*src_px + 0) * 7) % 256 AS vr,
+                     (doc_id*31 + (3*src_px + 1) * 7) % 256 AS vg,
+                     (doc_id*31 + (3*src_px + 2) * 7) % 256 AS vb
+              FROM m),
+        agg AS (SELECT doc_id, w, h, rw, rh,
+                       CAST(sum(vr) AS BIGINT) AS sr,
+                       CAST(sum(vg) AS BIGINT) AS sg,
+                       CAST(sum(vb) AS BIGINT) AS sb
+                FROM v GROUP BY 1, 2, 3, 4, 5)
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(rw AS INT) AS resized_w, CAST(rh AS INT) AS resized_h,
+               round(CAST(sr AS DOUBLE) / (rw*rh), 6) AS mean_r,
+               round(CAST(sg AS DOUBLE) / (rw*rh), 6) AS mean_g,
+               round(CAST(sb AS DOUBLE) / (rw*rh), 6) AS mean_b
+        FROM agg"""),
+      doc = "REAL nearest-neighbor P6 resize (decode + index-arithmetic resample, codec-free): resized-raster channel means hash-gated against the arithmetic oracle; both box-rule branches exercised"),
 
     // binary-column metadata: pure relational ops over the payload —
     // byte length, first byte, content digest.

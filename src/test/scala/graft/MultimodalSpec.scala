@@ -44,6 +44,26 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodePpm(1L, ppm("P6\nx 1\n255\n", px)))     // non-numeric dim
   }
 
+  test("resizePpmNearest: hand-checked NN mapping; pass-through box equals decode") {
+    // 4×1 image, pixels P0..P3 with distinct channel values
+    val px = (0 until 12).map(_.toByte).toArray // P0=(0,1,2) P1=(3,4,5) P2=(6,7,8) P3=(9,10,11)
+    val img = ppm("P6\n4 1\n255\n", px)
+    // box 2: rw = 4·2/4 = 2, rh = 1·2/4 = 0? — resizeStub: h·maxDim/m = 1·2/4 = 0…
+    // use box 2 on 4×2 instead: rw = 2, rh = 1; NN picks x∈{0,2}, y=0
+    val px2 = (0 until 24).map(_.toByte).toArray // row0: P0..P3, row1: P4..P7
+    val img2 = ppm("P6\n4 2\n255\n", px2)
+    val r = Multimodal.resizePpmNearest(5L, img2, 2)
+    assert(r.resized_w == 2 && r.resized_h == 1, s"box rule wrong: $r")
+    // output pixels = input (0,0)=(0,1,2) and (2,0)=(6,7,8)
+    assert(r.mean_r == (0 + 6) / 2.0 && r.mean_g == (1 + 7) / 2.0 &&
+      r.mean_b == (2 + 8) / 2.0, s"NN mapping wrong: $r")
+    // pass-through: a box the image already fits leaves means = decode's
+    val d = Multimodal.decodePpm(5L, img)
+    val s = Multimodal.resizePpmNearest(5L, img, 16)
+    assert(s.resized_w == 4 && s.resized_h == 1 &&
+      s.mean_r == d.mean_r && s.mean_g == d.mean_g && s.mean_b == d.mean_b)
+  }
+
   test("encode→decode roundtrip matches the planted formula") {
     val id = 42L
     val d = Multimodal.decodePpm(id, Multimodal.encodePpm(id))
