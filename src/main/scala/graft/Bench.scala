@@ -274,7 +274,10 @@ object Bench {
       case c if c < ' ' => f"\\u${c.toInt}%04x"
       case c => c.toString
     } + "\""
-    def r4(d: Double): String = f"$d%.4f"
+    // Locale.ROOT: the f-interpolator honors the JVM default locale, and
+    // a comma-decimal locale would render invalid JSON ("0,2500")
+    def r4(d: Double): String =
+      String.format(java.util.Locale.ROOT, "%.4f", java.lang.Double.valueOf(d))
     val calibs = groupData.map(_.map(_._1))
     val runCalib = calibs.flatten.min
     val anchor0 = if (anchor > 0) anchor else runCalib

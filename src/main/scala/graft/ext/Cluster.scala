@@ -351,16 +351,19 @@ object Cluster {
     }
 
   /** Store root keyed by sfDir AND a cheap corpus fingerprint (row
-    * count + max doc_id — the ClusterSmoke discipline), so a
-    * driver-side testdata regeneration reseeds instead of gating the
-    * new corpus against a stale persisted assignment. */
+    * count + max doc_id + an order-free CONTENT xor — one xxhash64 per
+    * row folded with bit_xor, so a testdata regeneration that keeps the
+    * shape but changes the text still reseeds), so a driver-side
+    * regeneration never gates the new corpus against a stale persisted
+    * assignment. */
   private def storeRoot(s: SparkSession, dir: String): String = {
     val r = Tables.documents(s, dir)
-      .agg(count(lit(1)), max(col("doc_id"))).collect()(0)
+      .agg(count(lit(1)), max(col("doc_id")),
+        expr("bit_xor(xxhash64(doc_id, text))")).collect()(0)
     val md = java.security.MessageDigest.getInstance("MD5")
       .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
     sys.env.getOrElse("GRAFT_DEDUP_STORE_DIR", "/root/repo/target/dedup-store") +
-      s"/$md-n${r.getLong(0)}-m${r.getLong(1)}"
+      s"/$md-n${r.getLong(0)}-m${r.getLong(1)}-x${java.lang.Long.toHexString(r.getLong(2))}"
   }
 
   /** The incremental dedup loop over REAL STORAGE (r18 VERDICT item 2 —

@@ -6,42 +6,27 @@ import org.apache.spark.sql.functions._
 
 /** Multimodal-column plumbing: image/audio/video payloads travel as
   * opaque `binary` columns with typed metadata structs; decode /
-  * feature-extraction runs as a partition-wise batch operator.
+  * feature-extraction runs as a partition-wise batch operator
+  * (`mapPartitions` — the Scala analog of a pandas-UDF `mapInPandas`
+  * batch decoder: per-partition init, streaming over rows, no per-row
+  * setup cost).
   *
-  * The container has no image/audio codecs, so the decode kernel is a
-  * clearly-marked DETERMINISTIC STUB (`decodeStub`): it synthesizes
-  * plausible metadata + features from the bytes. Everything around it —
-  * the binary column, the schema, the `mapPartitions` batch shape, the
-  * partition sizing — is the real Spark plumbing a production decoder
-  * (JNI/ffmpeg/jpeg) would drop into.
+  * Every kernel here is REAL (round 20 — no stubs left):
+  *  - Netpbm P6 and RIFF/WAVE PCM are fixed-layout binary formats, so
+  *    their decoders are bespoke byte parsers needing no codec library;
+  *  - PNG and JPEG ride `javax.imageio` (the JDK's own `java.desktop`
+  *    module ships PNG/JPEG/BMP/GIF readers and writers — present in
+  *    this zero-egress container, no external jars).
+  * The corpus ships no media, so payloads are PLANTED deterministically
+  * from doc_id (the txt_pii_scrub discipline: synthesize the input,
+  * prove the handling); decoders never see the planting formula — they
+  * parse the actual bytes — and the DuckDB oracles predict the channel/
+  * sample statistics ARITHMETICALLY from doc_id without seeing the
+  * bytes, so a header misparse, stride slip, or truncated read flips
+  * the hash. JPEG is lossy, so its roundtrip is spec-gated by tolerance
+  * (MultimodalSpec) instead of hash-gated.
   */
 object Multimodal {
-
-  /** Typed decode output: one row per asset. */
-  final case class DecodedAsset(
-      doc_id: Long,
-      n_bytes: Int,
-      width: Int,
-      height: Int,
-      channels: Int,
-      mean_byte: Double)
-
-  /** DETERMINISTIC STUB decode kernel — replace with a real codec.
-    * Signature and batch shape (Iterator[partition] → Iterator[rows])
-    * are what a JNI decoder needs: per-partition init (here: none),
-    * streaming over rows, no per-row setup cost. */
-  def decodeStub(bytes: Array[Byte]): (Int, Int, Int, Double) = {
-    // ??? real codec goes here; stub derives fake dims from content
-    val n = bytes.length
-    val width = 16 + (n % 64)
-    val height = 16 + ((n / 64) % 64)
-    val channels = 3
-    var sum = 0L
-    var i = 0
-    while (i < n) { sum += (bytes(i) & 0xff); i += 1 }
-    val mean = if (n == 0) 0.0 else sum.toDouble / n
-    (width, height, channels, mean)
-  }
 
   /** documents.text re-cast as a binary asset column (the test corpus
     * has no real media; utf-8 bytes stand in for the payload). */
@@ -51,42 +36,24 @@ object Multimodal {
       .select($"doc_id", $"text".cast("binary").as("payload"))
   }
 
-  /** Partition-wise decode: the Scala analog of a pandas-UDF
-    * `mapInPandas` batch decoder. */
-  def decode(s: SparkSession, dir: String): Dataset[DecodedAsset] = {
-    import s.implicits._
-    assets(s, dir)
-      .as[(Long, Array[Byte])]
-      .mapPartitions { it =>
-        it.map { case (id, bytes) =>
-          val (w, h, c, mean) = decodeStub(bytes)
-          DecodedAsset(id, bytes.length, w, h, c, mean)
-        }
-      }
-  }
-
-  /** DETERMINISTIC STUB resize kernel: a real implementation would
-    * decode, scale with an interpolation kernel, and re-encode; the stub
-    * models the metadata contract (target box, aspect-preserving). */
-  def resizeStub(width: Int, height: Int, maxDim: Int): (Int, Int) = {
-    // ??? real scaler goes here
+  /** Aspect-preserving fit of (width, height) into a maxDim box — the
+    * REAL box rule every resize path shares (integer floor arithmetic,
+    * reproduced exactly by DuckDB `//` in the resize oracles). An
+    * extreme aspect ratio can floor a dimension to 0; callers reject
+    * that loudly (see [[resizePpmNearest]]). */
+  def fitBox(width: Int, height: Int, maxDim: Int): (Int, Int) = {
     val m = math.max(width, height)
     if (m <= maxDim) (width, height)
     else (width * maxDim / m, height * maxDim / m)
   }
 
-  // ---- REAL decode path (round 19): Netpbm P6 needs NO codec library
-  // — the format is a whitespace-tokenized ASCII header (`P6 <w> <h>
-  // <maxval>`) followed by w·h·3 raw RGB bytes — so a genuine
-  // byte-level image decoder CAN exist in this zero-egress container.
-  // The corpus ships no media, so payloads are PLANTED deterministically
-  // from doc_id (the txt_pii_scrub discipline: synthesize the hazard,
-  // prove the handling); the DECODER never sees the formula — it parses
-  // the actual bytes — and the DuckDB oracle predicts the channel
-  // statistics ARITHMETICALLY from doc_id, so a header misparse, an RGB
-  // stride slip, or a truncated-read bug flips the hash. The jpeg/audio
-  // kernels above remain honest stubs; this is the same mapPartitions
-  // batch shape with a real parser dropped in.
+  // ---- codec-free decode path (round 19): Netpbm P6 is a
+  // whitespace-tokenized ASCII header (`P6 <w> <h> <maxval>`) followed
+  // by w·h·3 raw RGB bytes, so its decoder is a bespoke byte parser —
+  // no codec library involved. Payloads are planted from doc_id; the
+  // decoder parses the actual bytes and the DuckDB oracle predicts the
+  // channel statistics arithmetically, so a header misparse, an RGB
+  // stride slip, or a truncated-read bug flips the hash.
 
   /** Deterministic P6 payload: w = 4 + id%13, h = 3 + id%7, maxval 255,
     * pixel byte k = (id·31 + k·7) mod 256. */
@@ -133,7 +100,16 @@ object Multimodal {
       v
     }
     val w = readInt(); val h = readInt(); val maxval = readInt()
-    // exactly ONE whitespace byte separates maxval from the raster
+    // exactly ONE whitespace byte separates maxval from the raster — and
+    // it must BE whitespace: 'P6 2 1 255X<raster>' is malformed, not a
+    // payload with X as separator. Note '#' header comments (spec-legal)
+    // are deliberately REJECTED, not skipped: readInt's digit require
+    // trips on '#', so a commented header fails loudly — the planted
+    // corpus never writes comments, and an ingest pipeline would route
+    // the rejection through the quarantine pattern.
+    require(i < bytes.length && (bytes(i) == ' ' || bytes(i) == '\n' ||
+      bytes(i) == '\t' || bytes(i) == '\r'),
+      s"P6 maxval not followed by a whitespace separator for doc $docId")
     i += 1
     require(maxval == 255, s"unsupported maxval $maxval for doc $docId")
     require(bytes.length - i == w * h * 3,
@@ -168,7 +144,7 @@ object Multimodal {
 
   /** REAL nearest-neighbor P6 resize — resampling is pure index
     * arithmetic, so like the parser it needs no codec: the output box
-    * comes from [[resizeStub]]'s aspect-preserving rule (real integer
+    * comes from [[fitBox]]'s aspect-preserving rule (real integer
     * arithmetic, shared with the metadata entry), and each output
     * pixel (x, y) reads input pixel ((x·w) / rw, (y·h) / rh) — floor
     * mapping, the standard NN convention, reproduced exactly by
@@ -177,7 +153,11 @@ object Multimodal {
     * the stats are the gateable surface). */
   def resizePpmNearest(docId: Long, bytes: Array[Byte], maxDim: Int): ResizedStats = {
     val (w, h, _, off) = parsePpmHeader(docId, bytes)
-    val (rw, rh) = resizeStub(w, h, maxDim)
+    val (rw, rh) = fitBox(w, h, maxDim)
+    // a degenerate aspect ratio (e.g. 17×1 into box 8 → rh = 0) must
+    // fail loudly like other malformed inputs, not emit 0/0 = NaN means
+    require(rw > 0 && rh > 0,
+      s"degenerate resize box ${rw}x$rh for doc $docId (input ${w}x$h, maxDim $maxDim)")
     var sr = 0L; var sg = 0L; var sb = 0L
     var p = 0
     val n = rw * rh
@@ -192,6 +172,214 @@ object Multimodal {
     }
     val px = n.toDouble
     ResizedStats(docId, w, h, rw, rh, sr / px, sg / px, sb / px)
+  }
+
+  // ---- REAL codec path (round 20): PNG/JPEG via javax.imageio — the
+  // JDK's java.desktop module ships the codecs, so the jpeg-class
+  // kernels that were stubs through round 19 are now real. PNG is
+  // LOSSLESS: the planted raster (the SAME per-pixel formula the P6
+  // planter uses, so the arithmetic oracles are shared) survives
+  // encode→decode bit-for-bit, and the P6 hash-gate discipline
+  // transfers directly. JPEG is lossy — spec-gated by tolerance
+  // (MultimodalSpec roundtrip), not hash-gated.
+
+  /** Deterministic planted raster, shared by every image planter:
+    * w = 4 + id%13, h = 3 + id%7, channel byte k = (id·31 + k·7) mod
+    * 256 with k walking R,G,B per pixel in row-major order — exactly
+    * [[encodePpm]]'s raster, so the PNG oracles reuse the P6 CTEs. */
+  private def plantedImage(docId: Long): java.awt.image.BufferedImage = {
+    val w = 4 + (docId % 13).toInt
+    val h = 3 + (docId % 7).toInt
+    val img = new java.awt.image.BufferedImage(
+      w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+    var p = 0
+    while (p < w * h) {
+      val r = ((docId * 31 + (3L * p) * 7) % 256).toInt
+      val g = ((docId * 31 + (3L * p + 1) * 7) % 256).toInt
+      val b = ((docId * 31 + (3L * p + 2) * 7) % 256).toInt
+      img.setRGB(p % w, p / w, (r << 16) | (g << 8) | b)
+      p += 1
+    }
+    img
+  }
+
+  /** Deterministic PNG payload: the planted raster through the JDK's
+    * real PNG ENCODER (`ImageIO.write`). Lossless, so the decode side's
+    * channel statistics match the planting formula exactly. */
+  def encodePng(docId: Long): Array[Byte] = encodeImage(docId, "png")
+
+  /** Planted raster through any ImageIO writer ("png", "jpg", ...). */
+  def encodeImage(docId: Long, format: String): Array[Byte] = {
+    val bos = new java.io.ByteArrayOutputStream()
+    require(javax.imageio.ImageIO.write(plantedImage(docId), format, bos),
+      s"no ImageIO writer for format $format")
+    bos.toByteArray
+  }
+
+  /** REAL image decode via the JDK codec: bytes → BufferedImage →
+    * (width, height, row-major R,G,B channel values). Format-agnostic —
+    * ImageIO sniffs the container (PNG/JPEG/BMP/GIF). */
+  def decodeRaster(docId: Long, bytes: Array[Byte]): (Int, Int, Array[Int]) = {
+    val img = javax.imageio.ImageIO.read(new java.io.ByteArrayInputStream(bytes))
+    require(img != null, s"undecodable image payload for doc $docId")
+    val w = img.getWidth; val h = img.getHeight
+    val px = new Array[Int](w * h * 3)
+    var p = 0
+    while (p < w * h) {
+      val rgb = img.getRGB(p % w, p / w)
+      px(3 * p) = (rgb >> 16) & 0xff
+      px(3 * p + 1) = (rgb >> 8) & 0xff
+      px(3 * p + 2) = rgb & 0xff
+      p += 1
+    }
+    (w, h, px)
+  }
+
+  /** Decoded image stats (PNG path): one row per asset. No n_bytes
+    * column — unlike P6, the compressed payload length is codec
+    * implementation detail, not oracle-predictable arithmetic. */
+  final case class ImgStats(
+      doc_id: Long, width: Int, height: Int,
+      mean_r: Double, mean_g: Double, mean_b: Double)
+
+  /** REAL PNG decode: JDK codec + per-channel means over the raster. */
+  def decodeImageStats(docId: Long, bytes: Array[Byte]): ImgStats = {
+    val (w, h, px) = decodeRaster(docId, bytes)
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var p = 0
+    while (p < w * h) {
+      sr += px(3 * p); sg += px(3 * p + 1); sb += px(3 * p + 2)
+      p += 1
+    }
+    val n = (w * h).toDouble
+    ImgStats(docId, w, h, sr / n, sg / n, sb / n)
+  }
+
+  /** REAL resize on the decoded raster: [[fitBox]] box rule + the same
+    * floor-mapping NN resample as [[resizePpmNearest]], but fed by the
+    * JDK codec instead of the P6 byte parser. */
+  def resizeImageNearest(docId: Long, bytes: Array[Byte], maxDim: Int): ResizedStats = {
+    val (w, h, px) = decodeRaster(docId, bytes)
+    val (rw, rh) = fitBox(w, h, maxDim)
+    require(rw > 0 && rh > 0,
+      s"degenerate resize box ${rw}x$rh for doc $docId (input ${w}x$h, maxDim $maxDim)")
+    var sr = 0L; var sg = 0L; var sb = 0L
+    var p = 0
+    val n = rw * rh
+    while (p < n) {
+      val x = p % rw; val y = p / rw
+      val base = 3 * ((y * h / rh) * w + (x * w / rw))
+      sr += px(base); sg += px(base + 1); sb += px(base + 2)
+      p += 1
+    }
+    ResizedStats(docId, w, h, rw, rh, sr / n.toDouble, sg / n.toDouble, sb / n.toDouble)
+  }
+
+  // ---- REAL audio path (round 20): RIFF/WAVE PCM is a fixed-layout
+  // chunked binary format — exactly the P6 situation, no codec needed.
+  // The planter writes a spec-complete file (RIFF header, fmt chunk, an
+  // odd-sized LIST chunk so the parser's chunk walk + pad-byte handling
+  // is exercised on EVERY payload, then the data chunk); the parser
+  // walks the chunks for real and de-interleaves 16-bit little-endian
+  // stereo samples. Mean amplitude is exact-integer arithmetic; RMS
+  // divides an exact long sum-of-squares once and takes one IEEE sqrt,
+  // which both engines compute identically (the sim_l2_normalize
+  // precedent).
+
+  /** Deterministic stereo PCM samples: n = 64 + id%97 frames at 8 kHz,
+    * ch0[t] = (id·37 + t·11) mod 2048 − 1024,
+    * ch1[t] = (id·53 + t·17) mod 2048 − 1024. */
+  def wavSample(docId: Long, ch: Int, t: Int): Int =
+    if (ch == 0) ((docId * 37 + t.toLong * 11) % 2048).toInt - 1024
+    else ((docId * 53 + t.toLong * 17) % 2048).toInt - 1024
+
+  /** Deterministic RIFF/WAVE payload from doc_id (see [[wavSample]]). */
+  def encodeWav(docId: Long): Array[Byte] = {
+    val nFrames = 64 + (docId % 97).toInt
+    val bos = new java.io.ByteArrayOutputStream()
+    def ascii(s: String): Unit = bos.write(s.getBytes("US-ASCII"), 0, s.length)
+    def u32(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff)
+      bos.write((v >> 16) & 0xff); bos.write((v >> 24) & 0xff) }
+    def u16(v: Int): Unit = { bos.write(v & 0xff); bos.write((v >> 8) & 0xff) }
+    val dataSize = nFrames * 2 * 2           // stereo, 16-bit
+    val listBody = 7                          // ODD on purpose: pad byte
+    // riff size = everything after "RIFF"+size: "WAVE" + fmt(8+16) +
+    // LIST(8+7+1 pad) + data(8+dataSize)
+    ascii("RIFF"); u32(4 + 24 + (8 + listBody + 1) + (8 + dataSize)); ascii("WAVE")
+    ascii("fmt "); u32(16)
+    u16(1)                                    // PCM
+    u16(2)                                    // channels
+    u32(8000)                                 // sample rate
+    u32(8000 * 2 * 2)                         // byte rate
+    u16(4)                                    // block align
+    u16(16)                                   // bits per sample
+    ascii("LIST"); u32(listBody)              // junk chunk the parser must skip
+    var j = 0
+    while (j < listBody) { bos.write(((docId + j) % 256).toInt); j += 1 }
+    bos.write(0)                              // pad byte (odd chunk size)
+    ascii("data"); u32(dataSize)
+    var t = 0
+    while (t < nFrames) {
+      u16(wavSample(docId, 0, t) & 0xffff)
+      u16(wavSample(docId, 1, t) & 0xffff)
+      t += 1
+    }
+    bos.toByteArray
+  }
+
+  /** Decoded WAV stats: one row per asset. */
+  final case class WavStats(
+      doc_id: Long, sample_rate: Int, n_channels: Int, n_samples: Int,
+      mean_ch0: Double, mean_ch1: Double, rms_ch0: Double, rms_ch1: Double)
+
+  /** REAL RIFF/WAVE PCM parse: validates the RIFF/WAVE magic, walks the
+    * chunk list (unknown chunks skipped with odd-size pad bytes, per
+    * spec), parses fmt (requires PCM 16-bit stereo), then de-interleaves
+    * the data chunk's little-endian samples. Throws on malformed input —
+    * ingest would wrap this in the quarantine pattern. */
+  def decodeWav(docId: Long, bytes: Array[Byte]): WavStats = {
+    def u32(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
+      ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    def tag(i: Int): String = new String(bytes, i, 4, "US-ASCII")
+    require(bytes.length >= 12 && tag(0) == "RIFF" && tag(8) == "WAVE",
+      s"not a RIFF/WAVE payload for doc $docId")
+    require(u32(4) == bytes.length - 8,
+      s"RIFF size ${u32(4)} != payload ${bytes.length - 8} for doc $docId")
+    var i = 12
+    var sampleRate = -1; var channels = -1; var bits = -1
+    var dataOff = -1; var dataLen = -1
+    while (i + 8 <= bytes.length) {
+      val id = tag(i); val sz = u32(i + 4)
+      require(i + 8 + sz <= bytes.length,
+        s"chunk $id overruns payload for doc $docId")
+      id match {
+        case "fmt " =>
+          require(sz >= 16, s"fmt chunk too short for doc $docId")
+          require(u16(i + 8) == 1, s"non-PCM format ${u16(i + 8)} for doc $docId")
+          channels = u16(i + 10); sampleRate = u32(i + 12); bits = u16(i + 22)
+        case "data" => dataOff = i + 8; dataLen = sz
+        case _ => () // unknown chunk: skip
+      }
+      i += 8 + sz + (sz & 1) // odd-sized chunks carry a pad byte
+    }
+    require(channels == 2 && bits == 16,
+      s"unsupported PCM layout ${channels}ch/${bits}bit for doc $docId")
+    require(dataOff >= 0, s"no data chunk for doc $docId")
+    require(dataLen % (channels * 2) == 0,
+      s"data length $dataLen not frame-aligned for doc $docId")
+    val n = dataLen / (channels * 2)
+    var s0 = 0L; var s1 = 0L; var q0 = 0L; var q1 = 0L
+    var t = 0
+    while (t < n) {
+      val v0 = u16(dataOff + 4 * t).toShort.toInt
+      val v1 = u16(dataOff + 4 * t + 2).toShort.toInt
+      s0 += v0; s1 += v1; q0 += v0.toLong * v0; q1 += v1.toLong * v1
+      t += 1
+    }
+    WavStats(docId, sampleRate, channels, n,
+      s0.toDouble / n, s1.toDouble / n,
+      math.sqrt(q0.toDouble / n), math.sqrt(q1.toDouble / n))
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -303,52 +491,132 @@ object Multimodal {
         FROM documents"""),
       doc = "multimodal: opaque binary payload column + metadata projection"),
 
-    // stubbed decode + feature extraction through the mapPartitions
-    // batch path. Deterministic, so it gets a full oracle: the stub's
-    // arithmetic is re-expressed in SQL (ascii-only corpus ⇒ byte
-    // values = code points).
-    "mm_decode_features" -> QueryDef(
+    // REAL PNG decode through the JDK codec (round 20 — the former
+    // decodeStub entry, retired): planted rasters (the SAME per-pixel
+    // formula as the P6 planter) encoded with the real ImageIO PNG
+    // WRITER, decoded back with the real READER through the
+    // mapPartitions batch path. PNG is lossless, so the byte-blind
+    // arithmetic oracle predicts the channel means exactly — an
+    // encoder/decoder mismatch, a color-model slip (BGR-vs-RGB), or a
+    // raster walk bug flips the hash.
+    "mm_png_decode" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        decode(s, dir).toDF().select(
-          $"doc_id", $"n_bytes", $"width", $"height", $"channels",
-          round($"mean_byte", 4).as("mean_byte"))
+        val payloads = Tables.documents(s, dir).select($"doc_id").as[Long]
+          .mapPartitions(_.map(id => (id, encodePng(id)))).toDF("doc_id", "payload")
+        payloads.as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, bytes) => decodeImageStats(id, bytes) })
+          .toDF()
+          .select($"doc_id", $"width", $"height",
+            round($"mean_r", 6).as("mean_r"),
+            round($"mean_g", 6).as("mean_g"),
+            round($"mean_b", 6).as("mean_b"))
       },
       oracle = Some("""
-        WITH b AS (SELECT doc_id, strlen(text) AS n,
-                          list_transform(string_split(text, ''), c -> ascii(c)) AS bytes
-                   FROM documents)
-        SELECT doc_id, n AS n_bytes,
-               16 + (n % 64) AS width,
-               16 + ((n // 64) % 64) AS height,
-               3 AS channels,
-               round(CAST(list_sum(bytes) AS DOUBLE) / n, 4) AS mean_byte
-        FROM b"""),
-      doc = "multimodal: partition-wise stub decode (mapPartitions batch shape)"),
+        WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents),
+        px AS (SELECT doc_id, w, h, unnest(generate_series(0, w*h*3 - 1)) AS k FROM d),
+        b AS (SELECT doc_id, w, h, (doc_id*31 + k*7) % 256 AS v, k % 3 AS ch FROM px),
+        agg AS (SELECT doc_id, w, h,
+                       CAST(sum(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sr,
+                       CAST(sum(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS sg,
+                       CAST(sum(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS sb
+                FROM b GROUP BY 1, 2, 3)
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               round(CAST(sr AS DOUBLE) / (w*h), 6) AS mean_r,
+               round(CAST(sg AS DOUBLE) / (w*h), 6) AS mean_g,
+               round(CAST(sb AS DOUBLE) / (w*h), 6) AS mean_b
+        FROM agg"""),
+      doc = "REAL PNG decode via the JDK's ImageIO codec (java.desktop): planted rasters encoded+decoded through the real PNG writer/reader, channel means hash-gated against the byte-blind arithmetic oracle (lossless, so exact)"),
 
-    // resize: metadata-level transform chained after decode; the stub's
-    // integer arithmetic is re-expressed in SQL for the oracle.
-    "mm_resize" -> QueryDef(
+    // REAL PNG resize (the former resize-stub entry, retired): JDK
+    // codec decode + the shared fitBox/NN-floor resample, resized-raster
+    // means hash-gated against the same arithmetic oracle as
+    // mm_ppm_resize (identical planted raster). Both box-rule branches
+    // exercised (m <= 8 passes through unscaled).
+    "mm_png_resize" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        decode(s, dir)
-          .map { a =>
-            val (w, h) = resizeStub(a.width, a.height, 32)
-            (a.doc_id, a.width, a.height, w, h)
-          }
-          .toDF("doc_id", "width", "height", "out_w", "out_h")
+        val payloads = Tables.documents(s, dir).select($"doc_id").as[Long]
+          .mapPartitions(_.map(id => (id, encodePng(id)))).toDF("doc_id", "payload")
+        payloads.as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, bytes) => resizeImageNearest(id, bytes, 8) })
+          .toDF()
+          .select($"doc_id", $"width", $"height", $"resized_w", $"resized_h",
+            round($"mean_r", 6).as("mean_r"),
+            round($"mean_g", 6).as("mean_g"),
+            round($"mean_b", 6).as("mean_b"))
       },
       oracle = Some("""
-        WITH d AS (SELECT doc_id,
-                          16 + (strlen(text) % 64) AS width,
-                          16 + ((strlen(text) // 64) % 64) AS height
-                   FROM documents),
-        m AS (SELECT *, greatest(width, height) AS mx FROM d)
-        SELECT doc_id, width, height,
-               CASE WHEN mx <= 32 THEN width  ELSE width  * 32 // mx END AS out_w,
-               CASE WHEN mx <= 32 THEN height ELSE height * 32 // mx END AS out_h
-        FROM m"""),
-      doc = "multimodal: aspect-preserving resize stub (typed Dataset map)"),
+        WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents),
+        r AS (SELECT doc_id, w, h,
+                     CASE WHEN greatest(w, h) <= 8 THEN w
+                          ELSE (w * 8) // greatest(w, h) END AS rw,
+                     CASE WHEN greatest(w, h) <= 8 THEN h
+                          ELSE (h * 8) // greatest(w, h) END AS rh
+              FROM d),
+        px AS (SELECT doc_id, w, h, rw, rh, unnest(generate_series(0, rw*rh - 1)) AS p
+               FROM r),
+        m AS (SELECT doc_id, w, h, rw, rh,
+                     ((((p // rw) * h) // rh) * w + (((p % rw) * w) // rw)) AS src_px
+              FROM px),
+        v AS (SELECT doc_id, w, h, rw, rh,
+                     (doc_id*31 + (3*src_px + 0) * 7) % 256 AS vr,
+                     (doc_id*31 + (3*src_px + 1) * 7) % 256 AS vg,
+                     (doc_id*31 + (3*src_px + 2) * 7) % 256 AS vb
+              FROM m),
+        agg AS (SELECT doc_id, w, h, rw, rh,
+                       CAST(sum(vr) AS BIGINT) AS sr,
+                       CAST(sum(vg) AS BIGINT) AS sg,
+                       CAST(sum(vb) AS BIGINT) AS sb
+                FROM v GROUP BY 1, 2, 3, 4, 5)
+        SELECT doc_id, CAST(w AS INT) AS width, CAST(h AS INT) AS height,
+               CAST(rw AS INT) AS resized_w, CAST(rh AS INT) AS resized_h,
+               round(CAST(sr AS DOUBLE) / (rw*rh), 6) AS mean_r,
+               round(CAST(sg AS DOUBLE) / (rw*rh), 6) AS mean_g,
+               round(CAST(sb AS DOUBLE) / (rw*rh), 6) AS mean_b
+        FROM agg"""),
+      doc = "REAL PNG resize: JDK codec decode + shared fitBox/NN-floor resample, resized-raster channel means hash-gated against the arithmetic oracle; both box-rule branches exercised"),
+
+    // REAL WAV decode, codec-free (round 20): RIFF/WAVE PCM is a
+    // fixed-layout chunked binary format — planted spec-complete files
+    // (including an odd-sized junk chunk so the chunk walk + pad-byte
+    // rule is exercised on every payload) parsed by the real byte-level
+    // chunk walker, stereo 16-bit samples de-interleaved; per-channel
+    // mean amplitude and RMS hash-gated against the byte-blind
+    // arithmetic oracle (exact long sums; one IEEE sqrt on identical
+    // operands per row).
+    "mm_wav_decode" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, dir).select($"doc_id").as[Long]
+          .mapPartitions(_.map(id => (id, encodeWav(id)))).toDF("doc_id", "payload")
+        payloads.as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, bytes) => decodeWav(id, bytes) })
+          .toDF()
+          .select($"doc_id", $"sample_rate", $"n_channels", $"n_samples",
+            round($"mean_ch0", 6).as("mean_ch0"),
+            round($"mean_ch1", 6).as("mean_ch1"),
+            round($"rms_ch0", 6).as("rms_ch0"),
+            round($"rms_ch1", 6).as("rms_ch1"))
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, 64 + doc_id % 97 AS n FROM documents),
+        t AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS t FROM d),
+        v AS (SELECT doc_id, n,
+                     (doc_id*37 + t*11) % 2048 - 1024 AS v0,
+                     (doc_id*53 + t*17) % 2048 - 1024 AS v1
+              FROM t),
+        agg AS (SELECT doc_id, n,
+                       CAST(sum(v0) AS BIGINT) AS s0, CAST(sum(v1) AS BIGINT) AS s1,
+                       CAST(sum(v0*v0) AS BIGINT) AS q0, CAST(sum(v1*v1) AS BIGINT) AS q1
+                FROM v GROUP BY 1, 2)
+        SELECT doc_id, 8000 AS sample_rate, 2 AS n_channels, CAST(n AS INT) AS n_samples,
+               round(CAST(s0 AS DOUBLE) / n, 6) AS mean_ch0,
+               round(CAST(s1 AS DOUBLE) / n, 6) AS mean_ch1,
+               round(sqrt(CAST(q0 AS DOUBLE) / n), 6) AS rms_ch0,
+               round(sqrt(CAST(q1 AS DOUBLE) / n), 6) AS rms_ch1
+        FROM agg"""),
+      doc = "REAL RIFF/WAVE PCM decode (codec-free chunk walker, pad-byte rule exercised on every payload): per-channel mean amplitude + RMS hash-gated against the byte-blind arithmetic oracle"),
 
     // frame sampling: the video path — split the payload into fixed-size
     // chunks ("frames"), keep every 4th, fingerprint each. The explode

@@ -86,4 +86,19 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(self.contains("\"anchor_calib\":0.2500"), self)
     assert(self.substring(self.indexOf("\"bands\":")).contains("\"q\":[1.0000,1.1000]"), self)
   }
+
+  test("renderBandLine emits valid JSON under a comma-decimal default locale") {
+    // the f-interpolator honors Locale.getDefault; a de_DE JVM would
+    // render "0,2500" and corrupt bench_bands.json — pin Locale.ROOT
+    val prev = java.util.Locale.getDefault
+    try {
+      java.util.Locale.setDefault(java.util.Locale.GERMANY)
+      val line = Bench.renderBandLine(
+        Seq(Seq((0.25, Seq("q" -> 1.5)))), anchor = 0.0, margin = 0.10, "/sf")
+      assert(line.contains("\"q\":[[1.5000]]"), line)
+      assert(line.contains("\"anchor_calib\":0.2500"), line)
+      assert(!line.contains("1,5000") && !line.contains("0,2500"),
+        s"locale comma snuck into a number: $line")
+    } finally java.util.Locale.setDefault(prev)
+  }
 }

@@ -42,13 +42,28 @@ class MultimodalSpec extends AnyFunSuite {
       Multimodal.decodePpm(1L, ppm("P6\n2 2\n255\n", px)))     // truncated raster
     assertThrows[IllegalArgumentException](
       Multimodal.decodePpm(1L, ppm("P6\nx 1\n255\n", px)))     // non-numeric dim
+    // the byte after maxval must BE whitespace — 'X' is not a separator
+    // (the raster below is sized so only misparse could succeed)
+    assertThrows[IllegalArgumentException](
+      Multimodal.decodePpm(1L, ppm("P6 1 1 255X", px)))
+    // '#' header comments are spec-legal but deliberately REJECTED
+    // (documented in parsePpmHeader), never silently misparsed
+    assertThrows[IllegalArgumentException](
+      Multimodal.decodePpm(1L, ppm("P6\n# a comment\n1 1\n255\n", px)))
+  }
+
+  test("resizePpmNearest rejects a degenerate output box loudly") {
+    // 17×1 into box 8: rh = 1·8/17 = 0 — must throw, not emit NaN means
+    val px = new Array[Byte](17 * 3)
+    assertThrows[IllegalArgumentException](
+      Multimodal.resizePpmNearest(3L, ppm("P6\n17 1\n255\n", px), 8))
   }
 
   test("resizePpmNearest: hand-checked NN mapping; pass-through box equals decode") {
     // 4×1 image, pixels P0..P3 with distinct channel values
     val px = (0 until 12).map(_.toByte).toArray // P0=(0,1,2) P1=(3,4,5) P2=(6,7,8) P3=(9,10,11)
     val img = ppm("P6\n4 1\n255\n", px)
-    // box 2: rw = 4·2/4 = 2, rh = 1·2/4 = 0? — resizeStub: h·maxDim/m = 1·2/4 = 0…
+    // box 2: rw = 4·2/4 = 2, rh = 1·2/4 = 0? — fitBox: h·maxDim/m = 1·2/4 = 0…
     // use box 2 on 4×2 instead: rw = 2, rh = 1; NN picks x∈{0,2}, y=0
     val px2 = (0 until 24).map(_.toByte).toArray // row0: P0..P3, row1: P4..P7
     val img2 = ppm("P6\n4 2\n255\n", px2)
@@ -74,5 +89,105 @@ class MultimodalSpec extends AnyFunSuite {
       expected.zipWithIndex.collect { case (v, k) if k % 3 == ch => v }
         .sum.toDouble / (d.width * d.height)
     assert(d.mean_r == mean(0) && d.mean_g == mean(1) && d.mean_b == mean(2))
+  }
+
+  // ---- round 20: the JDK-codec (javax.imageio) and WAV kernels
+
+  private def plantedMean(id: Long, ch: Int): Double = {
+    val w = 4 + (id % 13).toInt; val h = 3 + (id % 7).toInt
+    (0 until w * h * 3).collect { case k if k % 3 == ch => ((id * 31 + k * 7) % 256).toInt }
+      .sum.toDouble / (w * h)
+  }
+
+  test("PNG roundtrip through the real JDK codec is lossless and matches the planted formula") {
+    for (id <- Seq(0L, 7L, 42L, 101L)) {
+      val d = Multimodal.decodeImageStats(id, Multimodal.encodePng(id))
+      assert(d.width == 4 + (id % 13).toInt && d.height == 3 + (id % 7).toInt)
+      assert(d.mean_r == plantedMean(id, 0) && d.mean_g == plantedMean(id, 1) &&
+        d.mean_b == plantedMean(id, 2), s"PNG channel means drifted for id $id: $d")
+    }
+    // PNG decode ≡ P6 decode of the same planted raster — two REAL
+    // decoders (JDK codec vs byte parser) agreeing on one source
+    val id = 55L
+    val png = Multimodal.decodeImageStats(id, Multimodal.encodePng(id))
+    val p6 = Multimodal.decodePpm(id, Multimodal.encodePpm(id))
+    assert(png.mean_r == p6.mean_r && png.mean_g == p6.mean_g && png.mean_b == p6.mean_b)
+  }
+
+  test("PNG NN resize equals the P6 NN resize on the same planted raster") {
+    for (id <- Seq(3L, 12L, 90L)) { // mixes scaled and pass-through boxes
+      val a = Multimodal.resizeImageNearest(id, Multimodal.encodePng(id), 8)
+      val b = Multimodal.resizePpmNearest(id, Multimodal.encodePpm(id), 8)
+      assert(a == b, s"codec resize diverged from byte-parser resize for id $id: $a vs $b")
+    }
+  }
+
+  test("JPEG roundtrip: real lossy codec — exact dims, channel means within tolerance") {
+    for (id <- Seq(9L, 42L, 77L)) {
+      val bytes = Multimodal.encodeImage(id, "jpg")
+      // sanity: it really is a JPEG container (SOI marker), not a PNG
+      assert((bytes(0) & 0xff) == 0xff && (bytes(1) & 0xff) == 0xd8, "missing JPEG SOI")
+      val d = Multimodal.decodeImageStats(id, bytes)
+      assert(d.width == 4 + (id % 13).toInt && d.height == 3 + (id % 7).toInt)
+      // lossy: means drift but must stay near the planted raster's
+      for ((got, want) <- Seq(d.mean_r -> plantedMean(id, 0),
+          d.mean_g -> plantedMean(id, 1), d.mean_b -> plantedMean(id, 2)))
+        assert(math.abs(got - want) < 16.0,
+          s"JPEG mean too far off for id $id: got $got want $want")
+    }
+  }
+
+  test("decodeImageStats rejects undecodable bytes loudly") {
+    assertThrows[IllegalArgumentException](
+      Multimodal.decodeImageStats(1L, Array[Byte](1, 2, 3, 4)))
+  }
+
+  test("WAV roundtrip matches the planted sample formula; junk chunk + pad byte are walked") {
+    for (id <- Seq(0L, 5L, 96L, 200L)) {
+      val d = Multimodal.decodeWav(id, Multimodal.encodeWav(id))
+      val n = 64 + (id % 97).toInt
+      assert(d.sample_rate == 8000 && d.n_channels == 2 && d.n_samples == n)
+      def stats(ch: Int): (Double, Double) = {
+        val vs = (0 until n).map(t => Multimodal.wavSample(id, ch, t))
+        (vs.sum.toDouble / n,
+          math.sqrt(vs.map(v => v.toLong * v).sum.toDouble / n))
+      }
+      val (m0, r0) = stats(0); val (m1, r1) = stats(1)
+      assert(d.mean_ch0 == m0 && d.mean_ch1 == m1, s"WAV means drifted for id $id: $d")
+      assert(d.rms_ch0 == r0 && d.rms_ch1 == r1, s"WAV rms drifted for id $id: $d")
+    }
+  }
+
+  test("decodeWav hand-check: crafted file with known samples, negative values exact") {
+    // 2 frames: ch0 = [-1, 300], ch1 = [2, -300]
+    def le16(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val fmt = "fmt ".getBytes("US-ASCII").toSeq ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(8000) ++ le32(32000) ++ le16(4) ++ le16(16)
+    val data = "data".getBytes("US-ASCII").toSeq ++ le32(8) ++
+      le16(-1 & 0xffff) ++ le16(2) ++ le16(300) ++ le16(-300 & 0xffff)
+    val body = "WAVE".getBytes("US-ASCII").toSeq ++ fmt ++ data
+    val wav = ("RIFF".getBytes("US-ASCII").toSeq ++ le32(body.size) ++ body).toArray
+    val d = Multimodal.decodeWav(1L, wav)
+    assert(d.n_samples == 2 && d.mean_ch0 == (-1 + 300) / 2.0 &&
+      d.mean_ch1 == (2 - 300) / 2.0, s"hand-check failed: $d")
+    assert(d.rms_ch0 == math.sqrt((1.0 + 300.0 * 300.0) / 2) &&
+      d.rms_ch1 == math.sqrt((4.0 + 300.0 * 300.0) / 2))
+  }
+
+  test("decodeWav rejects malformed payloads loudly") {
+    val good = Multimodal.encodeWav(7L)
+    assertThrows[IllegalArgumentException](
+      Multimodal.decodeWav(7L, "JUNK".getBytes("US-ASCII") ++ good.drop(4))) // bad magic
+    assertThrows[IllegalArgumentException](
+      Multimodal.decodeWav(7L, good.dropRight(3)))                           // truncated data
+    val riffSizeLied = good.clone(); riffSizeLied(4) = (riffSizeLied(4) + 1).toByte
+    assertThrows[IllegalArgumentException](Multimodal.decodeWav(7L, riffSizeLied))
+    // 8-bit PCM is unsupported: flip the bits-per-sample field in fmt
+    val eightBit = good.clone()
+    val fmtOff = 12 + 8 + 14 // RIFF(12) + "fmt "+size(8) + offset of bits field
+    eightBit(fmtOff) = 8; eightBit(fmtOff + 1) = 0
+    assertThrows[IllegalArgumentException](Multimodal.decodeWav(7L, eightBit))
   }
 }

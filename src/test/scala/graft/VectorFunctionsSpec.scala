@@ -141,10 +141,13 @@ class VectorFunctionsSpec extends AnyFunSuite {
       "branch-free (non-nullable-element) paths diverged")
   }
 
-  test("multimodal stub decode is deterministic and batch-shaped") {
-    val d1 = ext.Multimodal.decode(spark, "/root/testdata/sf0.001").collect().sortBy(_.doc_id)
-    val d2 = ext.Multimodal.decode(spark, "/root/testdata/sf0.001").collect().sortBy(_.doc_id)
+  test("multimodal PNG decode entry is deterministic and batch-shaped") {
+    val build = ext.Multimodal.defs("mm_png_decode").build
+    def run() = build(spark, "/root/testdata/sf0.001").collect()
+      .map(r => (r.getLong(0), r.getInt(1), r.getInt(2), r.getDouble(3)))
+      .sortBy(_._1)
+    val d1 = run(); val d2 = run()
     assert(d1.toSeq == d2.toSeq)
-    assert(d1.forall(a => a.width >= 16 && a.height >= 16 && a.channels == 3))
+    assert(d1.forall { case (_, w, h, _) => w >= 4 && w <= 16 && h >= 3 && h <= 9 })
   }
 }
