@@ -51,7 +51,14 @@ object Corpus {
     * on doc_id, driver-side subtotal collect bounded by
     * [[MaxPackBuckets]] × splits, per-(split,bucket) windows — no
     * single-task window at any scale); with a single constant split it
-    * reduces exactly to the original single-stream packing. */
+    * reduces exactly to the original single-stream packing.
+    *
+    * The machinery is COUNT-AGNOSTIC: callers supply `n_tokens`, and
+    * the registered entries feed the whitespace tokenizer for oracle
+    * simplicity. A production budget would feed real tokenizer output —
+    * `txt_bpe_encode`'s per-doc n_tokens (the greedy merge-table BPE,
+    * [[Bpe]]) is the drop-in swap: replace the n_tokens projection, no
+    * packing change. */
   private[ext] def packAssign(s: SparkSession, docs: DataFrame): DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.expressions.Window

@@ -227,6 +227,58 @@ object TextStats {
         FROM t"""),
       doc = "BPE-style pre-tokenization via regex extraction"),
 
+    // REAL BPE encoding (round 20): the greedy merge-table encoder
+    // ([[graft.ext.Bpe]]) behind the pre-tokenization above — chars →
+    // lowest-rank-first pair merges until fixpoint, with a planted
+    // well-formed merge table exercising 3-deep cascades and a merge
+    // whose operand is another rule's output. The full token stream is
+    // md5-gated (order-sensitive reassembly across pre-tokens), so a
+    // wrong merge order, a missed cascade, or an overlap slip flips the
+    // hash. The oracle unrolls the rank-order replay as 12 nested
+    // DuckDB folds over a DISTINCT-piece dictionary (the vocabulary is
+    // closed, so encode-once-join-back is exact); BpeSpec proves
+    // replay ≡ priority encode over every corpus pre-token, which is
+    // what licenses the replay-shaped oracle to gate the priority
+    // encoder. Whitespace-only docs yield n_tokens = 0 and NULL md5 on
+    // both sides (the DuckDB empty-list array_to_string trap).
+    // Scale: one narrow map per doc (no shuffle); token counts here
+    // are the drop-in replacement for txt_pack_chunks' whitespace
+    // counter (the budget machinery is count-agnostic — swap
+    // documented there).
+    "txt_bpe_encode" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Tables.documents(s, dir)
+          .select($"doc_id", expr(
+            "regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\\\s]', 0)").as("pieces"))
+          .as[(Long, Seq[String])]
+          .map { case (id, pieces) =>
+            val toks = pieces.iterator.flatMap(p => Bpe.encode(p)).toSeq
+            (id, pieces.size, toks.size, toks.mkString(" "))
+          }
+          .toDF("doc_id", "n_pretokens", "n_tokens", "joined")
+          .select($"doc_id", $"n_pretokens", $"n_tokens",
+            when($"n_tokens" > 0, md5($"joined")).as("tokens_md5"))
+      },
+      oracle = Some(s"""
+        WITH t AS (SELECT doc_id, regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\s]') AS pieces
+                   FROM documents),
+        w AS (SELECT doc_id, unnest(pieces) AS piece,
+                     unnest(generate_series(1, len(pieces))) AS pos
+              FROM t),
+        vocab AS (SELECT DISTINCT piece FROM w),
+        encv AS (SELECT piece, string_split(substr(${Bpe.encodeChainSql}, 2), chr(31)) AS toks
+                 FROM vocab),
+        enc AS (SELECT w.doc_id, w.pos, e.toks FROM w JOIN encv e USING (piece)),
+        agg AS (SELECT doc_id, CAST(sum(len(toks)) AS BIGINT) AS n_tokens,
+                       string_agg(array_to_string(toks, ' '), ' ' ORDER BY pos) AS joined
+                FROM enc GROUP BY 1)
+        SELECT t.doc_id, len(t.pieces) AS n_pretokens,
+               coalesce(a.n_tokens, 0) AS n_tokens,
+               CASE WHEN coalesce(a.n_tokens, 0) = 0 THEN NULL ELSE md5(a.joined) END AS tokens_md5
+        FROM t LEFT JOIN agg a USING (doc_id)"""),
+      doc = "REAL greedy merge-table BPE encode (lowest-rank-first, planted well-formed table with 3-deep cascades): full token stream md5-gated against a DuckDB unrolled-replay oracle over the distinct-piece dictionary"),
+
     // polynomial rolling hash (Rabin-Karp flavor) over the normalized
     // text — exact integer fold, identical in both engines
     "txt_rolling_hash" -> QueryDef(

@@ -1,0 +1,67 @@
+package graft
+
+import graft.ext.Bpe
+import org.scalatest.funsuite.AnyFunSuite
+
+/** Contract of the greedy merge-table BPE encoder (round 20):
+  * algorithm semantics pinned with targeted merge tables, cascades of
+  * the planted table hand-checked, and — the load-bearing case — the
+  * priority encode proven ≡ the sequential rank-order replay over
+  * EVERY distinct corpus pre-token, which is what licenses
+  * `txt_bpe_encode`'s DuckDB oracle (an unrolled replay) to gate the
+  * priority encoder. */
+class BpeSpec extends AnyFunSuite {
+
+  test("lowest-rank pair merges first (rank priority, not position)") {
+    // table: (e,r) rank 0, (r,t) rank 1. "ert" must become [er, t] —
+    // a position-greedy or rank-ignoring encoder would emit [e, rt]
+    val m = Vector("e" -> "r", "r" -> "t")
+    assert(Bpe.encode("ert", m) == List("er", "t"))
+  }
+
+  test("one rule merges left-to-right, non-overlapping") {
+    val m = Vector("a" -> "a")
+    assert(Bpe.encode("aaaa", m) == List("aa", "aa"))
+    assert(Bpe.encode("aaa", m) == List("aa", "a"))
+    assert(Bpe.encode("aaaaa", m) == List("aa", "aa", "a"))
+  }
+
+  test("planted-table cascades: 3-deep chain and output-as-operand") {
+    assert(Bpe.encode("scan") == List("scan"), "s+c, sc+a, sca+n must cascade")
+    assert(Bpe.encode("the") == List("the"), "t+h, th+e must cascade")
+    assert(Bpe.encode("row") == List("row"), "o+w then r+ow (merged operand)")
+    assert(Bpe.encode("window") == List("w", "in", "d", "ow"))
+    assert(Bpe.encode("stream") == List("st", "r", "e", "a", "m"))
+    assert(Bpe.encode("query") == List("qu", "er", "y"))
+    assert(Bpe.encode("x") == List("x"))
+    assert(Bpe.encode("") == Nil)
+  }
+
+  test("priority encode ≡ rank-order replay over every corpus pre-token (licenses the oracle)") {
+    val spark = Sessions.local(cores = 4, appName = "graft-bpe")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val pieces = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(expr(
+        "regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\\\s]', 0)")).as("p"))
+      .distinct().as[String].collect()
+    assert(pieces.nonEmpty)
+    // the cascades must actually FIRE on this corpus, not be vacuous
+    assert(pieces.exists(p => Bpe.encode(p).exists(_.length >= 3)),
+      "no >=3-char merged symbol produced — planted table no longer matches the corpus")
+    for (p <- pieces)
+      assert(Bpe.encode(p) == Bpe.replay(p),
+        s"priority/replay divergence on piece '$p' — the table is no longer " +
+          "well-formed and the unrolled-replay oracle would gate the wrong algorithm")
+  }
+
+  test("well-formedness of the planted table (the equivalence precondition)") {
+    // every non-single-char operand of rule k must be the output of a rule j < k
+    val outputs = Bpe.Merges.map { case (a, b) => a + b }
+    for (((a, b), k) <- Bpe.Merges.zipWithIndex; op <- Seq(a, b) if op.length > 1)
+      assert(outputs.indexOf(op) >= 0 && outputs.indexOf(op) < k,
+        s"rule $k operand '$op' is not an earlier rule's output")
+    // and outputs are unique (a duplicate would make ranks ambiguous)
+    assert(outputs.distinct.size == outputs.size)
+  }
+}
