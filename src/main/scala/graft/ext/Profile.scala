@@ -1,6 +1,7 @@
 package graft.ext
 
 import graft.{QueryDef, Tables}
+import graft.etl.MergeWriter
 import org.apache.spark.sql.functions._
 
 /** Data-quality profiling — the audit pass a pipeline runs before
@@ -188,6 +189,63 @@ object Profile {
                round(CAST(c.n_tokens AS DOUBLE) / tot.t_tokens, 6) AS token_share,
                round(CAST(c.sq4 AS DOUBLE) / (10000.0 * c.n_docs), 6) AS mean_quality
         FROM cells c CROSS JOIN tot"""),
-      doc = "corpus composition report: per (source, lang) doc/token counts, token share, fixed-point-exact mean quality — the mix dashboard behind stratified sampling decisions")
+      doc = "corpus composition report: per (source, lang) doc/token counts, token share, fixed-point-exact mean quality — the mix dashboard behind stratified sampling decisions"),
+
+    // ---- EMBEDDING-space drift (r19 VERDICT item 7 — closes the QA
+    // monitor family): qa_drift_tv watches text distributions; this
+    // watches the vector side, for free off the PERSISTED incremental
+    // IVF index (Embeddings.materializeIndexInc — quantizer trained on
+    // the old generation, new vectors assigned against the FROZEN
+    // committed quantizer). Signal: per-cell population share, old vs
+    // new generation, scored by the same log-free exact-long TV
+    // machinery as qa_drift_tv (cross-multiplied |n_new·t_old −
+    // n_old·t_new|; single division per row on exact operands). A new
+    // data drop whose embedding distribution shifts shows up as mass
+    // moving between quantizer cells — the monitor a 100 TB vector
+    // store runs on every index append, at the cost of one groupBy
+    // over the assignment table (≤ k cells of state; the window runs
+    // over ≤ k rows, so the constant partition is not a skew hazard).
+    // The oracle re-derives the old-trained quantizer AND every
+    // assignment from scratch, so it also re-gates the committed
+    // index's content (the sim_ivf_index_append discipline).
+    "qa_embedding_drift" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        import org.apache.spark.sql.expressions.Window
+        val adir = Embeddings.materializeIndexInc(s, dir)
+        val t = MergeWriter.readSnapshot(s, adir, Embeddings.idxAsgSchema)
+          .withColumn("is_new", pmod($"vec_id", lit(10)) >= 7)
+        val counts = t.groupBy($"cell")
+          .agg(sum(when(!$"is_new", 1L).otherwise(0L)).as("n_old"),
+            sum(when($"is_new", 1L).otherwise(0L)).as("n_new"))
+        val totals = t.agg(
+          sum(when(!$"is_new", 1L).otherwise(0L)).as("t_old"),
+          sum(when($"is_new", 1L).otherwise(0L)).as("t_new"))
+        val w = Window.partitionBy(lit(1))
+        counts.crossJoin(broadcast(totals))
+          .withColumn("d", abs($"n_new" * $"t_old" - $"n_old" * $"t_new"))
+          .withColumn("tv", round(sum($"d").over(w).cast("double") /
+            (lit(2.0) * $"t_old" * $"t_new"), 6))
+          .select($"cell", $"n_old", $"n_new", $"tv")
+      },
+      oracle = Some(s"""
+        WITH ${Embeddings.centCtesAt("WHERE q.vec_id % 10 < 7")},
+        d AS (SELECT q.vec_id, cent.c_label, ${Embeddings.d2Sql} AS d2
+              FROM q CROSS JOIN cent),
+        asg AS (SELECT vec_id, c_label AS cell, vec_id % 10 >= 7 AS is_new FROM d
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) = 1),
+        c AS (SELECT cell,
+                     CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_old,
+                     CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS n_new
+              FROM asg GROUP BY 1),
+        tot AS (SELECT CAST(sum(CASE WHEN NOT is_new THEN 1 ELSE 0 END) AS BIGINT) AS t_old,
+                       CAST(sum(CASE WHEN is_new THEN 1 ELSE 0 END) AS BIGINT) AS t_new
+                FROM asg)
+        SELECT c.cell, c.n_old, c.n_new,
+               round(CAST(CAST(sum(abs(c.n_new * tot.t_old - c.n_old * tot.t_new))
+                       OVER () AS BIGINT) AS DOUBLE)
+                     / (2.0 * tot.t_old * tot.t_new), 6) AS tv
+        FROM c CROSS JOIN tot"""),
+      doc = "embedding-space drift monitor: per-cell old/new population shares over the COMMITTED incremental IVF assignment table, scored by exact-long TV distance — the vector-side sibling of qa_drift_tv, re-gating the persisted index content on the way")
   )
 }

@@ -107,4 +107,38 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(prunedScan.count() < full.count(),
       "one-bucket read opened the whole table — pruning is not happening")
   }
+
+  test("recall audit laws: scores the registered probe, honest approximation, exact floor") {
+    import graft.ext.Embeddings
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val audit = Embeddings.defs("sim_ivf_recall_audit").build(spark, sf)
+      .collect().map(r => (r.getLong(0), r.getLong(1), r.getLong(2),
+        r.getDouble(3), r.getBoolean(4))).sortBy(_._1)
+    assert(audit.length == 20, "one row per query point")
+    for ((q, nTruth, nHit, recall, ok) <- audit) {
+      assert(nTruth == 3 && nHit >= 0 && nHit <= 3, s"bounds broken at q=$q")
+      assert(recall == math.round(nHit.toDouble / 3 * 10000) / 10000.0)
+      assert(ok == (3 * nHit >= nTruth), s"recall_ok law broken at q=$q")
+    }
+    // honest approximation on this structure-free corpus: recall is
+    // strictly between 0 and 1 in the mean — an audit that reports
+    // perfect recall here would be measuring the wrong thing
+    val mean = audit.map(_._4).sum / audit.length
+    assert(mean > 0.0 && mean < 1.0, s"suspicious mean recall $mean")
+    // n_hit is the intersection with the REGISTERED probe's results:
+    // recompute one query's hits from the probe entry output
+    val q0 = audit.head._1
+    val probeIds = Embeddings.defs("sim_ivf_persisted_probe").build(spark, sf)
+      .filter($"q_id" === q0).select($"n_id").as[Long].collect().toSet
+    val e = Tables.embeddings(spark, sf)
+    graft.functions.VectorFunctions.register(spark)
+    val qv = e.filter($"vec_id" === q0).select($"embedding".as("qv"))
+    val truthIds = e.filter($"vec_id" =!= q0).crossJoin(broadcast(qv))
+      .select($"vec_id", round(expr("cosine_sim(embedding, qv)"), 4).as("cos"))
+      .orderBy($"cos".desc, $"vec_id".asc).limit(3)
+      .select($"vec_id").as[Long].collect().toSet
+    assert(audit.head._3 == (probeIds intersect truthIds).size.toLong,
+      s"audit n_hit for q=$q0 diverges from probe∩truth")
+  }
 }
