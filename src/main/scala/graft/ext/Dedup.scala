@@ -155,12 +155,26 @@ object Dedup {
     * convention — no hidden state), which still never materializes an
     * all-pairs or old-old candidate. */
   def minhashPairsDelta(s: SparkSession, dir: String,
-      isNew: Column => Column): DataFrame = {
+      isNew: Column => Column): DataFrame =
+    minhashPairsDeltaBy(s, dir, b => b.filter(isNew(col("doc_id"))))
+
+  /** [[minhashPairsDelta]] with the new-doc set supplied as a FRAME
+    * (doc_id column) instead of a Column predicate — the wide-batch
+    * path: a driver-side IN-list predicate is bounded by what fits in
+    * a plan, a left-semi join is not (StreamingPipe falls back to this
+    * above its MaxFreshIds cap). Same body, same verify stage. */
+  def minhashPairsDeltaIds(s: SparkSession, dir: String,
+      newIds: DataFrame): DataFrame =
+    minhashPairsDeltaBy(s, dir,
+      b => b.join(newIds.select(col("doc_id")), Seq("doc_id"), "left_semi"))
+
+  private def minhashPairsDeltaBy(s: SparkSession, dir: String,
+      restrict: DataFrame => DataFrame): DataFrame = {
     import s.implicits._
     val sh = shingles(s, dir)
     val sigs = minhashSigs(s, dir)
     val bands = bandsOf(sigs)
-    val probe = bands.filter(isNew($"doc_id"))
+    val probe = restrict(bands)
       .select($"doc_id".as("n_id"), $"band", $"h")
     val cand = probe.join(bands, Seq("band", "h"))
       .filter($"n_id" =!= $"doc_id")

@@ -103,12 +103,12 @@ object Pipe {
             min($"doc_id").as("first_doc"), max($"doc_id").as("last_doc"))
   }
 
-  val defs: Map[String, QueryDef] = Map(
-    "pipe_corpus_end2end" -> QueryDef(
-      build = (s, dir) => pipeBuild(s, dir, gateBarrier = false),
-      oracle = Some(s"""
-        WITH RECURSIVE ${Cluster.compCtesAt(DedupTau)},
-        pt AS (SELECT doc_id, source, string_split_regex(trim(text), '\\s+') AS tk
+  /** DuckDB twins of stages 1–3's inputs (pre-tokens `pt`, gate,
+    * decontamination survivors `surv`, rounded quality `q`) — shared
+    * between the composed batch oracle and `pipe_streaming_persisted`'s
+    * (one definition of "survivor" and "quality" across both). */
+  private val stageCtes: String = """
+        pt AS (SELECT doc_id, source, string_split_regex(trim(text), '\s+') AS tk
                FROM documents),
         -- stage 1: Gopher-style keep gate (txt_gopher_gate twin)
         gm AS (SELECT doc_id, len(tk) AS n,
@@ -143,7 +143,14 @@ object Pipe {
                FROM pt),
         q AS (SELECT doc_id,
                      round(0.5 * len_score + 0.3 * (1.0 - rep_ratio) + 0.2 * (1.0 - abs(stop_ratio - 0.1)), 4) AS quality
-              FROM qm),
+              FROM qm)"""
+
+  val defs: Map[String, QueryDef] = Map(
+    "pipe_corpus_end2end" -> QueryDef(
+      build = (s, dir) => pipeBuild(s, dir, gateBarrier = false),
+      oracle = Some(s"""
+        WITH RECURSIVE ${Cluster.compCtesAt(DedupTau)},
+        $stageCtes,
         keeper AS (SELECT s.doc_id
                    FROM surv s JOIN comp c USING (doc_id) JOIN q USING (doc_id)
                    QUALIFY row_number() OVER (PARTITION BY c.cluster_id
@@ -169,6 +176,52 @@ object Pipe {
                count(*) AS n_docs, CAST(sum(n) AS BIGINT) AS n_tokens,
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM packed GROUP BY 1, 2"""),
-      doc = "end-to-end corpus pipeline: gate -> decontaminate -> survivor-scoped keeper election -> stratified mix -> hash split -> per-split sequence packing, one composed plan hash-gated against a full independent DuckDB chain")
+      doc = "end-to-end corpus pipeline: gate -> decontaminate -> survivor-scoped keeper election -> stratified mix -> hash split -> per-split sequence packing, one composed plan hash-gated against a full independent DuckDB chain"),
+
+    // ---- the STREAMING pipeline's storage truth (r19 VERDICT item 6):
+    // StreamingPipe was spec-gated only (arrival order isn't
+    // SQL-expressible) — this entry hash-gates the KEEPER TABLE a
+    // multi-batch drain actually COMMITS. Build: drain three
+    // interleaved deterministic micro-batches through
+    // StreamingPipe.runOnce (Trigger.AvailableNow, per-batch MergeWriter
+    // merges incl. the absorbed-cluster cascade delete), once per
+    // (sfDir, corpus fingerprint); read back the committed asg + keeper
+    // snapshots. Gated surface is ARRIVAL-ORDER INVARIANT — raw
+    // streamed cluster ids depend on arrival history, so each keeper
+    // row is projected to (canonical component key = min doc_id over
+    // its cluster, cluster size, keeper doc, quality). The oracle
+    // re-derives the final keeper set FROM SCRATCH (DedupTau components
+    // × gate × decon survivors × quality top-1), so: an orphan keeper
+    // the cascade failed to delete joins no live component (NULL canon
+    // → hash flip), a missing keeper drops a row, a mis-elected keeper
+    // changes keeper_id. The cascade's correctness is now hash-gated,
+    // not just spec-gated.
+    "pipe_streaming_persisted" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val stateRoot = StreamingPipe.materializeStreamed(s, dir)
+        val asg = graft.etl.MergeWriter.readSnapshot(s,
+          StreamingPipe.asgDir(stateRoot), StreamingPipe.asgSchema)
+        val keep = graft.etl.MergeWriter.readSnapshot(s,
+          StreamingPipe.keeperDir(stateRoot), StreamingPipe.keeperSchema)
+        val canon = asg.groupBy($"comp")
+          .agg(min($"doc_id").as("canon_id"), count(lit(1)).as("cluster_size"))
+        // LEFT join: an orphan keeper row surfaces as NULL canon_id and
+        // flips the hash instead of being silently dropped
+        keep.join(canon, $"cluster_id" === $"comp", "left")
+          .select($"canon_id", $"cluster_size",
+            $"doc_id".as("keeper_id"), $"quality")
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE ${Cluster.compCtesAt(DedupTau)},
+        $stageCtes,
+        sz AS (SELECT cluster_id, count(*) AS cluster_size FROM comp GROUP BY 1)
+        SELECT c.cluster_id AS canon_id, z.cluster_size,
+               s.doc_id AS keeper_id, q.quality
+        FROM surv s JOIN comp c USING (doc_id) JOIN q USING (doc_id)
+        JOIN sz z ON z.cluster_id = c.cluster_id
+        QUALIFY row_number() OVER (PARTITION BY c.cluster_id
+          ORDER BY q.quality DESC, s.doc_id ASC) = 1"""),
+      doc = "streaming pipeline storage truth: keeper table after a three-batch checkpointed drain (incl. cascade deletes), projected to the arrival-order-invariant surface (canonical component key, size, keeper, quality) and hash-gated against a from-scratch DuckDB election")
   )
 }

@@ -39,8 +39,9 @@ import org.apache.spark.sql.types.{DoubleType, LongType, StructField, StructType
   * generation + frontier-only iteration — the measured ScaleSmoke /
   * ClusterSmoke decades), plus one bounded election window. The batch
   * membership predicate rides `isInCollection` over the micro-batch's
-  * ids — fine at micro-batch sizes (thousands); a 100 TB backfill-sized
-  * batch would pass membership as a broadcast semi-join instead. The
+  * ids up to [[MaxFreshIds]]; a backfill-sized batch falls back to the
+  * left-semi-join probe ([[Dedup.minhashPairsDeltaIds]]) with the ids
+  * never collected to the driver (r19 finding #5, closed). The
   * gate/quality verdicts are per-doc scans of the batch only;
   * decontamination probes the FIXED benchmark set (broadcast — the
   * txt_decontaminate scaling note).
@@ -64,13 +65,23 @@ object StreamingPipe {
   def asgDir(stateRoot: String): String = s"$stateRoot/asg"
   def keeperDir(stateRoot: String): String = s"$stateRoot/keepers"
 
+  /** Cap on the driver-side fresh-id collect (r19 VERDICT finding #5):
+    * up to this many fresh docs the batch-membership predicate rides an
+    * IN-list (`isInCollection` — cheap, no extra join); above it — a
+    * backfill-sized first batch — the ids stay distributed and the
+    * delta probe takes a left-semi join instead
+    * ([[Dedup.minhashPairsDeltaIds]]). The Pipeline.MaxPrunedRooms
+    * discipline: a bound plus a fallback, never an uncapped collect. */
+  val MaxFreshIds = 4096
+
   /** Drain every available micro-batch from `srcDir` (parquet files of
     * `doc_id BIGINT` arrivals; one file ≈ one ingest chunk) through
     * [[applyBatch]], checkpointed — the Streaming.runOnce discipline.
     * `maxFilesPerTrigger = 1` keeps one file per micro-batch so arrival
     * order is the on-disk file order. */
   def runOnce(spark: SparkSession, srcDir: String, ckpt: String,
-      stateRoot: String, corpusDir: String): Unit = {
+      stateRoot: String, corpusDir: String,
+      maxFreshIds: Int = MaxFreshIds): Unit = {
     val src = spark.readStream
       .schema(StructType(Seq(StructField("doc_id", LongType))))
       .option("maxFilesPerTrigger", 1)
@@ -78,18 +89,76 @@ object StreamingPipe {
     val q = src.writeStream
       .option("checkpointLocation", ckpt)
       .foreachBatch { (batch: DataFrame, _: Long) =>
-        applyBatch(spark, batch, corpusDir, stateRoot)
+        applyBatch(spark, batch, corpusDir, stateRoot, maxFreshIds)
       }
       .trigger(Trigger.AvailableNow())
       .start()
     q.awaitTermination()
   }
 
+  private val builtStreams = scala.collection.mutable.Set[String]()
+
+  private def deleteRecursively(p: java.nio.file.Path): Unit =
+    if (java.nio.file.Files.exists(p)) {
+      import scala.jdk.CollectionConverters._
+      val all = scala.util.Using.resource(java.nio.file.Files.walk(p))(
+        _.sorted(java.util.Comparator.reverseOrder()).iterator().asScala.toSeq)
+      all.foreach(java.nio.file.Files.delete)
+    }
+
+  /** Root keyed by sfDir + corpus fingerprint (count + max doc_id +
+    * order-free content xor — the Cluster.storeRoot discipline), so a
+    * testdata regeneration reseeds the streamed state. */
+  private def streamRoot(s: SparkSession, dir: String): String = {
+    val r = graft.Tables.documents(s, dir)
+      .agg(count(lit(1)), max(col("doc_id")),
+        expr("bit_xor(xxhash64(doc_id, text))")).collect()(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    sys.env.getOrElse("GRAFT_STREAM_STORE_DIR", "/root/repo/target/stream-store") +
+      s"/$md-n${r.getLong(0)}-m${r.getLong(1)}-x${java.lang.Long.toHexString(r.getLong(2))}"
+  }
+
+  /** Build-once (per sfDir+fingerprint, _DONE-cached) streamed-drain
+    * state for `pipe_streaming_persisted`: the corpus arrives in three
+    * interleaved micro-batches (doc_id % 3 — small ids keep arriving in
+    * LATER batches, so the stable-old-root rule and the absorbed-cluster
+    * cascade both fire, not vacuously), drained through [[runOnce]]
+    * (Trigger.AvailableNow, checkpointed, real MergeWriter commits per
+    * batch). Returns the state root holding the final asg + keeper
+    * snapshots. The gated surface downstream is arrival-order INVARIANT
+    * (canonical component key, size, keeper, quality — the
+    * StreamingPipeSpec law), so file-listing order inside the drain
+    * cannot perturb the oracle compare. */
+  private[graft] def materializeStreamed(s: SparkSession, dir: String): String = synchronized {
+    val root = streamRoot(s, dir)
+    val stateRoot = s"$root/state"
+    if (!builtStreams.contains(root)) {
+      val done = java.nio.file.Paths.get(root, "_DONE")
+      if (!java.nio.file.Files.exists(done)) {
+        deleteRecursively(java.nio.file.Paths.get(root))
+        val src = s"$root/src"
+        java.nio.file.Files.createDirectories(java.nio.file.Paths.get(src))
+        val docs = graft.Tables.documents(s, dir).select(col("doc_id"))
+        for (b <- 0 to 2)
+          docs.filter(pmod(col("doc_id"), lit(3)) === b)
+            .coalesce(1).write.mode("append").parquet(src)
+        runOnce(s, src, s"$root/ckpt", stateRoot, dir)
+        java.nio.file.Files.createFile(done)
+        ()
+      }
+      builtStreams += root
+    }
+    stateRoot
+  }
+
   /** One micro-batch of arrivals: assign incrementally, re-elect
     * keepers. Idempotent on re-delivery (already-assigned docs are
-    * anti-joined away before touching state). */
+    * anti-joined away before touching state). `maxFreshIds` bounds the
+    * driver-side id collect — above it the delta probe switches to the
+    * join-based path (spec-exercised; identical end state). */
   def applyBatch(s: SparkSession, batch: DataFrame, corpusDir: String,
-      stateRoot: String): Unit = {
+      stateRoot: String, maxFreshIds: Int = MaxFreshIds): Unit = {
     import s.implicits._
     val aDir = asgDir(stateRoot)
     val kDir = keeperDir(stateRoot)
@@ -100,12 +169,19 @@ object StreamingPipe {
     val fresh = batch.select($"doc_id".cast("long").as("id")).distinct()
       .join(oldAsg.select($"id"), Seq("id"), "left_anti")
       .localCheckpoint() // small (≤ batch); read 3× below
-    val freshIds = fresh.collect().map(_.getLong(0)).toSeq
-    if (freshIds.nonEmpty) {
+    val nFresh = fresh.count()
+    if (nFresh > 0) {
       // delta pairs at the DELETION threshold, endpoints ∈ arrived ∪ batch
       val arrived = oldAsg.select($"id").union(fresh).localCheckpoint()
-      val delta = Dedup
-        .minhashPairsDelta(s, corpusDir, c => c.isInCollection(freshIds))
+      val deltaRaw =
+        if (nFresh <= maxFreshIds) {
+          // bounded: the id list fits a plan-side IN predicate
+          val freshIds = fresh.collect().map(_.getLong(0)).toSeq
+          Dedup.minhashPairsDelta(s, corpusDir, c => c.isInCollection(freshIds))
+        } else
+          // backfill-sized batch: ids stay distributed, semi-join probe
+          Dedup.minhashPairsDeltaIds(s, corpusDir, fresh.select($"id".as("doc_id")))
+      val delta = deltaRaw
         .filter($"jaccard" >= Pipe.DedupTau)
         .join(arrived.select($"id".as("a_id")), Seq("a_id"), "left_semi")
         .join(arrived.select($"id".as("b_id")), Seq("b_id"), "left_semi")

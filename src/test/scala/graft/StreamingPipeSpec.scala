@@ -107,5 +107,23 @@ class StreamingPipeSpec extends AnyFunSuite {
       partition(asg, "doc_id", "comp"), "re-delivery must not move clusters")
     assert(keepersAfter.select($"doc_id").collect().map(_.getLong(0)).toSet ==
       streamedKeepers, "re-delivery must not change the keeper set")
+
+    // 6. WIDE-BATCH fallback (r19 finding #5): maxFreshIds = 1 forces
+    //    every batch onto the join-based delta path (no driver id
+    //    collect) — the end state must be IDENTICAL to the IN-list
+    //    drain above
+    val state2 = base.resolve("state2").toString
+    val ckpt2 = base.resolve("ckpt2").toString
+    StreamingPipe.runOnce(spark, src, ckpt2, state2, sf, maxFreshIds = 1)
+    val asg2 = MergeWriter.readSnapshot(spark, StreamingPipe.asgDir(state2),
+      StreamingPipe.asgSchema)
+    val keepers2 = MergeWriter.readSnapshot(spark,
+      StreamingPipe.keeperDir(state2), StreamingPipe.keeperSchema)
+    assert(partition(asg2, "doc_id", "comp") ==
+      partition(asgAfter, "doc_id", "comp"),
+      "join-path drain diverged from IN-list drain on cluster partition")
+    assert(keepers2.select($"doc_id").collect().map(_.getLong(0)).toSet ==
+      streamedKeepers,
+      "join-path drain diverged from IN-list drain on the keeper set")
   }
 }
