@@ -1,5 +1,7 @@
 package graft.ext
 
+import org.apache.spark.sql.SparkSession
+
 /** REAL byte-pair-encoding tokenizer (round 20 — r19 VERDICT item 3):
   * a greedy merge-table BPE ENCODER behind `txt_bpe_tokens`'s regex
   * pre-tokenization, replacing "pre-tokens" with actual BPE tokens.
@@ -112,4 +114,90 @@ object Bpe {
     Merges.foldLeft("chr(31) || array_to_string(string_split(piece, ''), chr(31))") {
       case (st, (a, b)) => mergePassSql(st, a, b)
     }
+
+  // ---- BPE TRAINING (round 20): the merge table LEARNED from the
+  // corpus, as the real iterative job — Sennrich et al. 2016's training
+  // loop over the pre-token vocabulary: count adjacent symbol pairs
+  // weighted by word frequency (naive zip count, the reference
+  // algorithm's semantics), merge the argmax pair (ties → lexicographic
+  // (a, b) so both engines agree), repeat. Tables learned this way are
+  // well-formed BY CONSTRUCTION (rule k is mined from the state where
+  // rules 1..k-1 were applied), which is the very property the planted
+  // table's spec asserts by hand — BpeSpec re-proves priority ≡ replay
+  // under the learned table too.
+
+  /** One training round's selection + application over a vocabulary of
+    * (piece, cnt, syms). Returns the chosen (a, b, weighted pair count)
+    * and the merged vocabulary. The argmax collect is a 1-ROW driver
+    * collect per round (documented bound — the api_q6 panel class). */
+  private def trainRound(vocab: org.apache.spark.sql.DataFrame)
+      : ((String, String, Long), org.apache.spark.sql.DataFrame) = {
+    val s = vocab.sparkSession
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    val top = vocab
+      .select(col("cnt"), explode(expr(
+        "transform(slice(syms, 1, size(syms) - 1), (x, i) -> struct(x AS a, element_at(syms, i + 2) AS b))")).as("p"))
+      .groupBy($"p.a", $"p.b").agg(sum($"cnt").as("c"))
+      .orderBy($"c".desc, $"a".asc, $"b".asc)
+      .limit(1).collect()(0)
+    val (a, b, c) = (top.getString(0), top.getString(1), top.getLong(2))
+    val merged = vocab.as[(String, Long, Seq[String])]
+      .map { case (p, cnt, syms) => (p, cnt, mergePass(syms.toArray, a, b).toSeq) }
+      .toDF("piece", "cnt", "syms")
+      .localCheckpoint(true) // ≤ |vocab| rows; cuts the per-round lineage
+    ((a, b, c), merged)
+  }
+
+  /** Corpus-learned merge table: `rounds` training rounds over the
+    * regex pre-token vocabulary of `documents`. */
+  def trainMerges(s: SparkSession, dir: String, rounds: Int)
+      : Seq[(Int, String, String, Long)] = {
+    import s.implicits._
+    import org.apache.spark.sql.functions._
+    var vocab = graft.Tables.documents(s, dir)
+      .select(explode(expr(
+        "regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\\\s]', 0)")).as("piece"))
+      .groupBy($"piece").agg(count(lit(1)).as("cnt"))
+      .select($"piece", $"cnt", split($"piece", "").as("syms"))
+      .localCheckpoint(true)
+    (1 to rounds).map { r =>
+      val ((a, b, c), next) = trainRound(vocab)
+      vocab = next
+      (r, a, b, c)
+    }
+  }
+
+  /** DuckDB twin of [[trainMerges]]: `rounds` unrolled training rounds —
+    * each round's pair counts, argmax (same tie-break), and merge
+    * application (the [[mergePassSql]] fold with the argmax pair
+    * captured as columns) as CTE blocks over the previous round's
+    * vocabulary. Emits (rank, a, b, pair_count). */
+  def trainOracleSql(rounds: Int): String = {
+    val ctes = new StringBuilder
+    ctes.append("""
+        pt AS (SELECT regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\s]') AS pieces FROM documents),
+        v0 AS (SELECT piece, CAST(count(*) AS BIGINT) AS cnt,
+                      chr(31) || array_to_string(string_split(piece, ''), chr(31)) AS st
+               FROM (SELECT unnest(pieces) AS piece FROM pt) GROUP BY 1)""")
+    for (r <- 1 to rounds) {
+      val prev = s"v${r - 1}"
+      ctes.append(s""",
+        sv$r AS (SELECT cnt, string_split(substr(st, 2), chr(31)) AS sym FROM $prev),
+        pr$r AS (SELECT cnt, sym, unnest(generate_series(1, len(sym) - 1)) AS i FROM sv$r),
+        pc$r AS (SELECT sym[i] AS a, sym[i + 1] AS b, CAST(sum(cnt) AS BIGINT) AS c
+                 FROM pr$r GROUP BY 1, 2),
+        m$r AS (SELECT a, b, c FROM pc$r ORDER BY c DESC, a ASC, b ASC LIMIT 1),
+        v$r AS (SELECT v.piece, v.cnt,
+                       list_reduce(list_transform(string_split(substr(v.st, 2), chr(31)), s -> chr(31) || s),
+                         (acc, x) -> CASE WHEN right(acc, strlen(m.a) + 1) = chr(31) || m.a
+                                               AND x = chr(31) || m.b
+                                          THEN acc || m.b ELSE acc || x END) AS st
+                FROM $prev v CROSS JOIN m$r m)""")
+    }
+    val sel = (1 to rounds)
+      .map(r => s"SELECT $r AS rank, a, b, c AS pair_count FROM m$r")
+      .mkString("\n        UNION ALL\n        ")
+    s"WITH ${ctes.result()}\n        $sel"
+  }
 }

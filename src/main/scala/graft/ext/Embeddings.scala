@@ -441,6 +441,100 @@ object Embeddings {
       },
       doc = "ANN recall audit: the registered nprobe=2 persisted probe scored against the brute-force cosine top-3 truth in-query — per-query n_hit/recall hash-gated, integer-exact recall_ok floor; measured mean recall ~0.37 on this structure-free synthetic corpus (the audit's whole point: the number that silently degrades without a gate)"),
 
+    // --- the nprobe RECALL CURVE, oracle-gated: sim_ivf_recall_audit
+    // measures the registered nprobe=2 point; this entry measures the
+    // KNOB — recall@3 at nprobe ∈ {1, 2, 4} against the same committed
+    // index, so the monotone recall-vs-cost tradeoff the scaladoc
+    // guidance claims ("raise nprobe until the audit crosses the SLA")
+    // is itself a hash-gated number, not prose. One assignTop pass at
+    // k=4 serves all three operating points (cell_rank ≤ nprobe); the
+    // truth side is computed once and reused. Probe cost scales with
+    // nprobe/k of the corpus per query — the curve IS the cost/recall
+    // menu a deployment picks from.
+    "sim_ivf_recall_curve" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        VectorFunctions.register(s)
+        val (cdir, adir) = materializeIndex(s, dir)
+        val cents = MergeWriter.readSnapshot(s, cdir, idxCentSchema)
+        val asgT = MergeWriter.readSnapshot(s, adir, idxAsgSchema)
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter($"vec_id" < 20)
+          .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+        // all three operating points from ONE k=4 cell ranking
+        val probed = assignTop(e.filter($"vec_id" < 20), cents, 4)
+          .select($"vec_id".as("q_id"), $"assigned".as("cell"), $"cell_rank")
+          .join(broadcast(Seq(1, 2, 4).toDF("nprobe")), $"cell_rank" <= $"nprobe")
+        val wI = Window.partitionBy($"nprobe", $"q_id").orderBy($"cos".desc, $"n_id".asc)
+        val ivf = probed.join(asgT.select($"vec_id".as("n_id"), $"cell"), Seq("cell"))
+          .filter($"q_id" =!= $"n_id")
+          .join(broadcast(q), "q_id")
+          .join(e.select($"vec_id".as("n_id"), $"embedding".as("nv")), "n_id")
+          .select($"nprobe", $"q_id", $"n_id",
+            round(expr("cosine_sim(qv, nv)"), 4).as("cos"))
+          .withColumn("rank", row_number().over(wI))
+          .filter($"rank" <= 3)
+          .select($"nprobe", $"q_id", $"n_id")
+        val wT = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
+        val truth = e.select($"vec_id".as("n_id"), $"embedding".as("nv"))
+          .join(broadcast(q), $"q_id" =!= $"n_id")
+          .select($"q_id", $"n_id",
+            round(expr("cosine_sim(qv, nv)"), 4).as("cos"))
+          .withColumn("rank", row_number().over(wT))
+          .filter($"rank" <= 3)
+          .select($"q_id", $"n_id")
+        truth.crossJoin(broadcast(Seq(1, 2, 4).toDF("nprobe")))
+          .join(ivf.withColumn("hit", lit(1)), Seq("nprobe", "q_id", "n_id"), "left")
+          .groupBy($"nprobe")
+          .agg(countDistinct($"q_id").as("n_queries"),
+            sum(coalesce($"hit", lit(0))).cast("long").as("n_hit"),
+            count(lit(1)).as("n_truth"))
+          .select($"nprobe", $"n_queries",
+            $"n_hit", $"n_truth",
+            round($"n_hit".cast("double") / $"n_truth", 4).as("recall"))
+      },
+      oracle = Some {
+        val dot = (a: String, b: String) => foldSql(s"list_transform(list_zip($a, $b), x -> x[1] * x[2])")
+        val cos = (a: String, b: String) => s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+        s"""
+        WITH $centCtes,
+        e AS (SELECT vec_id, embedding::DOUBLE[] AS v FROM embeddings),
+        d AS (SELECT q.vec_id, cent.c_label, $d2Sql AS d2
+              FROM q CROSS JOIN cent),
+        asg AS (SELECT vec_id, c_label AS cell FROM d
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) = 1),
+        ranked AS (SELECT vec_id AS q_id, c_label AS cell,
+                          row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) AS cell_rank
+                   FROM d WHERE vec_id < 20
+                   QUALIFY cell_rank <= 4),
+        nps AS (SELECT unnest([1, 2, 4]) AS nprobe),
+        probe AS (SELECT n.nprobe, r.q_id, r.cell
+                  FROM ranked r JOIN nps n ON r.cell_rank <= n.nprobe),
+        cand AS (SELECT p.nprobe, p.q_id, a.vec_id AS n_id
+                 FROM probe p JOIN asg a USING (cell)
+                 WHERE a.vec_id <> p.q_id),
+        ivf AS (SELECT c.nprobe, c.q_id, c.n_id,
+                       round(${cos("qe.v", "ne.v")}, 4) AS cos
+                FROM cand c
+                JOIN e qe ON qe.vec_id = c.q_id
+                JOIN e ne ON ne.vec_id = c.n_id
+                QUALIFY row_number() OVER (PARTITION BY c.nprobe, c.q_id ORDER BY cos DESC, n_id ASC) <= 3),
+        truth AS (SELECT q.vec_id AS q_id, c.vec_id AS n_id,
+                         round(${cos("q.v", "c.v")}, 4) AS cos
+                  FROM e q JOIN e c ON q.vec_id <> c.vec_id
+                  WHERE q.vec_id < 20
+                  QUALIFY row_number() OVER (PARTITION BY q.vec_id ORDER BY cos DESC, n_id ASC) <= 3)
+        SELECT n.nprobe,
+               CAST(count(DISTINCT t.q_id) AS BIGINT) AS n_queries,
+               CAST(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               CAST(count(*) AS BIGINT) AS n_truth,
+               round(CAST(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall
+        FROM truth t CROSS JOIN nps n
+        LEFT JOIN ivf i ON i.nprobe = n.nprobe AND i.q_id = t.q_id AND i.n_id = t.n_id
+        GROUP BY 1"""
+      },
+      doc = "nprobe recall curve: recall@3 at nprobe in {1,2,4} against the same committed IVF index, from one k=4 cell ranking — the cost/recall menu behind the audit's nprobe guidance, hash-gated so the curve itself is a measured fact"),
+
     // --- incremental index MAINTENANCE: quantizer trained on the OLD
     // generation only, committed; new vectors assigned against the
     // COMMITTED quantizer (frozen — production never retrains per

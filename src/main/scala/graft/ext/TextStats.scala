@@ -279,6 +279,30 @@ object TextStats {
         FROM t LEFT JOIN agg a USING (doc_id)"""),
       doc = "REAL greedy merge-table BPE encode (lowest-rank-first, planted well-formed table with 3-deep cascades): full token stream md5-gated against a DuckDB unrolled-replay oracle over the distinct-piece dictionary"),
 
+    // BPE TRAINING, oracle-gated (round 20): the merge table LEARNED
+    // from this corpus — nine rounds of the real Sennrich training loop
+    // (weighted adjacent-pair counts over the pre-token vocabulary,
+    // argmax with lexicographic tie-break, merge, repeat) as an
+    // iterative Spark job whose per-round argmax is a 1-row driver
+    // collect. The oracle re-derives all four rounds from scratch
+    // (unrolled CTE blocks: count → argmax → column-captured merge
+    // fold), so a wrong count weighting, a tie-break slip, or a merge
+    // application bug in ANY round flips the hash. Scale: each round is
+    // one groupBy over the VOCABULARY (not the corpus — the corpus is
+    // touched once to build word counts), which is the property that
+    // makes BPE training tractable at 100 TB. Nine rounds is deep
+    // enough that the LEARNED table itself contains output-as-operand
+    // merges on this corpus (rank 8 = p+ar, rank 9 = m+er), so the
+    // well-formedness law BpeSpec asserts is non-vacuous for learned
+    // tables too.
+    "txt_bpe_train" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        Bpe.trainMerges(s, dir, 9).toDF("rank", "a", "b", "pair_count")
+      },
+      oracle = Some(Bpe.trainOracleSql(9)),
+      doc = "corpus-learned BPE merge table: nine real training rounds (frequency-weighted pair counts over the pre-token vocabulary, deterministic argmax, merge, repeat) hash-gated against a from-scratch unrolled DuckDB derivation"),
+
     // polynomial rolling hash (Rabin-Karp flavor) over the normalized
     // text — exact integer fold, identical in both engines
     "txt_rolling_hash" -> QueryDef(

@@ -55,6 +55,35 @@ class BpeSpec extends AnyFunSuite {
           "well-formed and the unrolled-replay oracle would gate the wrong algorithm")
   }
 
+  test("learned table: monotone counts, well-formed with a real cascade, priority ≡ replay") {
+    val spark = Sessions.local(cores = 4, appName = "graft-bpe-train")
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val learned = Bpe.trainMerges(spark, "/root/testdata/sf0.001", 9)
+    assert(learned.map(_._1) == (1 to 9), "ranks must be 1..9 in order")
+    // argmax counts can only fall as merges consume pair mass
+    val counts = learned.map(_._4)
+    assert(counts.zip(counts.tail).forall { case (x, y) => x >= y },
+      s"pair counts must be non-increasing: $counts")
+    // learned tables are well-formed BY CONSTRUCTION — verify, and
+    // require at least one multi-char operand so the law is not vacuous
+    val merges = learned.map { case (_, a, b, _) => (a, b) }.toVector
+    val outputs = merges.map { case (a, b) => a + b }
+    for (((a, b), k) <- merges.zipWithIndex; op <- Seq(a, b) if op.length > 1)
+      assert(outputs.indexOf(op) >= 0 && outputs.indexOf(op) < k,
+        s"learned rule $k operand '$op' is not an earlier rule's output")
+    assert(merges.exists { case (a, b) => a.length > 1 || b.length > 1 },
+      "9 rounds produced no cascading merge on this corpus — law vacuous")
+    // therefore priority ≡ replay holds under the LEARNED table too
+    val pieces = Tables.documents(spark, "/root/testdata/sf0.001")
+      .select(explode(expr(
+        "regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\\\s]', 0)")).as("p"))
+      .distinct().as[String].collect()
+    for (p <- pieces)
+      assert(Bpe.encode(p, merges) == Bpe.replay(p, merges),
+        s"priority/replay divergence under the learned table on '$p'")
+  }
+
   test("well-formedness of the planted table (the equivalence precondition)") {
     // every non-single-char operand of rule k must be the output of a rule j < k
     val outputs = Bpe.Merges.map { case (a, b) => a + b }
