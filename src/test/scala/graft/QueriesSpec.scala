@@ -91,6 +91,9 @@ class QueriesSpec extends AnyFunSuite {
       "sim_ivf_persisted_probe", // same k-row centroid panel, read from the persisted index
       "qa_drift_tv",         // 1-row generation-totals broadcast (the api_q6_stats shape)
       "qa_corpus_mix",       // 1-row corpus-token-total broadcast (the api_q6_stats shape)
+      "qa_embedding_drift",  // 1-row generation-totals broadcast over ≤k cells (Profile.scala)
+      "sim_ivf_recall_audit", // 20-row broadcast query panel for the truth side (the sim_cosine_topk shape)
+      "sim_ivf_recall_curve", // 20-row query panel + 3-row nprobe frame (both broadcast)
       "txt_tfidf_top")       // 1-row corpus-count broadcast (the api_q6_stats shape)
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
