@@ -97,6 +97,26 @@ object Embeddings {
   private[graft] def foldSql(arr: String): String =
     s"list_reduce(list_prepend(0.0, $arr), (a, b) -> a + b)"
 
+  /** Planted STRUCTURED corpus for the recall control experiment
+    * (`sim_ivf_recall_structured`): 16-dim vectors in 8 exactly-
+    * orthogonal clusters — center c = vec_id % 8 puts magnitude 10.0
+    * on dims {2c, 2c+1} and 0 elsewhere; per-(vec_id, dim) noise is
+    * ((vec_id·31 + d·17) mod 7 − 3)/10 ∈ [−0.3, 0.3]. Every component
+    * is integer arithmetic + one division by a small constant — both
+    * engines produce the identical IEEE double, so the DuckDB twin
+    * re-derives the corpus from vec_id alone (the mm_ppm planted-
+    * payload discipline applied to vectors). */
+  private[graft] val plantedE: String =
+    "transform(sequence(0, 15), d -> " +
+      "CASE WHEN d = 2 * (vec_id % 8) OR d = 2 * (vec_id % 8) + 1 THEN 10.0 ELSE 0.0 END" +
+      " + CAST((vec_id * 31 + d * 17) % 7 - 3 AS DOUBLE) / 10.0)"
+
+  /** DuckDB twin of [[plantedE]] (1-based list, 0-based dim `d`). */
+  private[graft] val plantedSql: String =
+    "list_transform(range(0, 16), d -> " +
+      "(CASE WHEN d = 2 * (vec_id % 8) OR d = 2 * (vec_id % 8) + 1 THEN 10.0 ELSE 0.0 END)" +
+      " + CAST((vec_id * 31 + d * 17) % 7 - 3 AS DOUBLE) / 10.0)"
+
   /** Shared oracle CTEs: quantized vectors `q(vec_id, label, qv)` and
     * label-seeded centroids `cent(c_label, cv)` — the coarse quantizer
     * every k-means/IVF oracle re-derives. `centWhere` restricts the
@@ -534,6 +554,106 @@ object Embeddings {
         GROUP BY 1"""
       },
       doc = "nprobe recall curve: recall@3 at nprobe in {1,2,4} against the same committed IVF index, from one k=4 cell ranking — the cost/recall menu behind the audit's nprobe guidance, hash-gated so the curve itself is a measured fact"),
+
+    // --- the recall audit's CONTROL experiment: sim_ivf_recall_audit
+    // honestly measures recall ~0.37 on the shipped synthetic corpus —
+    // random vectors carry no cosine neighborhood structure, so cells
+    // can't capture neighbors and nprobe/k is the whole story. The open
+    // question that number leaves is whether the INDEX would deliver
+    // when structure exists. This entry answers it with a planted
+    // corpus (same arithmetic-oracle discipline as mm_ppm_decode): 8
+    // exactly-orthogonal cluster centers (magnitude 10.0 on two
+    // exclusive dims of 16) + deterministic rational noise in
+    // [-0.3, 0.3] derived from vec_id — every value an exact small
+    // ratio, so DuckDB re-derives the corpus bit-for-bit without
+    // seeing a byte of it. On this corpus the quantizer's cells ARE
+    // the cosine neighborhoods, so the nprobe=1 probe (the CHEAPEST
+    // operating point — 1/8 of the corpus scanned per query) must
+    // achieve recall@3 = 1.0 exactly, and recall_ok pins equality, not
+    // a floor. Together with the audit and the curve this closes the
+    // recall story: 0.37 is the data, 1.0 is the index, and the gap
+    // between them is precisely what quantizer/cell alignment buys.
+    "sim_ivf_recall_structured" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        VectorFunctions.register(s)
+        val pl = Tables.embeddings(s, dir).select($"vec_id")
+          .withColumn("label", pmod($"vec_id", lit(8)).cast("int"))
+          .withColumn("embedding", expr(plantedE))
+        val cells = centroids(pl)
+        val asg = assign(pl, cells)
+          .select($"vec_id".as("n_id"), $"assigned".as("cell"))
+        val probed = assignTop(pl.filter($"vec_id" < 20), cells, 1)
+          .select($"vec_id".as("q_id"), $"assigned".as("cell"))
+        val q = pl.filter($"vec_id" < 20)
+          .select($"vec_id".as("q_id"), $"embedding".as("qv"))
+        val wI = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
+        val ivf = probed.join(asg, Seq("cell"))
+          .filter($"q_id" =!= $"n_id")
+          .join(broadcast(q), "q_id")
+          .join(pl.select($"vec_id".as("n_id"), $"embedding".as("nv")), "n_id")
+          .select($"q_id", $"n_id",
+            round(expr("cosine_sim(qv, nv)"), 4).as("cos"))
+          .withColumn("rank", row_number().over(wI))
+          .filter($"rank" <= 3)
+          .select($"q_id", $"n_id")
+        val wT = Window.partitionBy($"q_id").orderBy($"cos".desc, $"n_id".asc)
+        val truth = pl.select($"vec_id".as("n_id"), $"embedding".as("nv"))
+          .join(broadcast(q), $"q_id" =!= $"n_id")
+          .select($"q_id", $"n_id",
+            round(expr("cosine_sim(qv, nv)"), 4).as("cos"))
+          .withColumn("rank", row_number().over(wT))
+          .filter($"rank" <= 3)
+          .select($"q_id", $"n_id")
+        truth.join(ivf.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
+          .groupBy($"q_id")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce($"hit", lit(0))).cast("long").as("n_hit"))
+          .select($"q_id", $"n_truth", $"n_hit",
+            round($"n_hit".cast("double") / $"n_truth", 4).as("recall"),
+            ($"n_hit" === $"n_truth").as("recall_ok"))
+      },
+      oracle = Some {
+        val dot = (a: String, b: String) => foldSql(s"list_transform(list_zip($a, $b), x -> x[1] * x[2])")
+        val cos = (a: String, b: String) => s"(${dot(a, b)} / (sqrt(${dot(a, a)}) * sqrt(${dot(b, b)})))"
+        s"""
+        WITH pl AS (SELECT vec_id, $plantedSql AS v FROM embeddings),
+        q AS (SELECT vec_id,
+                     list_transform(v, x -> CAST(round(x * 10000.0) AS BIGINT)) AS qv,
+                     CAST(vec_id % 8 AS INT) AS label
+              FROM pl),
+        cd AS (SELECT label, i, CAST(sum(qv[i]) AS DOUBLE) / (10000.0 * count(*)) AS c
+               FROM q, generate_series(1, 16) t(i) GROUP BY 1, 2),
+        cent AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM cd GROUP BY 1),
+        d AS (SELECT q.vec_id, cent.c_label, $d2Sql AS d2
+              FROM q CROSS JOIN cent),
+        asg AS (SELECT vec_id, c_label AS cell FROM d
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) = 1),
+        probe AS (SELECT vec_id AS q_id, c_label AS cell FROM d
+                  WHERE vec_id < 20
+                  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) = 1),
+        cand AS (SELECT p.q_id, a.vec_id AS n_id
+                 FROM probe p JOIN asg a USING (cell)
+                 WHERE a.vec_id <> p.q_id),
+        ivf AS (SELECT c.q_id, c.n_id,
+                       round(${cos("qe.v", "ne.v")}, 4) AS cos
+                FROM cand c
+                JOIN pl qe ON qe.vec_id = c.q_id
+                JOIN pl ne ON ne.vec_id = c.n_id
+                QUALIFY row_number() OVER (PARTITION BY c.q_id ORDER BY cos DESC, n_id ASC) <= 3),
+        truth AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                         round(${cos("a.v", "b.v")}, 4) AS cos
+                  FROM pl a JOIN pl b ON a.vec_id <> b.vec_id
+                  WHERE a.vec_id < 20
+                  QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY cos DESC, n_id ASC) <= 3)
+        SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_truth,
+               CAST(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               round(CAST(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall,
+               CAST(sum(CASE WHEN i.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) = count(*) AS recall_ok
+        FROM truth t LEFT JOIN ivf i ON t.q_id = i.q_id AND t.n_id = i.n_id
+        GROUP BY 1"""
+      },
+      doc = "IVF recall control experiment: planted 8-cluster corpus (orthogonal centers + exact rational noise, arithmetic-oracle re-derived) where cells align with cosine neighborhoods — the nprobe=1 probe must hit recall@3 = 1.0 exactly, proving the audit's 0.37 on the random corpus is the data, not the index"),
 
     // --- incremental index MAINTENANCE: quantizer trained on the OLD
     // generation only, committed; new vectors assigned against the

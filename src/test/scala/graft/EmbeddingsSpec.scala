@@ -141,4 +141,41 @@ class EmbeddingsSpec extends AnyFunSuite {
     assert(audit.head._3 == (probeIds intersect truthIds).size.toLong,
       s"audit n_hit for q=$q0 diverges from probe∩truth")
   }
+
+  test("recall control experiment: planted structure gives exact cluster recovery and perfect nprobe=1 recall") {
+    import graft.ext.Embeddings
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    graft.functions.VectorFunctions.register(spark)
+    val pl = Tables.embeddings(spark, sf).select($"vec_id")
+      .withColumn("label", pmod($"vec_id", lit(8)).cast("int"))
+      .withColumn("embedding", expr(Embeddings.plantedE))
+    // law 1: the corpus is SEPARATED — every same-cluster cosine sits
+    // strictly above every cross-cluster cosine (checked on the 20
+    // query points vs the whole corpus, the surface the entry gates)
+    val q = pl.filter($"vec_id" < 20)
+      .select($"vec_id".as("q_id"), $"label".as("q_lab"), $"embedding".as("qv"))
+    val pairs = pl.join(broadcast(q), $"q_id" =!= $"vec_id")
+      .select(($"label" === $"q_lab").as("same"),
+        expr("cosine_sim(qv, embedding)").as("cos"))
+      .groupBy($"same").agg(min($"cos").as("lo"), max($"cos").as("hi"))
+      .collect().map(r => r.getBoolean(0) -> (r.getDouble(1), r.getDouble(2))).toMap
+    assert(pairs(true)._1 > pairs(false)._2,
+      s"planted clusters not separated: same ${pairs(true)}, cross ${pairs(false)}")
+    // law 2: the quantizer recovers the plant exactly — every vector's
+    // assigned cell IS its true cluster (cells ≡ cosine neighborhoods,
+    // the property that licenses the perfect-recall gate)
+    val mis = Embeddings.assign(pl, Embeddings.centroids(pl))
+      .filter($"assigned" =!= $"label").count()
+    assert(mis == 0, s"$mis vectors assigned outside their planted cluster")
+    // law 3: the registered entry reports recall exactly 1.0 per query
+    val rows = SparkEntry.queries("sim_ivf_recall_structured")(spark, sf).collect()
+    assert(rows.length == 20, "one row per query point")
+    rows.foreach { r =>
+      assert(r.getLong(r.fieldIndex("n_truth")) == 3)
+      assert(r.getDouble(r.fieldIndex("recall")) == 1.0,
+        s"q=${r.getLong(0)}: recall ${r.getDouble(r.fieldIndex("recall"))} != 1.0")
+      assert(r.getBoolean(r.fieldIndex("recall_ok")))
+    }
+  }
 }

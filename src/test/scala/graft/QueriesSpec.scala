@@ -94,6 +94,7 @@ class QueriesSpec extends AnyFunSuite {
       "qa_embedding_drift",  // 1-row generation-totals broadcast over ≤k cells (Profile.scala)
       "sim_ivf_recall_audit", // 20-row broadcast query panel for the truth side (the sim_cosine_topk shape)
       "sim_ivf_recall_curve", // 20-row query panel + 3-row nprobe frame (both broadcast)
+      "sim_ivf_recall_structured", // 20-row query panel + 8-row planted-centroid panel (both broadcast)
       "txt_tfidf_top")       // 1-row corpus-count broadcast (the api_q6_stats shape)
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
