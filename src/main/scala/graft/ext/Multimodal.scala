@@ -350,9 +350,15 @@ object Multimodal {
     var sampleRate = -1; var channels = -1; var bits = -1
     var dataOff = -1; var dataLen = -1
     while (i + 8 <= bytes.length) {
-      val id = tag(i); val sz = u32(i + 4)
-      require(i + 8 + sz <= bytes.length,
+      val id = tag(i)
+      // chunk size is UNSIGNED u32: read through Long so a crafted size
+      // with the high bit set fails the overrun check instead of going
+      // negative, passing it, and walking the cursor BACKWARDS (an
+      // infinite loop in a public decode entry point)
+      val szU = u32(i + 4).toLong & 0xffffffffL
+      require(i + 8 + szU <= bytes.length,
         s"chunk $id overruns payload for doc $docId")
+      val sz = szU.toInt // safe: bounded by bytes.length above
       id match {
         case "fmt " =>
           require(sz >= 16, s"fmt chunk too short for doc $docId")
@@ -369,6 +375,9 @@ object Multimodal {
     require(dataLen % (channels * 2) == 0,
       s"data length $dataLen not frame-aligned for doc $docId")
     val n = dataLen / (channels * 2)
+    // fail loudly on an empty data chunk instead of emitting NaN means
+    // (0/0) — the resizePpmNearest degenerate-box rule applied to audio
+    require(n > 0, s"empty data chunk for doc $docId")
     var s0 = 0L; var s1 = 0L; var q0 = 0L; var q1 = 0L
     var t = 0
     while (t < n) {

@@ -189,5 +189,23 @@ class MultimodalSpec extends AnyFunSuite {
     val fmtOff = 12 + 8 + 14 // RIFF(12) + "fmt "+size(8) + offset of bits field
     eightBit(fmtOff) = 8; eightBit(fmtOff + 1) = 0
     assertThrows[IllegalArgumentException](Multimodal.decodeWav(7L, eightBit))
+    // a chunk size with the high bit set is UNSIGNED-huge, not negative:
+    // it must fail the overrun check, never walk the cursor backwards
+    // into an infinite loop (the fmt chunk is the first after "WAVE")
+    val negSize = good.clone()
+    negSize(12 + 7) = 0x80.toByte // fmt size 16 -> 0x80000010
+    assertThrows[IllegalArgumentException](Multimodal.decodeWav(7L, negSize))
+  }
+
+  test("decodeWav rejects an empty data chunk instead of emitting NaN means") {
+    def le16(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val fmt = "fmt ".getBytes("US-ASCII").toSeq ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(8000) ++ le32(32000) ++ le16(4) ++ le16(16)
+    val data = "data".getBytes("US-ASCII").toSeq ++ le32(0)
+    val body = "WAVE".getBytes("US-ASCII").toSeq ++ fmt ++ data
+    val wav = ("RIFF".getBytes("US-ASCII").toSeq ++ le32(body.size) ++ body).toArray
+    assertThrows[IllegalArgumentException](Multimodal.decodeWav(1L, wav))
   }
 }
