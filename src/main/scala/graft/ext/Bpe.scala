@@ -149,24 +149,39 @@ object Bpe {
     ((a, b, c), merged)
   }
 
-  /** Corpus-learned merge table: `rounds` training rounds over the
-    * regex pre-token vocabulary of `documents`. */
-  def trainMerges(s: SparkSession, dir: String, rounds: Int)
-      : Seq[(Int, String, String, Long)] = {
+  /** The ONE corpus pass of BPE training: pre-token frequency counts
+    * collapsed to the (piece, cnt, syms) VOCABULARY. Everything after
+    * this touches only the vocabulary — the property that keeps the
+    * training loop tractable at 100 TB (BpeSmoke measures it: this
+    * pass grows ~K with the corpus, the rounds below stay ~flat). */
+  def pretokenVocab(s: SparkSession, dir: String)
+      : org.apache.spark.sql.DataFrame = {
     import s.implicits._
     import org.apache.spark.sql.functions._
-    var vocab = graft.Tables.documents(s, dir)
+    graft.Tables.documents(s, dir)
       .select(explode(expr(
         "regexp_extract_all(text, '[a-z0-9]+|[^a-z0-9\\\\s]', 0)")).as("piece"))
       .groupBy($"piece").agg(count(lit(1)).as("cnt"))
       .select($"piece", $"cnt", split($"piece", "").as("syms"))
       .localCheckpoint(true)
+  }
+
+  /** `rounds` training rounds over a prepared vocabulary. */
+  def trainOnVocab(vocabIn: org.apache.spark.sql.DataFrame, rounds: Int)
+      : Seq[(Int, String, String, Long)] = {
+    var vocab = vocabIn
     (1 to rounds).map { r =>
       val ((a, b, c), next) = trainRound(vocab)
       vocab = next
       (r, a, b, c)
     }
   }
+
+  /** Corpus-learned merge table: `rounds` training rounds over the
+    * regex pre-token vocabulary of `documents`. */
+  def trainMerges(s: SparkSession, dir: String, rounds: Int)
+      : Seq[(Int, String, String, Long)] =
+    trainOnVocab(pretokenVocab(s, dir), rounds)
 
   /** DuckDB twin of [[trainMerges]]: `rounds` unrolled training rounds —
     * each round's pair counts, argmax (same tie-break), and merge

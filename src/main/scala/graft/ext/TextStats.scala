@@ -284,7 +284,7 @@ object TextStats {
     // (weighted adjacent-pair counts over the pre-token vocabulary,
     // argmax with lexicographic tie-break, merge, repeat) as an
     // iterative Spark job whose per-round argmax is a 1-row driver
-    // collect. The oracle re-derives all four rounds from scratch
+    // collect. The oracle re-derives all nine rounds from scratch
     // (unrolled CTE blocks: count → argmax → column-captured merge
     // fold), so a wrong count weighting, a tie-break slip, or a merge
     // application bug in ANY round flips the hash. Scale: each round is
