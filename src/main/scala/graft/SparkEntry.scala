@@ -24,6 +24,8 @@ object SparkEntry {
     _root_.graft.ext.Cluster.defs,
     _root_.graft.ext.Similarity.defs,
     _root_.graft.ext.Embeddings.defs,
+    _root_.graft.ext.Pq.defs,
+    _root_.graft.ext.Cdc.defs,
     _root_.graft.ext.Multimodal.defs,
     _root_.graft.ext.Profile.defs,
     _root_.graft.ext.Pipe.defs,

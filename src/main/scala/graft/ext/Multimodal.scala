@@ -338,6 +338,27 @@ object Multimodal {
     * the data chunk's little-endian samples. Throws on malformed input —
     * ingest would wrap this in the quarantine pattern. */
   def decodeWav(docId: Long, bytes: Array[Byte]): WavStats = {
+    val (sampleRate, dataOff, n) = wavDataRange(docId, bytes)
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    var s0 = 0L; var s1 = 0L; var q0 = 0L; var q1 = 0L
+    var t = 0
+    while (t < n) {
+      val v0 = u16(dataOff + 4 * t).toShort.toInt
+      val v1 = u16(dataOff + 4 * t + 2).toShort.toInt
+      s0 += v0; s1 += v1; q0 += v0.toLong * v0; q1 += v1.toLong * v1
+      t += 1
+    }
+    WavStats(docId, sampleRate, 2, n,
+      s0.toDouble / n, s1.toDouble / n,
+      math.sqrt(q0.toDouble / n), math.sqrt(q1.toDouble / n))
+  }
+
+  /** The shared RIFF walk behind [[decodeWav]] and [[wavFeatures]]:
+    * validates the container + PCM stereo/16-bit layout and returns
+    * (sample_rate, data_offset, n_frames). Semantics identical to the
+    * original decodeWav walk (unsigned chunk sizes, pad-byte rule,
+    * loud failure on malformed or empty payloads). */
+  private def wavDataRange(docId: Long, bytes: Array[Byte]): (Int, Int, Int) = {
     def u32(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8) |
       ((bytes(i + 2) & 0xff) << 16) | ((bytes(i + 3) & 0xff) << 24)
     def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
@@ -378,17 +399,39 @@ object Multimodal {
     // fail loudly on an empty data chunk instead of emitting NaN means
     // (0/0) — the resizePpmNearest degenerate-box rule applied to audio
     require(n > 0, s"empty data chunk for doc $docId")
-    var s0 = 0L; var s1 = 0L; var q0 = 0L; var q1 = 0L
+    (sampleRate, dataOff, n)
+  }
+
+  /** Decoded WAV feature row: integer-exact signal features. */
+  final case class WavFeatures(
+      doc_id: Long, n_samples: Int,
+      zcr_ch0: Int, zcr_ch1: Int, peak_ch0: Int, peak_ch1: Int)
+
+  /** Audio FEATURE extraction over the real decoded samples: per
+    * channel, the zero-crossing count (adjacent sample pairs whose
+    * product is strictly negative — the classic voiced/unvoiced and
+    * noisiness discriminator) and the peak absolute amplitude. Both
+    * are exact integer arithmetic end-to-end, so the oracle gate is a
+    * bit-exact replay with no rounding discipline needed at all. */
+  def wavFeatures(docId: Long, bytes: Array[Byte]): WavFeatures = {
+    val (_, dataOff, n) = wavDataRange(docId, bytes)
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    var z0 = 0; var z1 = 0; var p0 = 0; var p1 = 0
+    var l0 = 0; var l1 = 0
     var t = 0
     while (t < n) {
       val v0 = u16(dataOff + 4 * t).toShort.toInt
       val v1 = u16(dataOff + 4 * t + 2).toShort.toInt
-      s0 += v0; s1 += v1; q0 += v0.toLong * v0; q1 += v1.toLong * v1
+      if (t > 0) {
+        if (l0.toLong * v0 < 0) z0 += 1
+        if (l1.toLong * v1 < 0) z1 += 1
+      }
+      if (math.abs(v0) > p0) p0 = math.abs(v0)
+      if (math.abs(v1) > p1) p1 = math.abs(v1)
+      l0 = v0; l1 = v1
       t += 1
     }
-    WavStats(docId, sampleRate, channels, n,
-      s0.toDouble / n, s1.toDouble / n,
-      math.sqrt(q0.toDouble / n), math.sqrt(q1.toDouble / n))
+    WavFeatures(docId, n, z0, z1, p0, p1)
   }
 
   val defs: Map[String, QueryDef] = Map(
@@ -626,6 +669,40 @@ object Multimodal {
                round(sqrt(CAST(q1 AS DOUBLE) / n), 6) AS rms_ch1
         FROM agg"""),
       doc = "REAL RIFF/WAVE PCM decode (codec-free chunk walker, pad-byte rule exercised on every payload): per-channel mean amplitude + RMS hash-gated against the byte-blind arithmetic oracle"),
+
+    // audio FEATURE extraction over the same real decode path:
+    // zero-crossing count + peak amplitude per channel — exact integer
+    // arithmetic end-to-end (no rounding discipline needed), so the
+    // byte-blind oracle replays the planted PCM and the lag-product
+    // sign test bit-for-bit. Same partition-wise no-shuffle shape as
+    // mm_wav_decode.
+    "mm_wav_features" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, dir).select($"doc_id").as[Long]
+          .mapPartitions(_.map(id => (id, encodeWav(id)))).toDF("doc_id", "payload")
+        payloads.as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, bytes) => wavFeatures(id, bytes) })
+          .toDF()
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, 64 + doc_id % 97 AS n FROM documents),
+        ts AS (SELECT doc_id, n, unnest(generate_series(0, n - 1)) AS t FROM d),
+        v AS (SELECT doc_id, n, t,
+                     (doc_id*37 + t*11) % 2048 - 1024 AS v0,
+                     (doc_id*53 + t*17) % 2048 - 1024 AS v1
+              FROM ts),
+        l AS (SELECT doc_id, n, v0, v1,
+                     lag(v0) OVER (PARTITION BY doc_id ORDER BY t) AS p0,
+                     lag(v1) OVER (PARTITION BY doc_id ORDER BY t) AS p1
+              FROM v)
+        SELECT doc_id, CAST(max(n) AS INT) AS n_samples,
+               CAST(sum(CASE WHEN p0 * v0 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zcr_ch0,
+               CAST(sum(CASE WHEN p1 * v1 < 0 THEN 1 ELSE 0 END) AS BIGINT) AS zcr_ch1,
+               CAST(max(abs(v0)) AS INT) AS peak_ch0,
+               CAST(max(abs(v1)) AS INT) AS peak_ch1
+        FROM l GROUP BY 1"""),
+      doc = "audio features over the real WAV decode: per-channel zero-crossing count + peak amplitude, integer-exact end-to-end against the byte-blind arithmetic oracle"),
 
     // frame sampling: the video path — split the payload into fixed-size
     // chunks ("frames"), keep every 4th, fingerprint each. The explode

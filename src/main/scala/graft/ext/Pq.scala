@@ -1,0 +1,429 @@
+package graft.ext
+
+import graft.{QueryDef, Tables}
+import graft.etl.MergeWriter
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.expressions.Window
+
+/** Product quantization (PQ) — the vector-COMPRESSION half of the ANN
+  * story (Jégou et al., "Product Quantization for Nearest Neighbor
+  * Search", TPAMI 2011). The IVF family (Embeddings.scala) shrinks the
+  * SEARCH by probing few cells; PQ shrinks the VECTORS: the 64-dim
+  * embedding splits into m=4 independent 16-dim subspaces, each
+  * quantized against its own small codebook, so a vector stores as 4
+  * small codes instead of 64 floats (here 4 ints vs 256 bytes; with
+  * byte codes, 4 bytes — a 64× compression). Distances against the
+  * compressed corpus use the ADC (asymmetric distance computation)
+  * trick: per query, precompute a (subspace × code) lookup table of
+  * exact subspace distances ONCE, then every candidate's approximate
+  * distance is m table lookups + an add — no decompression.
+  *
+  * At 100 TB this is the memory-side complement to IVF-PQ: the
+  * codebooks are m·k centroids (broadcast side, kilobytes), the code
+  * table is 4 ints per vector (the only thing the scan touches), and
+  * the per-query LUT is m·k doubles. Nothing about the corpus side
+  * ever shuffles — codes are computed in one broadcast-join pass and
+  * ADC ranking is the same broadcast-window shape as
+  * `sim_cosine_topk`.
+  *
+  * Determinism (the Embeddings.scala discipline, see its scaladoc):
+  * codebooks are label-seeded exact quantized means (sum-of-longs per
+  * (label, dim), one division on exact operands); every subspace
+  * distance is a sequential left-fold over round(x·10⁴)/10⁴ values
+  * rounded to 6; the ADC sum adds the m=4 rounded subspace distances
+  * in fixed textual order on both engines. Ties break on the lowest
+  * code / vec_id everywhere.
+  *
+  * Reference basis: the reference has no vector ops (SURVEY §2.6);
+  * this is the extended LLM-pipeline surface (builder brief).
+  */
+object Pq {
+
+  /** Quantized-to-double vector: round(x·10⁴)/10⁴ — engine-exact. */
+  private val vdE =
+    "transform(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)), q -> q / 10000.0)"
+
+  /** Per-(vector, subspace, codebook entry) squared L2 over the
+    * subspace slice — the shared kernel of encode (argmin per
+    * subspace) and the ADC LUT (all entries kept, query side).
+    * `m` subspaces of width `w`; codebooks are the label-seeded
+    * centroids' slices, so `cents` is [[Embeddings.centroids]] output
+    * (label, cv). Returns (vec_id, sub, c_label, d2). */
+  private[graft] def subD2(vecs: DataFrame, cents: DataFrame, m: Int, w: Int): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val subs = broadcast((0 until m).toDF("sub"))
+    vecs.select($"vec_id", expr(vdE).as("vd"))
+      .crossJoin(broadcast(cents.select($"label".as("c_label"), $"cv")))
+      .crossJoin(subs)
+      .select($"vec_id", $"sub", $"c_label",
+        round(expr(
+          s"aggregate(zip_with(slice(vd, sub * $w + 1, $w), slice(cv, sub * $w + 1, $w), " +
+            "(a, b) -> (a - b) * (a - b)), 0.0d, (acc, x) -> acc + x)"), 6).as("d2"))
+  }
+
+  /** PQ ENCODE: per (vector, subspace) the argmin codebook entry
+    * (ties → lowest code). Returns the long form
+    * (vec_id, sub, code, d2) — one row per subspace. */
+  private[graft] def codes(vecs: DataFrame, cents: DataFrame, m: Int, w: Int): DataFrame = {
+    val s = vecs.sparkSession
+    import s.implicits._
+    val win = Window.partitionBy($"vec_id", $"sub").orderBy($"d2".asc, $"c_label".asc)
+    subD2(vecs, cents, m, w)
+      .withColumn("rk", row_number().over(win)).filter($"rk" === 1)
+      .select($"vec_id", $"sub", $"c_label".as("code"), $"d2")
+  }
+
+  // ---- DuckDB twins ----------------------------------------------------
+
+  private def fold(arr: String): String =
+    s"list_reduce(list_prepend(0.0, $arr), (a, b) -> a + b)"
+
+  /** Subspace squared L2 between quantized vector `qv` (long·10⁴) and
+    * centroid list `cv`, sliced by a column named `s.sub`. */
+  private def subD2Sql(qv: String, cv: String): String =
+    s"""round(${fold(s"""list_transform(list_zip(
+             list_slice(list_transform($qv, x -> x / 10000.0), s.sub * 16 + 1, s.sub * 16 + 16),
+             list_slice($cv, s.sub * 16 + 1, s.sub * 16 + 16)),
+           p -> (p[1] - p[2]) * (p[1] - p[2]))""")}, 6)"""
+
+  /** Full 64-dim squared L2 between two quantized vectors. */
+  private def d2FullSql(a: String, b: String): String =
+    s"""round(${fold(s"""list_transform(list_zip(
+             list_transform($a, x -> x / 10000.0),
+             list_transform($b, x -> x / 10000.0)),
+           p -> (p[1] - p[2]) * (p[1] - p[2]))""")}, 6)"""
+
+  /** Shared oracle prefix: Embeddings' quantizer CTEs (q, cent), the
+    * subspace axis, per-(vector, sub, entry) distances `sd`, and the
+    * rank-1 `code` rows. */
+  private def codeCtes: String = s"""${Embeddings.centCtesAt("")},
+        s AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+        sd AS (SELECT q.vec_id, s.sub, cent.c_label, ${subD2Sql("q.qv", "cent.cv")} AS d2
+               FROM q CROSS JOIN cent CROSS JOIN s),
+        code AS (SELECT vec_id, sub, c_label AS code, d2 FROM sd
+                 QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, c_label ASC) = 1)"""
+
+  /** ADC CTE chain on top of [[codeCtes]]: the per-query LUT is `sd`
+    * restricted to the query set; each candidate's approximate
+    * distance is the fixed-order sum of its 4 looked-up subspace
+    * distances. */
+  private def adcCtes: String = s"""$codeCtes,
+        lut AS (SELECT vec_id AS q_id, sub, c_label AS code, d2 FROM sd WHERE vec_id < 10),
+        al AS (SELECT l.q_id, c.vec_id AS n_id,
+                      max(CASE WHEN c.sub = 0 THEN l.d2 END) AS a0,
+                      max(CASE WHEN c.sub = 1 THEN l.d2 END) AS a1,
+                      max(CASE WHEN c.sub = 2 THEN l.d2 END) AS a2,
+                      max(CASE WHEN c.sub = 3 THEN l.d2 END) AS a3
+               FROM code c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+               GROUP BY 1, 2),
+        adc AS (SELECT q_id, n_id, round(a0 + a1 + a2 + a3, 6) AS adc,
+                       row_number() OVER (PARTITION BY q_id ORDER BY round(a0 + a1 + a2 + a3, 6) ASC, n_id ASC) AS rank
+                FROM al WHERE q_id <> n_id)"""
+
+  val defs: Map[String, QueryDef] = Map(
+    // PQ encode: every vector compressed to its 4 subspace codes, plus
+    // the total quantization distortion (the number a deployment
+    // watches to size k — rising recon_d2 means the codebooks no
+    // longer fit the data). One broadcast-join pass over the corpus;
+    // the only shuffle is the per-(vec, sub) argmin's hash partition
+    // on vec_id.
+    "sim_pq_encode" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+        codes(e, Embeddings.centroids(e), m = 4, w = 16)
+          .groupBy($"vec_id")
+          .agg(
+            max(when($"sub" === 0, $"code")).as("code_0"),
+            max(when($"sub" === 1, $"code")).as("code_1"),
+            max(when($"sub" === 2, $"code")).as("code_2"),
+            max(when($"sub" === 3, $"code")).as("code_3"),
+            max(when($"sub" === 0, $"d2")).as("d0"),
+            max(when($"sub" === 1, $"d2")).as("d1"),
+            max(when($"sub" === 2, $"d2")).as("d2s"),
+            max(when($"sub" === 3, $"d2")).as("d3"))
+          .select($"vec_id", $"code_0", $"code_1", $"code_2", $"code_3",
+            round($"d0" + $"d1" + $"d2s" + $"d3", 6).as("recon_d2"))
+      },
+      oracle = Some(s"""
+        WITH $codeCtes
+        SELECT vec_id,
+               max(CASE WHEN sub = 0 THEN code END) AS code_0,
+               max(CASE WHEN sub = 1 THEN code END) AS code_1,
+               max(CASE WHEN sub = 2 THEN code END) AS code_2,
+               max(CASE WHEN sub = 3 THEN code END) AS code_3,
+               round(max(CASE WHEN sub = 0 THEN d2 END) + max(CASE WHEN sub = 1 THEN d2 END)
+                   + max(CASE WHEN sub = 2 THEN d2 END) + max(CASE WHEN sub = 3 THEN d2 END), 6) AS recon_d2
+        FROM code GROUP BY 1"""),
+      doc = "PQ encode (Jégou et al. 2011): 64-dim → 4 subspace codes against label-seeded codebooks, per-vector distortion hash-gated; one broadcast-join pass, codebooks are the only broadcast state"),
+
+    // ADC top-k: the compressed-domain search — candidates are ranked
+    // by LUT lookups over their CODES, never their vectors. Same
+    // broadcast-window shape as sim_cosine_topk but the big side
+    // carries 4 ints per row instead of 64 floats: the scan that
+    // survives 100 TB.
+    "sim_pq_adc_topk" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+        val cents = Embeddings.centroids(e)
+        val cand = codes(e, cents, m = 4, w = 16)
+          .select($"vec_id".as("n_id"), $"sub", $"code")
+        val lut = subD2(e.filter($"vec_id" < 10), cents, m = 4, w = 16)
+          .select($"vec_id".as("q_id"), $"sub", $"c_label".as("code"), $"d2")
+        val w = Window.partitionBy($"q_id").orderBy($"adc".asc, $"n_id".asc)
+        cand.join(broadcast(lut), Seq("sub", "code"))
+          .groupBy($"q_id", $"n_id")
+          .agg(
+            max(when($"sub" === 0, $"d2")).as("a0"),
+            max(when($"sub" === 1, $"d2")).as("a1"),
+            max(when($"sub" === 2, $"d2")).as("a2"),
+            max(when($"sub" === 3, $"d2")).as("a3"))
+          .filter($"q_id" =!= $"n_id")
+          .select($"q_id", $"n_id", round($"a0" + $"a1" + $"a2" + $"a3", 6).as("adc"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 5)
+      },
+      oracle = Some(s"""
+        WITH $adcCtes
+        SELECT q_id, n_id, adc, rank FROM adc
+        WHERE rank <= 5"""),
+      doc = "PQ ADC top-5: asymmetric distance over the code table (per-query LUT of subspace distances, fixed-order 4-term sum) — the compressed-domain scan of IVF-PQ"),
+
+    // The honesty gate for the family (the sim_ivf_recall_audit
+    // discipline): ADC ranks by an APPROXIMATION, so its top-5 vs the
+    // exact full-dimension L2 truth is measured in-query and
+    // hash-gated — per-query n_hit/recall plus the documented
+    // recall ≥ 1/5 marker column. Measured on this STRUCTURE-FREE
+    // synthetic corpus: mean recall ≈ 0.08 (min 0.0, max 0.4) at both
+    // gated SFs — m=4 subspaces × k=10 entries carry ~13 bits against
+    // 64 i.i.d. dims, so near-zero recall is the DATA, not the index:
+    // the planted-structure control below proves the same machinery
+    // hits exactly 1.0 when vectors sit on the codebook. Like the IVF
+    // audit, the gate's power is agreement: any codebook/LUT/ranking
+    // regression flips the hashed per-query numbers.
+    "sim_pq_recall_audit" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+        val cents = Embeddings.centroids(e)
+        val cand = codes(e, cents, m = 4, w = 16)
+          .select($"vec_id".as("n_id"), $"sub", $"code")
+        val lut = subD2(e.filter($"vec_id" < 10), cents, m = 4, w = 16)
+          .select($"vec_id".as("q_id"), $"sub", $"c_label".as("code"), $"d2")
+        val wA = Window.partitionBy($"q_id").orderBy($"adc".asc, $"n_id".asc)
+        val approx = cand.join(broadcast(lut), Seq("sub", "code"))
+          .groupBy($"q_id", $"n_id")
+          .agg(
+            max(when($"sub" === 0, $"d2")).as("a0"),
+            max(when($"sub" === 1, $"d2")).as("a1"),
+            max(when($"sub" === 2, $"d2")).as("a2"),
+            max(when($"sub" === 3, $"d2")).as("a3"))
+          .filter($"q_id" =!= $"n_id")
+          .select($"q_id", $"n_id", round($"a0" + $"a1" + $"a2" + $"a3", 6).as("adc"))
+          .withColumn("rank", row_number().over(wA))
+          .filter($"rank" <= 5)
+          .select($"q_id", $"n_id")
+        val q = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), expr(vdE).as("qvd"))
+        val c = e.select($"vec_id".as("n_id"), expr(vdE).as("nvd"))
+        val wT = Window.partitionBy($"q_id").orderBy($"d2".asc, $"n_id".asc)
+        val truth = c.join(broadcast(q), $"q_id" =!= $"n_id")
+          .select($"q_id", $"n_id",
+            round(expr("aggregate(zip_with(qvd, nvd, (a, b) -> (a - b) * (a - b)), 0.0d, (acc, x) -> acc + x)"), 6).as("d2"))
+          .withColumn("rank", row_number().over(wT))
+          .filter($"rank" <= 5)
+          .select($"q_id", $"n_id")
+        truth.join(approx.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
+          .groupBy($"q_id")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce($"hit", lit(0))).cast("long").as("n_hit"))
+          .select($"q_id", $"n_truth", $"n_hit",
+            round($"n_hit".cast("double") / $"n_truth", 4).as("recall"),
+            ($"n_hit" * 5 >= $"n_truth").as("recall_ok"))
+      },
+      oracle = Some(s"""
+        WITH $adcCtes,
+        pq AS (SELECT q_id, n_id FROM adc WHERE rank <= 5),
+        truth AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                         ${d2FullSql("a.qv", "b.qv")} AS d2
+                  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+                  WHERE a.vec_id < 10
+                  QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY d2 ASC, n_id ASC) <= 5)
+        SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_truth,
+               CAST(sum(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               round(CAST(sum(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall,
+               5 * CAST(sum(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) >= count(*) AS recall_ok
+        FROM truth t LEFT JOIN pq p ON t.q_id = p.q_id AND t.n_id = p.n_id
+        GROUP BY 1"""),
+      doc = "PQ recall audit: ADC top-5 scored against the exact 64-dim L2 truth in-query — per-query n_hit/recall hash-gated (measured mean ~0.08 on the structure-free corpus; see sim_pq_recall_structured for the machinery proof)"),
+
+    // The CONTROL experiment (the sim_ivf_recall_structured
+    // discipline): a planted corpus where every vector sits EXACTLY on
+    // a codebook point — 8 clusters whose 2-dim activation pattern
+    // repeats in each of the 4 subspaces, zero noise. Then
+    // reconstruction is lossless, ADC(q, n) IS the exact distance, and
+    // ties (whole clusters at one distance) resolve by the same n_id
+    // rule on both the approximate and the exact side — so recall@5
+    // must be EXACTLY 1.0 for every query. A codes/LUT/sum/tie-break
+    // regression anywhere in the family breaks the equality; the
+    // audit's ~0.08 on the random corpus is thereby pinned on the
+    // data, not the implementation.
+    "sim_pq_recall_structured" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val planted =
+          "transform(sequence(0, 63), d -> CAST(CASE WHEN d % 16 = 2 * (vec_id % 8) OR d % 16 = 2 * (vec_id % 8) + 1 THEN 10.0 ELSE 0.0 END AS DOUBLE))"
+        val pl = Tables.embeddings(s, dir).select($"vec_id")
+          .withColumn("label", pmod($"vec_id", lit(8)).cast("int"))
+          .withColumn("embedding", expr(planted))
+        val cents = Embeddings.centroids(pl)
+        val cand = codes(pl, cents, m = 4, w = 16)
+          .select($"vec_id".as("n_id"), $"sub", $"code")
+        val lut = subD2(pl.filter($"vec_id" < 10), cents, m = 4, w = 16)
+          .select($"vec_id".as("q_id"), $"sub", $"c_label".as("code"), $"d2")
+        val wA = Window.partitionBy($"q_id").orderBy($"adc".asc, $"n_id".asc)
+        val approx = cand.join(broadcast(lut), Seq("sub", "code"))
+          .groupBy($"q_id", $"n_id")
+          .agg(
+            max(when($"sub" === 0, $"d2")).as("a0"),
+            max(when($"sub" === 1, $"d2")).as("a1"),
+            max(when($"sub" === 2, $"d2")).as("a2"),
+            max(when($"sub" === 3, $"d2")).as("a3"))
+          .filter($"q_id" =!= $"n_id")
+          .select($"q_id", $"n_id", round($"a0" + $"a1" + $"a2" + $"a3", 6).as("adc"))
+          .withColumn("rank", row_number().over(wA))
+          .filter($"rank" <= 5)
+          .select($"q_id", $"n_id")
+        val q = pl.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), expr(vdE).as("qvd"))
+        val c = pl.select($"vec_id".as("n_id"), expr(vdE).as("nvd"))
+        val wT = Window.partitionBy($"q_id").orderBy($"d2".asc, $"n_id".asc)
+        val truth = c.join(broadcast(q), $"q_id" =!= $"n_id")
+          .select($"q_id", $"n_id",
+            round(expr("aggregate(zip_with(qvd, nvd, (a, b) -> (a - b) * (a - b)), 0.0d, (acc, x) -> acc + x)"), 6).as("d2"))
+          .withColumn("rank", row_number().over(wT))
+          .filter($"rank" <= 5)
+          .select($"q_id", $"n_id")
+        truth.join(approx.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
+          .groupBy($"q_id")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce($"hit", lit(0))).cast("long").as("n_hit"))
+          .select($"q_id", $"n_truth", $"n_hit",
+            round($"n_hit".cast("double") / $"n_truth", 4).as("recall"),
+            ($"n_hit" === $"n_truth").as("recall_ok"))
+      },
+      oracle = Some {
+        val plantedSql =
+          "list_transform(range(0, 64), d -> CAST(CASE WHEN d % 16 = 2 * (vec_id % 8) OR d % 16 = 2 * (vec_id % 8) + 1 THEN 10.0 ELSE 0.0 END AS DOUBLE))"
+        s"""
+        WITH pl AS (SELECT vec_id, $plantedSql AS v FROM embeddings),
+        q AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS label,
+                     list_transform(v, x -> CAST(round(x * 10000.0) AS BIGINT)) AS qv
+              FROM pl),
+        cd AS (SELECT label, i, CAST(sum(qv[i]) AS DOUBLE) / (10000.0 * count(*)) AS c
+               FROM q, generate_series(1, 64) t(i) GROUP BY 1, 2),
+        cent AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM cd GROUP BY 1),
+        s AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+        sd AS (SELECT q.vec_id, s.sub, cent.c_label, ${subD2Sql("q.qv", "cent.cv")} AS d2
+               FROM q CROSS JOIN cent CROSS JOIN s),
+        code AS (SELECT vec_id, sub, c_label AS code, d2 FROM sd
+                 QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, c_label ASC) = 1),
+        lut AS (SELECT vec_id AS q_id, sub, c_label AS code, d2 FROM sd WHERE vec_id < 10),
+        al AS (SELECT l.q_id, c.vec_id AS n_id,
+                      max(CASE WHEN c.sub = 0 THEN l.d2 END) AS a0,
+                      max(CASE WHEN c.sub = 1 THEN l.d2 END) AS a1,
+                      max(CASE WHEN c.sub = 2 THEN l.d2 END) AS a2,
+                      max(CASE WHEN c.sub = 3 THEN l.d2 END) AS a3
+               FROM code c JOIN lut l ON l.sub = c.sub AND l.code = c.code
+               GROUP BY 1, 2),
+        adc AS (SELECT q_id, n_id, round(a0 + a1 + a2 + a3, 6) AS adc,
+                       row_number() OVER (PARTITION BY q_id ORDER BY round(a0 + a1 + a2 + a3, 6) ASC, n_id ASC) AS rank
+                FROM al WHERE q_id <> n_id),
+        pq AS (SELECT q_id, n_id FROM adc WHERE rank <= 5),
+        truth AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                         ${d2FullSql("a.qv", "b.qv")} AS d2
+                  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+                  WHERE a.vec_id < 10
+                  QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY d2 ASC, n_id ASC) <= 5)
+        SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_truth,
+               CAST(sum(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               round(CAST(sum(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall,
+               CAST(sum(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) = count(*) AS recall_ok
+        FROM truth t LEFT JOIN pq p ON t.q_id = p.q_id AND t.n_id = p.n_id
+        GROUP BY 1"""
+      },
+      doc = "PQ recall control: planted 8-cluster corpus sitting exactly on the codebook (zero noise, activation pattern repeated per subspace) — reconstruction is lossless so ADC ≡ exact distance and recall@5 must be EXACTLY 1.0, proving the audit's ~0.08 is the data, not the machinery"),
+
+    // THE deployment composition: IVF coarse probe × PQ fine ranking
+    // (FAISS's IVFADC shape, Jégou et al. 2011 §IV — here with
+    // by_residual=false: codes quantize the raw vectors, the variant
+    // FAISS exposes for exactly this one-quantizer setup). The probe
+    // restricts candidates to the nprobe=2 cells of the COMMITTED IVF
+    // index (the bucket-pruned read path of sim_ivf_persisted_probe);
+    // the ranking touches only those candidates' 4-int code rows via
+    // the per-query LUT. At 100 TB this is the full ANN read: open 2
+    // of k cell buckets, stream codes, m lookups + adds per candidate
+    // — neither the vectors nor the untouched cells are read at all.
+    // One committed quantizer serves both roles (coarse cells and PQ
+    // codebooks), which the oracle re-derives once from scratch.
+    "sim_ivfpq_topk" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val (cdir, adir) = Embeddings.materializeIndex(s, dir)
+        val cents = MergeWriter.readSnapshot(s, cdir, Embeddings.idxCentSchema)
+        val asgT = MergeWriter.readSnapshot(s, adir, Embeddings.idxAsgSchema)
+        val e = Tables.embeddings(s, dir)
+        val cand = codes(e, cents, m = 4, w = 16)
+          .select($"vec_id".as("n_id"), $"sub", $"code")
+        val lut = subD2(e.filter($"vec_id" < 10), cents, m = 4, w = 16)
+          .select($"vec_id".as("q_id"), $"sub", $"c_label".as("code"), $"d2")
+        val probed = Embeddings.assignTop(e.filter($"vec_id" < 10), cents, 2)
+          .select($"vec_id".as("q_id"), $"assigned".as("cell"))
+        val pairs = probed.join(asgT.select($"vec_id".as("n_id"), $"cell"), Seq("cell"))
+          .filter($"q_id" =!= $"n_id")
+          .select($"q_id", $"n_id")
+        val w = Window.partitionBy($"q_id").orderBy($"adc".asc, $"n_id".asc)
+        pairs.join(cand, Seq("n_id"))
+          .join(broadcast(lut), Seq("q_id", "sub", "code"))
+          .groupBy($"q_id", $"n_id")
+          .agg(
+            max(when($"sub" === 0, $"d2")).as("a0"),
+            max(when($"sub" === 1, $"d2")).as("a1"),
+            max(when($"sub" === 2, $"d2")).as("a2"),
+            max(when($"sub" === 3, $"d2")).as("a3"))
+          .select($"q_id", $"n_id", round($"a0" + $"a1" + $"a2" + $"a3", 6).as("adc"))
+          .withColumn("rank", row_number().over(w))
+          .filter($"rank" <= 3)
+      },
+      oracle = Some(s"""
+        WITH $codeCtes,
+        cdist AS (SELECT q.vec_id, cent.c_label, ${Embeddings.d2Sql} AS d2
+                  FROM q CROSS JOIN cent),
+        asg AS (SELECT vec_id, c_label AS cell FROM cdist
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) = 1),
+        probe AS (SELECT vec_id AS q_id, c_label AS cell FROM cdist
+                  WHERE vec_id < 10
+                  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) <= 2),
+        pairs AS (SELECT p.q_id, a.vec_id AS n_id
+                  FROM probe p JOIN asg a USING (cell)
+                  WHERE a.vec_id <> p.q_id),
+        lut AS (SELECT vec_id AS q_id, sub, c_label AS code, d2 FROM sd WHERE vec_id < 10),
+        al AS (SELECT cp.q_id, cp.n_id,
+                      max(CASE WHEN c.sub = 0 THEN l.d2 END) AS a0,
+                      max(CASE WHEN c.sub = 1 THEN l.d2 END) AS a1,
+                      max(CASE WHEN c.sub = 2 THEN l.d2 END) AS a2,
+                      max(CASE WHEN c.sub = 3 THEN l.d2 END) AS a3
+               FROM pairs cp
+               JOIN code c ON c.vec_id = cp.n_id
+               JOIN lut l ON l.q_id = cp.q_id AND l.sub = c.sub AND l.code = c.code
+               GROUP BY 1, 2)
+        SELECT q_id, n_id, round(a0 + a1 + a2 + a3, 6) AS adc,
+               row_number() OVER (PARTITION BY q_id ORDER BY round(a0 + a1 + a2 + a3, 6) ASC, n_id ASC) AS rank
+        FROM al
+        QUALIFY rank <= 3"""),
+      doc = "IVF-PQ (IVFADC): nprobe=2 probe of the committed index restricted to cell candidates, ranked by ADC over their 4-int codes — the full 100 TB ANN read path (2 of k buckets opened, codes streamed, no vector touched), one committed quantizer serving both coarse and fine roles")
+  )
+}

@@ -197,6 +197,41 @@ class MultimodalSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Multimodal.decodeWav(7L, negSize))
   }
 
+  test("wavFeatures roundtrip: zero-crossings + peaks match the planted formula exactly") {
+    for (id <- Seq(0L, 5L, 96L, 200L)) {
+      val f = Multimodal.wavFeatures(id, Multimodal.encodeWav(id))
+      val n = 64 + (id % 97).toInt
+      assert(f.n_samples == n)
+      def feats(ch: Int): (Int, Int) = {
+        val vs = (0 until n).map(t => Multimodal.wavSample(id, ch, t))
+        (vs.sliding(2).count(p => p(0).toLong * p(1) < 0), vs.map(math.abs).max)
+      }
+      val (z0, p0) = feats(0); val (z1, p1) = feats(1)
+      assert(f.zcr_ch0 == z0 && f.zcr_ch1 == z1, s"zcr drifted for id $id: $f")
+      assert(f.peak_ch0 == p0 && f.peak_ch1 == p1, s"peak drifted for id $id: $f")
+    }
+  }
+
+  test("wavFeatures hand-check: sign changes counted strictly, zeros don't cross") {
+    // ch0 = [-1, 300, 0, -5]: one strict crossing (-1→300); 300→0 and
+    // 0→-5 have product 0, NOT < 0. ch1 = [2, -300, 4, -4]: three.
+    def le16(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val fmt = "fmt ".getBytes("US-ASCII").toSeq ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(8000) ++ le32(32000) ++ le16(4) ++ le16(16)
+    val frames = Seq((-1, 2), (300, -300), (0, 4), (-5, -4))
+    val data = "data".getBytes("US-ASCII").toSeq ++ le32(16) ++
+      frames.flatMap { case (a, b) => le16(a & 0xffff) ++ le16(b & 0xffff) }
+    val body = "WAVE".getBytes("US-ASCII").toSeq ++ fmt ++ data
+    val wav = ("RIFF".getBytes("US-ASCII").toSeq ++ le32(body.size) ++ body).toArray
+    val f = Multimodal.wavFeatures(1L, wav)
+    assert(f.n_samples == 4 && f.zcr_ch0 == 1 && f.zcr_ch1 == 3, s"$f")
+    assert(f.peak_ch0 == 300 && f.peak_ch1 == 300, s"$f")
+    // malformed input fails loudly through the same shared RIFF walk
+    assertThrows[IllegalArgumentException](Multimodal.wavFeatures(1L, wav.dropRight(3)))
+  }
+
   test("decodeWav rejects an empty data chunk instead of emitting NaN means") {
     def le16(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
     def le32(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,

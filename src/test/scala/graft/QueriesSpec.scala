@@ -95,6 +95,11 @@ class QueriesSpec extends AnyFunSuite {
       "sim_ivf_recall_audit", // 20-row broadcast query panel for the truth side (the sim_cosine_topk shape)
       "sim_ivf_recall_curve", // 20-row query panel + 3-row nprobe frame (both broadcast)
       "sim_ivf_recall_structured", // 20-row query panel + 8-row planted-centroid panel (both broadcast)
+      "sim_pq_encode",       // k-row codebook + 4-row subspace panels (both broadcast, Pq.scala)
+      "sim_pq_adc_topk",     // same codebook/subspace panels feeding the code argmin
+      "sim_pq_recall_audit", // those panels + the 10-row query panel for the truth side
+      "sim_pq_recall_structured", // same shape over the planted zero-noise corpus
+      "sim_ivfpq_topk",      // codebook/subspace/query panels + the k-row persisted quantizer probe
       "txt_tfidf_top")       // 1-row corpus-count broadcast (the api_q6_stats shape)
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
