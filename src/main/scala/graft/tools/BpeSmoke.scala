@@ -1,6 +1,5 @@
 package graft.tools
 
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import graft.Bench
 import graft.ext.Bpe
@@ -40,15 +39,14 @@ object BpeSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    def corpus(k: Int): String =
-      if (k == 1) sf else s"/tmp/graft-scale/v2/x$k"
+    // shared ScaleSmoke construction — builds the corpus if absent
+    def corpus(k: Int): String = ScaleCorpus.ensure(spark, sf, k)
 
     // JIT warm-up (not timed): the full path once at sf0.001
     Bpe.trainMerges(spark, "/root/testdata/sf0.001", 3)
     Bench.isolate(spark)
 
-    val decades = Seq(1, 10, 100).filter(k =>
-      k == 1 || Files.exists(Paths.get(s"${corpus(k)}/documents.parquet")))
+    val decades = Seq(1, 10, 100)
     println(f"${"K"}%4s ${"docs"}%9s ${"t_vocab_s"}%10s ${"|vocab|"}%9s ${"t_rounds_s"}%11s")
     decades.foreach { k =>
       val dir = corpus(k)

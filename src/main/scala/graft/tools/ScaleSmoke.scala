@@ -1,6 +1,5 @@
 package graft.tools
 
-import java.nio.file.{Files, Paths}
 import org.apache.spark.sql.SparkSession
 import org.apache.spark.sql.functions._
 import graft.{Bench, SparkEntry}
@@ -58,47 +57,9 @@ object ScaleSmoke {
       .getOrCreate()
     spark.sparkContext.setLogLevel("WARN")
 
-    /** ×k corpus under /tmp (built once, reused across runs). */
-    def corpus(k: Int): String = {
-      if (k == 1) return sf
-      // the version segment invalidates corpora built by EARLIER smoke
-      // revisions (the cache check is existence-only): v2 = rotated/
-      // sign-flipped embedding copies — a stale v1 dir would silently
-      // re-measure cos=1 twin-flooded copies
-      val out = s"/tmp/graft-scale/v2/x$k"
-      if (!Files.exists(Paths.get(s"$out/embeddings.parquet"))) {
-        val docs = spark.read.parquet(s"$sf/documents.parquet")
-        (0 until k).map { i =>
-          if (i == 0) docs
-          else docs
-            .withColumn("doc_id", col("doc_id") + lit(i * 10000000L))
-            .withColumn("text", concat_ws(" ",
-              expr(s"transform(split(trim(text), '\\\\s+'), t -> concat(t, '_$i'))")))
-        }.reduce(_ unionByName _)
-          .repartition(cpus.toInt)
-          .write.mode("overwrite").parquet(s"$out/documents.parquet")
-        val emb = spark.read.parquet(s"$sf/embeddings.parquet")
-        (0 until k).map { i =>
-          if (i == 0) emb
-          else {
-            // rotate by i mod 64 and sign-flip past 64 copies: 128
-            // distinct norm-preserving transforms, so no copy is an
-            // exact twin of another (see scaladoc)
-            val r = i % 64
-            // dimension-agnostic: slice lengths derive from
-            // size(embedding), not a hardcoded width
-            val base = if (r == 0) "embedding"
-              else s"concat(slice(embedding, ${r + 1}, size(embedding) - $r), slice(embedding, 1, $r))"
-            val t = if (i >= 64) s"transform($base, x -> -x)" else base
-            emb.withColumn("vec_id", col("vec_id") + lit(i * 10000000L))
-              .withColumn("embedding", expr(t))
-          }
-        }.reduce(_ unionByName _)
-          .repartition(cpus.toInt)
-          .write.mode("overwrite").parquet(s"$out/embeddings.parquet")
-      }
-      out
-    }
+    /** ×k corpus under /tmp (built once, reused across runs) — shared
+      * construction, see ScaleCorpus. */
+    def corpus(k: Int): String = ScaleCorpus.ensure(spark, sf, k)
 
     def time(name: String, dir: String): (Double, Long) = {
       val t0 = System.nanoTime()
