@@ -165,7 +165,7 @@ object Embeddings {
 
   private val builtIdx = scala.collection.mutable.Set[String]()
 
-  private def deleteRecursively(p: java.nio.file.Path): Unit =
+  private[ext] def deleteRecursively(p: java.nio.file.Path): Unit =
     if (Files.exists(p)) {
       import scala.jdk.CollectionConverters._
       val all = scala.util.Using.resource(Files.walk(p))(
@@ -177,7 +177,7 @@ object Embeddings {
     * + an order-free CONTENT xor over the embedding arrays — so a
     * testdata regeneration that keeps the shape but changes the vectors
     * reseeds the index instead of probing a stale one). */
-  private def idxRoot(s: SparkSession, dir: String): String = {
+  private[ext] def idxRoot(s: SparkSession, dir: String): String = {
     val r = Tables.embeddings(s, dir)
       .agg(count(lit(1)), max(col("vec_id")),
         expr("bit_xor(xxhash64(vec_id, embedding))")).collect()(0)

@@ -1,10 +1,13 @@
 package graft.ext
 
+import java.nio.file.{Files, Paths}
+
 import graft.{QueryDef, Tables}
 import graft.etl.MergeWriter
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.types.{IntegerType, LongType, StringType, StructField, StructType}
 
 /** Product quantization (PQ) — the vector-COMPRESSION half of the ANN
   * story (Jégou et al., "Product Quantization for Nearest Neighbor
@@ -73,6 +76,65 @@ object Pq {
     subD2(vecs, cents, m, w)
       .withColumn("rk", row_number().over(win)).filter($"rk" === 1)
       .select($"vec_id", $"sub", $"c_label".as("code"), $"d2")
+  }
+
+  // ---- persisted IVF-PQ index: the codes committed next to the cells.
+  // `sim_ivfpq_topk` composes probe × ADC correctly but re-ENCODES the
+  // whole corpus in-plan per query (PqCdcSmoke: its ×100 wall tracks
+  // plain ADC because the n·m·k encode dominates) — the deployment
+  // shape encodes ONCE at index-build time and the probe reads only the
+  // probed cells' code rows. One table through the real MergeWriter
+  // path, bucketed on the same string cell key as the IVF assignments
+  // (the room_id discipline), so a probe's read is bucket-prunable to
+  // its nprobe cells; codes are computed against the COMMITTED
+  // quantizer (the frozen-quantizer discipline of sim_ivf_index_append).
+  private[graft] val pqIdxSchema: StructType = StructType(Seq(
+    StructField("vec_id", LongType),
+    StructField("cell", IntegerType),
+    StructField("cell_key", StringType),
+    StructField("code_0", IntegerType),
+    StructField("code_1", IntegerType),
+    StructField("code_2", IntegerType),
+    StructField("code_3", IntegerType)))
+
+  private val builtPq = scala.collection.mutable.Set[String]()
+
+  /** Build-once (per sfDir+fingerprint, _DONE-cached) IVF-PQ index
+    * commit on top of [[Embeddings.materializeIndex]]: the committed
+    * quantizer serves as both the coarse cells and the PQ codebooks
+    * (by_residual=false), and each vector's 4 subspace codes are merged
+    * into a cell-bucketed codes table. Returns (centroidsDir, codesDir). */
+  private[graft] def materializePqIndex(s: SparkSession, dir: String): (String, String) = synchronized {
+    val (cdir, adir) = Embeddings.materializeIndex(s, dir)
+    val root = Embeddings.idxRoot(s, dir) + "-pq"
+    val pqdir = s"$root/codes"
+    if (!builtPq.contains(root)) {
+      val done = Paths.get(root, "_DONE")
+      if (!Files.exists(done)) {
+        Embeddings.deleteRecursively(Paths.get(root))
+        Files.createDirectories(Paths.get(pqdir))
+        import s.implicits._
+        val cents = MergeWriter.readSnapshot(s, cdir, Embeddings.idxCentSchema)
+        val asgT = MergeWriter.readSnapshot(s, adir, Embeddings.idxAsgSchema)
+        val wide = codes(Tables.embeddings(s, dir), cents, m = 4, w = 16)
+          .groupBy($"vec_id")
+          .agg(
+            max(when($"sub" === 0, $"code")).as("code_0"),
+            max(when($"sub" === 1, $"code")).as("code_1"),
+            max(when($"sub" === 2, $"code")).as("code_2"),
+            max(when($"sub" === 3, $"code")).as("code_3"))
+          .join(asgT, Seq("vec_id"))
+          .select($"vec_id", $"cell", $"cell_key",
+            $"code_0", $"code_1", $"code_2", $"code_3")
+        MergeWriter.merge(s, pqdir, wide,
+          keys = Seq("vec_id"), orderBy = Seq("cell"),
+          bucket = Some(MergeWriter.BucketSpec("cell_key", Embeddings.IdxAsgBuckets)))
+        Files.createFile(done)
+        ()
+      }
+      builtPq += root
+    }
+    (cdir, pqdir)
   }
 
   // ---- DuckDB twins ----------------------------------------------------
@@ -357,18 +419,17 @@ object Pq {
       },
       doc = "PQ recall control: planted 8-cluster corpus sitting exactly on the codebook (zero noise, activation pattern repeated per subspace) — reconstruction is lossless so ADC ≡ exact distance and recall@5 must be EXACTLY 1.0, proving the audit's ~0.08 is the data, not the machinery"),
 
-    // THE deployment composition: IVF coarse probe × PQ fine ranking
-    // (FAISS's IVFADC shape, Jégou et al. 2011 §IV — here with
-    // by_residual=false: codes quantize the raw vectors, the variant
-    // FAISS exposes for exactly this one-quantizer setup). The probe
-    // restricts candidates to the nprobe=2 cells of the COMMITTED IVF
-    // index (the bucket-pruned read path of sim_ivf_persisted_probe);
-    // the ranking touches only those candidates' 4-int code rows via
-    // the per-query LUT. At 100 TB this is the full ANN read: open 2
-    // of k cell buckets, stream codes, m lookups + adds per candidate
-    // — neither the vectors nor the untouched cells are read at all.
-    // One committed quantizer serves both roles (coarse cells and PQ
-    // codebooks), which the oracle re-derives once from scratch.
+    // IVF coarse probe × PQ fine ranking (FAISS's IVFADC shape, Jégou
+    // et al. 2011 §IV — here with by_residual=false: codes quantize the
+    // raw vectors, the variant FAISS exposes for exactly this
+    // one-quantizer setup). The probe restricts candidates to the
+    // nprobe=2 cells of the COMMITTED IVF index; the ranking is m LUT
+    // lookups + adds per candidate. This entry ENCODES THE CORPUS
+    // IN-PLAN (PqCdcSmoke measured that encode dominating at ×100) —
+    // it is the correctness baseline; the deployment read that streams
+    // committed codes is `sim_ivfpq_persisted_topk` below, gated
+    // against the SAME oracle. One committed quantizer serves both
+    // roles (coarse cells and PQ codebooks).
     "sim_ivfpq_topk" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
@@ -398,8 +459,111 @@ object Pq {
           .withColumn("rank", row_number().over(w))
           .filter($"rank" <= 3)
       },
+      oracle = Some(ivfpqOracle),
+      doc = "IVF-PQ (IVFADC): nprobe=2 probe of the committed index restricted to cell candidates, ranked by ADC over their 4-int codes — correctness baseline that re-encodes in-plan; the deployment read is sim_ivfpq_persisted_topk"),
+
+    // The same composition over the COMMITTED codes table — the read
+    // that actually survives 100 TB. sim_ivfpq_topk re-encodes the
+    // corpus in-plan (its oracle-equivalence role); here the codes come
+    // from the persisted IVF-PQ index (encoded once at build time
+    // against the committed quantizer) and the probe touches only the
+    // probed cells' rows — on the cell-bucketed table that read is
+    // bucket-pruned exactly like sim_ivf_persisted_probe's (proven in
+    // PqSpec by the deleted-bucket experiment). SAME oracle as
+    // sim_ivfpq_topk, so persisted-read ≡ in-plan-encode is re-proven
+    // by the gate every round (the dedup_keeper_salted discipline).
+    "sim_ivfpq_persisted_topk" -> QueryDef(
+      build = (s, dir) => ivfpqPersistedTopk(s, dir),
+      oracle = Some(ivfpqOracle),
+      doc = "IVF-PQ persisted read: nprobe=2 probe streaming 4-int codes from the cell-bucketed COMMITTED index (encoded once at build, frozen quantizer) — no corpus re-encode, no vector read; same oracle as sim_ivfpq_topk so the two read paths' equivalence is hash-proven per round"),
+
+    // The recall gate for the COMPOSED path, completing the audit
+    // symmetry: the coarse probe has sim_ivf_recall_audit, the code
+    // quantization has sim_pq_recall_audit — this scores their
+    // PRODUCT (cell misses × ADC ranking error) as deployed: the
+    // committed-index IVFADC top-3 against the exact 64-dim L2 truth.
+    // Same honest-number discipline: recall_ok floors at ≥1 true
+    // neighbor in the top 3, and the measured mean lands BELOW both
+    // factors alone (the composition compounds, which is exactly why
+    // the deployed read needs its own gate rather than inheriting the
+    // factors').
+    "sim_ivfpq_recall_audit" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val probe = ivfpqPersistedTopk(s, dir).select($"q_id", $"n_id")
+        val e = Tables.embeddings(s, dir)
+        val q = e.filter($"vec_id" < 10)
+          .select($"vec_id".as("q_id"), expr(vdE).as("qvd"))
+        val c = e.select($"vec_id".as("n_id"), expr(vdE).as("nvd"))
+        val wT = Window.partitionBy($"q_id").orderBy($"d2".asc, $"n_id".asc)
+        val truth = c.join(broadcast(q), $"q_id" =!= $"n_id")
+          .select($"q_id", $"n_id",
+            round(expr("aggregate(zip_with(qvd, nvd, (a, b) -> (a - b) * (a - b)), 0.0d, (acc, x) -> acc + x)"), 6).as("d2"))
+          .withColumn("rank", row_number().over(wT))
+          .filter($"rank" <= 3)
+          .select($"q_id", $"n_id")
+        truth.join(probe.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
+          .groupBy($"q_id")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce($"hit", lit(0))).cast("long").as("n_hit"))
+          .select($"q_id", $"n_truth", $"n_hit",
+            round($"n_hit".cast("double") / $"n_truth", 4).as("recall"),
+            ($"n_hit" * 3 >= $"n_truth").as("recall_ok"))
+      },
       oracle = Some(s"""
-        WITH $codeCtes,
+        WITH $ivfpqCtes,
+        ip AS (SELECT q_id, n_id FROM ivfadc WHERE rank <= 3),
+        truth AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                         ${d2FullSql("a.qv", "b.qv")} AS d2
+                  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+                  WHERE a.vec_id < 10
+                  QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY d2 ASC, n_id ASC) <= 3)
+        SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_truth,
+               CAST(sum(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               round(CAST(sum(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall,
+               3 * CAST(sum(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) >= count(*) AS recall_ok
+        FROM truth t LEFT JOIN ip p ON t.q_id = p.q_id AND t.n_id = p.n_id
+        GROUP BY 1"""),
+      doc = "IVFADC recall audit: the committed-index nprobe=2 PQ-ranked top-3 scored against the exact 64-dim L2 truth — the composed (cell-miss × code-quantization) recall as deployed, per-query n_hit/recall hash-gated with the ≥1-hit recall_ok floor; measured mean 0.033 at sf0.01 ≈ the factors' product (0.37 coarse × 0.08 code), the compounding that makes the deployed read need its own gate")
+  )
+
+  /** The persisted-IVFADC read, shared by `sim_ivfpq_persisted_topk`
+    * and `sim_ivfpq_recall_audit`: nprobe=2 probe against the
+    * committed quantizer, candidates and 4-int codes streamed from the
+    * cell-bucketed committed codes table, ADC-ranked top 3. */
+  private[graft] def ivfpqPersistedTopk(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    val (cdir, pqdir) = materializePqIndex(s, dir)
+    val cents = MergeWriter.readSnapshot(s, cdir, Embeddings.idxCentSchema)
+    val codesT = MergeWriter.readSnapshot(s, pqdir, pqIdxSchema)
+    val e = Tables.embeddings(s, dir)
+    val q = e.filter($"vec_id" < 10)
+    val lut = subD2(q, cents, m = 4, w = 16)
+      .select($"vec_id".as("q_id"), $"sub", $"c_label".as("code"), $"d2")
+    val probed = Embeddings.assignTop(q, cents, 2)
+      .select($"vec_id".as("q_id"), $"assigned".as("cell"))
+    val candLong = probed.join(codesT, Seq("cell"))
+      .filter($"q_id" =!= $"vec_id")
+      .selectExpr("q_id", "vec_id AS n_id",
+        "stack(4, 0, code_0, 1, code_1, 2, code_2, 3, code_3) AS (sub, code)")
+    val w = Window.partitionBy($"q_id").orderBy($"adc".asc, $"n_id".asc)
+    candLong.join(broadcast(lut), Seq("q_id", "sub", "code"))
+      .groupBy($"q_id", $"n_id")
+      .agg(
+        max(when($"sub" === 0, $"d2")).as("a0"),
+        max(when($"sub" === 1, $"d2")).as("a1"),
+        max(when($"sub" === 2, $"d2")).as("a2"),
+        max(when($"sub" === 3, $"d2")).as("a3"))
+      .select($"q_id", $"n_id", round($"a0" + $"a1" + $"a2" + $"a3", 6).as("adc"))
+      .withColumn("rank", row_number().over(w))
+      .filter($"rank" <= 3)
+  }
+
+  /** Shared IVFADC CTE chain: re-derives quantizer, cells, probe,
+    * codes, LUT, and the ADC ranking from scratch, ending in a
+    * relation `ivfadc(q_id, n_id, adc, rank)`. Consumed by
+    * [[ivfpqOracle]] and the recall audit's oracle. */
+  private def ivfpqCtes: String = s"""$codeCtes,
         cdist AS (SELECT q.vec_id, cent.c_label, ${Embeddings.d2Sql} AS d2
                   FROM q CROSS JOIN cent),
         asg AS (SELECT vec_id, c_label AS cell FROM cdist
@@ -419,11 +583,16 @@ object Pq {
                FROM pairs cp
                JOIN code c ON c.vec_id = cp.n_id
                JOIN lut l ON l.q_id = cp.q_id AND l.sub = c.sub AND l.code = c.code
-               GROUP BY 1, 2)
-        SELECT q_id, n_id, round(a0 + a1 + a2 + a3, 6) AS adc,
-               row_number() OVER (PARTITION BY q_id ORDER BY round(a0 + a1 + a2 + a3, 6) ASC, n_id ASC) AS rank
-        FROM al
-        QUALIFY rank <= 3"""),
-      doc = "IVF-PQ (IVFADC): nprobe=2 probe of the committed index restricted to cell candidates, ranked by ADC over their 4-int codes — the full 100 TB ANN read path (2 of k buckets opened, codes streamed, no vector touched), one committed quantizer serving both coarse and fine roles")
-  )
+               GROUP BY 1, 2),
+        ivfadc AS (SELECT q_id, n_id, round(a0 + a1 + a2 + a3, 6) AS adc,
+                          row_number() OVER (PARTITION BY q_id ORDER BY round(a0 + a1 + a2 + a3, 6) ASC, n_id ASC) AS rank
+                   FROM al)"""
+
+  /** Shared IVFADC oracle: gates BOTH the in-plan composition
+    * (`sim_ivfpq_topk`) and the persisted-index read
+    * (`sim_ivfpq_persisted_topk`), so their equivalence is itself
+    * hash-proven every round. */
+  private def ivfpqOracle: String = s"""
+        WITH $ivfpqCtes
+        SELECT q_id, n_id, adc, rank FROM ivfadc WHERE rank <= 3"""
 }

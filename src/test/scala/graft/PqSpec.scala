@@ -129,6 +129,36 @@ class PqSpec extends AnyFunSuite {
     }
   }
 
+  test("persisted IVF-PQ read equals the in-plan composition row for row") {
+    // same-oracle discipline made local: the committed-codes read path
+    // and the re-encoding baseline must agree exactly (both also gate
+    // against the shared DuckDB twin per round)
+    def sorted(name: String) = SparkEntry.queries(name)(spark, sf)
+      .collect().map(_.toSeq).sortBy(r => (r(0).asInstanceOf[Long], r(3).asInstanceOf[Int])).toSeq
+    assert(sorted("sim_ivfpq_persisted_topk") == sorted("sim_ivfpq_topk"))
+  }
+
+  test("persisted PQ codes: bucket-pruned read of a probed cell equals the filtered snapshot, reading fewer rows") {
+    // the deployment claim behind the cell_key bucketing of the codes
+    // table (the EmbeddingsSpec assignment-table proof, applied to the
+    // PQ half): a probe opens only its nprobe cells' buckets
+    import graft.etl.MergeWriter
+    import spark.implicits._
+    val (_, pqdir) = Pq.materializePqIndex(spark, sf)
+    val full = MergeWriter.readSnapshot(spark, pqdir, Pq.pqIdxSchema)
+    val key = "c3"
+    val expect = full.filter($"cell_key" === key)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(expect.nonEmpty, "cell c3 must be populated at sf0.001")
+    val bid = MergeWriter.bucketIdOf(key, Embeddings.IdxAsgBuckets)
+    val prunedScan = MergeWriter.readBuckets(spark, pqdir, Pq.pqIdxSchema, Set(bid))
+    val got = prunedScan.filter($"cell_key" === key)
+      .select($"vec_id").collect().map(_.getLong(0)).toSet
+    assert(got == expect, "bucket-pruned codes read lost or invented rows")
+    assert(prunedScan.count() < full.count(),
+      "one-bucket codes read opened the whole table — pruning is not happening")
+  }
+
   test("encode is deterministic across runs") {
     def run() = SparkEntry.queries("sim_pq_encode")(spark, sf)
       .collect().map(_.toSeq).toSeq

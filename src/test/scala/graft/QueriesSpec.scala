@@ -100,6 +100,8 @@ class QueriesSpec extends AnyFunSuite {
       "sim_pq_recall_audit", // those panels + the 10-row query panel for the truth side
       "sim_pq_recall_structured", // same shape over the planted zero-noise corpus
       "sim_ivfpq_topk",      // codebook/subspace/query panels + the k-row persisted quantizer probe
+      "sim_ivfpq_persisted_topk", // k-row committed-quantizer probe panel (codes read from the index, no corpus encode)
+      "sim_ivfpq_recall_audit", // that probe panel + the 10-row query panel for the exact-L2 truth side
       "txt_tfidf_top")       // 1-row corpus-count broadcast (the api_q6_stats shape)
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
       val plan = fn(spark, sf).queryExecution.executedPlan.toString
