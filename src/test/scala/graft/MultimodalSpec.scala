@@ -243,4 +243,43 @@ class MultimodalSpec extends AnyFunSuite {
     val wav = ("RIFF".getBytes("US-ASCII").toSeq ++ le32(body.size) ++ body).toArray
     assertThrows[IllegalArgumentException](Multimodal.decodeWav(1L, wav))
   }
+
+  // gray-valued P6: every channel of pixel s carries v(s), so the
+  // aHash grayscale (r+g+b)/3 is v(s) exactly
+  private def grayPpm(w: Int, h: Int, v: Int => Int): Array[Byte] =
+    ppm(s"P6\n$w $h\n255\n",
+      Array.tabulate(w * h * 3)(k => v(k / 3).toByte))
+
+  test("phashAHash is brightness-invariant: a +30 shifted copy hashes identically") {
+    // cells and mean shift together (mean = (sum + 64·30)/64 = mean + 30
+    // exactly), so every gray>mean comparison — and the hash — is
+    // unchanged while the BYTES all differ: the perceptual point
+    val base = grayPpm(8, 8, s => (s * 3) % 200)
+    val shifted = grayPpm(8, 8, s => (s * 3) % 200 + 30)
+    assert(!java.util.Arrays.equals(base, shifted))
+    val hb = Multimodal.phashAHash(1L, base)
+    val hs = Multimodal.phashAHash(2L, shifted)
+    assert((hb.phash_hi, hb.phash_lo) == (hs.phash_hi, hs.phash_lo))
+  }
+
+  test("phashAHash is NN-scale-invariant: a 2x-upscaled copy hashes identically") {
+    // 16×16 image whose (x, y) pixel copies the 8×8 base's (x/2, y/2):
+    // the 8×8 sampling grid picks (2x, 2y) = exactly the base pixels
+    val v = (s: Int) => (s * 7) % 256
+    val base = grayPpm(8, 8, v)
+    val up = grayPpm(16, 16, s => v((s / 16 / 2) * 8 + (s % 16) / 2))
+    val hb = Multimodal.phashAHash(1L, base)
+    val hu = Multimodal.phashAHash(2L, up)
+    assert((hb.phash_hi, hb.phash_lo) == (hu.phash_hi, hu.phash_lo))
+  }
+
+  test("phashAHash separates structure: flat is all-zero, checkerboard sets exactly half the bits") {
+    val flat = Multimodal.phashAHash(1L, grayPpm(8, 8, _ => 100))
+    assert(flat.phash_hi == 0L && flat.phash_lo == 0L) // gray > mean never true
+    val checker = Multimodal.phashAHash(2L,
+      grayPpm(8, 8, s => if ((s / 8 + s % 8) % 2 == 0) 255 else 0))
+    assert(java.lang.Long.bitCount(checker.phash_hi) +
+      java.lang.Long.bitCount(checker.phash_lo) == 32)
+    assert((checker.phash_hi, checker.phash_lo) != (flat.phash_hi, flat.phash_lo))
+  }
 }
