@@ -48,7 +48,8 @@ object PqCdcSmoke {
     def corpus(k: Int): String = ScaleCorpus.ensure(spark, sf, k)
 
     val entries = Seq("sim_pq_encode", "sim_pq_adc_topk", "sim_ivfpq_topk",
-      "sim_ivfpq_persisted_topk", "txt_cdc_chunks", "dedup_cdc_profile")
+      "sim_ivfpq_persisted_topk", "txt_cdc_chunks", "dedup_cdc_profile",
+      "dedup_cdc_incremental")
 
     // JIT warm-up (not timed)
     entries.foreach { e =>
