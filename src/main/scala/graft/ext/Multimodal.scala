@@ -474,6 +474,17 @@ object Multimodal {
     PhashRow(docId, hi, lo)
   }
 
+  /** Shared aHash frame for the two phash entries: fingerprints
+    * computed from the DECODED planted bytes via [[phashAHash]]. */
+  private def phashDf(s: SparkSession, dir: String): DataFrame = {
+    import s.implicits._
+    Tables.documents(s, dir).select($"doc_id").as[Long]
+      .mapPartitions(_.map(id => (id, encodePpm(id)))).toDF("doc_id", "payload")
+      .as[(Long, Array[Byte])]
+      .mapPartitions(_.map { case (id, bytes) => phashAHash(id, bytes) })
+      .toDF()
+  }
+
   val defs: Map[String, QueryDef] = Map(
     // REAL image decode end-to-end (no stub): deterministic planted P6
     // payloads → the byte-level [[decodePpm]] parser through the
@@ -783,11 +794,7 @@ object Multimodal {
     "mm_phash_dedup" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        val payloads = Tables.documents(s, dir).select($"doc_id").as[Long]
-          .mapPartitions(_.map(id => (id, encodePpm(id)))).toDF("doc_id", "payload")
-        val ph = payloads.as[(Long, Array[Byte])]
-          .mapPartitions(_.map { case (id, bytes) => phashAHash(id, bytes) })
-          .toDF()
+        val ph = phashDf(s, dir)
         val w = Window.partitionBy($"phash_hi", $"phash_lo")
         ph.select($"doc_id", $"phash_hi", $"phash_lo")
           .withColumn("keeper", min($"doc_id").over(w))
@@ -813,6 +820,62 @@ object Multimodal {
                min(doc_id) OVER (PARTITION BY phash_hi, phash_lo) AS keeper,
                doc_id <> min(doc_id) OVER (PARTITION BY phash_hi, phash_lo) AS is_dup
         FROM ph"""),
-      doc = "perceptual-hash image dedup: REAL 8x8 aHash over the decoded planted rasters (byte parser, byte-blind arithmetic oracle), exact-hash grouping with the keep-first keeper — the dedup_exact single-shuffle shape on an 8-byte key; 87 dup rows at the gated SFs")
+      doc = "perceptual-hash image dedup: REAL 8x8 aHash over the decoded planted rasters (byte parser, byte-blind arithmetic oracle), exact-hash grouping with the keep-first keeper — the dedup_exact single-shuffle shape on an 8-byte key; 87 dup rows at the gated SFs"),
+
+    // NEAR-dup image pairs: the dedup_simhash banding discipline on
+    // the aHash — 4 bands of 16 bits, candidates where any band
+    // matches, Hamming verified on the candidate set only. Threshold 3
+    // < band count, so by pigeonhole every true pair shares at least
+    // one unchanged band: the band-blocked candidate set PROVABLY
+    // covers the exhaustive answer, and the oracle IS the exhaustive
+    // O(n²) pair scan — banded ≡ exhaustive is hash-proven per round
+    // (exactly dedup_simhash's gate shape). At 100 TB the band join is
+    // the only shuffle and candidates stay ~|near-dups|, never n².
+    "mm_phash_near_pairs" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val banded = phashDf(s, dir)
+          .select($"doc_id", $"phash_hi", $"phash_lo",
+            explode(expr("sequence(0, 3)")).as("band"))
+          .withColumn("bv", expr(
+            """CASE band WHEN 0 THEN phash_lo & 65535
+                         WHEN 1 THEN (phash_lo >> 16) & 65535
+                         WHEN 2 THEN phash_hi & 65535
+                         ELSE (phash_hi >> 16) & 65535 END"""))
+        val a = banded.select($"doc_id".as("a_id"), $"phash_hi".as("ha_hi"),
+          $"phash_lo".as("ha_lo"), $"band", $"bv")
+        val b = banded.select($"doc_id".as("b_id"), $"phash_hi".as("hb_hi"),
+          $"phash_lo".as("hb_lo"), $"band", $"bv")
+        a.join(b, Seq("band", "bv"))
+          .filter($"a_id" < $"b_id")
+          .select($"a_id", $"b_id",
+            (expr("bit_count(ha_hi ^ hb_hi)") + expr("bit_count(ha_lo ^ hb_lo)"))
+              .cast("int").as("hamming"))
+          .filter($"hamming" <= 3)
+          .distinct() // a pair may collide in several bands
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents),
+        g AS (SELECT doc_id, w, h, unnest(generate_series(0, 63)) AS p FROM d),
+        m AS (SELECT doc_id, p,
+                     (((p // 8) * h) // 8) * w + (((p % 8) * w) // 8) AS src_px
+              FROM g),
+        gr AS (SELECT doc_id, p,
+                      (((doc_id*31 + (3*src_px + 0)*7) % 256)
+                     + ((doc_id*31 + (3*src_px + 1)*7) % 256)
+                     + ((doc_id*31 + (3*src_px + 2)*7) % 256)) // 3 AS gray
+               FROM m),
+        mn AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) // 64 AS mean FROM gr GROUP BY 1),
+        ph AS (SELECT gr.doc_id,
+                      CAST(sum(CASE WHEN gray > mean AND p >= 32 THEN CAST(1 AS BIGINT) << (p - 32) ELSE 0 END) AS BIGINT) AS phash_hi,
+                      CAST(sum(CASE WHEN gray > mean AND p < 32 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS phash_lo
+               FROM gr JOIN mn USING (doc_id) GROUP BY 1)
+        SELECT a.doc_id AS a_id, b.doc_id AS b_id,
+               CAST(bit_count(xor(a.phash_hi, b.phash_hi))
+                  + bit_count(xor(a.phash_lo, b.phash_lo)) AS INT) AS hamming
+        FROM ph a JOIN ph b ON a.doc_id < b.doc_id
+        WHERE bit_count(xor(a.phash_hi, b.phash_hi))
+            + bit_count(xor(a.phash_lo, b.phash_lo)) <= 3"""),
+      doc = "perceptual near-dup image pairs: 4x16-bit band-blocked aHash candidates verified at Hamming<=3 (pigeonhole: threshold < bands, so banding provably misses nothing) — oracle is the exhaustive O(n^2) pair scan, banded ≡ exhaustive hash-proven per round")
   )
 }
