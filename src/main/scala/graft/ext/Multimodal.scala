@@ -474,6 +474,38 @@ object Multimodal {
     PhashRow(docId, hi, lo)
   }
 
+  /** Resampled-audio feature row. */
+  final case class WavResampled(
+      doc_id: Long, n_samples: Int, n_out: Int,
+      mean_ch0: Double, mean_ch1: Double, peak_ch0: Int, peak_ch1: Int)
+
+  /** REAL time-domain nearest-neighbor resample over the decoded PCM —
+    * the audio analog of [[resizePpmNearest]]: output frame j reads
+    * source frame (j·n)/nOut (integer floor, the fitBox rule applied
+    * to time), so decimation is pure index arithmetic with no filter
+    * kernel (a production resampler would band-limit first; NN is the
+    * honest minimal variant whose oracle replay is exact). Per-channel
+    * mean and peak of the RESAMPLED stream; integer-exact until the
+    * one mean division. */
+  def resampleWavNearest(docId: Long, bytes: Array[Byte], nOut: Int): WavResampled = {
+    require(nOut > 0, s"non-positive resample target $nOut for doc $docId")
+    val (_, dataOff, n) = wavDataRange(docId, bytes)
+    def u16(i: Int): Int = (bytes(i) & 0xff) | ((bytes(i + 1) & 0xff) << 8)
+    var s0 = 0L; var s1 = 0L; var p0 = 0; var p1 = 0
+    var j = 0
+    while (j < nOut) {
+      val t = (j.toLong * n / nOut).toInt
+      val v0 = u16(dataOff + 4 * t).toShort.toInt
+      val v1 = u16(dataOff + 4 * t + 2).toShort.toInt
+      s0 += v0; s1 += v1
+      if (math.abs(v0) > p0) p0 = math.abs(v0)
+      if (math.abs(v1) > p1) p1 = math.abs(v1)
+      j += 1
+    }
+    WavResampled(docId, n, nOut,
+      s0.toDouble / nOut, s1.toDouble / nOut, p0, p1)
+  }
+
   /** Shared aHash frame for the two phash entries: fingerprints
     * computed from the DECODED planted bytes via [[phashAHash]]. */
   private def phashDf(s: SparkSession, dir: String): DataFrame = {
@@ -876,6 +908,43 @@ object Multimodal {
         FROM ph a JOIN ph b ON a.doc_id < b.doc_id
         WHERE bit_count(xor(a.phash_hi, b.phash_hi))
             + bit_count(xor(a.phash_lo, b.phash_lo)) <= 3"""),
-      doc = "perceptual near-dup image pairs: 4x16-bit band-blocked aHash candidates verified at Hamming<=3 (pigeonhole: threshold < bands, so banding provably misses nothing) — oracle is the exhaustive O(n^2) pair scan, banded ≡ exhaustive hash-proven per round")
+      doc = "perceptual near-dup image pairs: 4x16-bit band-blocked aHash candidates verified at Hamming<=3 (pigeonhole: threshold < bands, so banding provably misses nothing) — oracle is the exhaustive O(n^2) pair scan, banded ≡ exhaustive hash-proven per round"),
+
+    // time-domain resample: the audio analog of mm_ppm_resize —
+    // decimate every planted WAV to a fixed 48-frame output via the
+    // NN floor map (every payload has 64–160 frames, so this is
+    // always a strict downsample and the source index never
+    // overflows), features on the RESAMPLED stream gated against the
+    // byte-blind arithmetic replay. Partition-wise scan, no shuffle.
+    "mm_wav_resample" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val payloads = Tables.documents(s, dir).select($"doc_id").as[Long]
+          .mapPartitions(_.map(id => (id, encodeWav(id)))).toDF("doc_id", "payload")
+        payloads.as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, bytes) => resampleWavNearest(id, bytes, 48) })
+          .toDF()
+          .select($"doc_id", $"n_samples", $"n_out",
+            round($"mean_ch0", 6).as("mean_ch0"),
+            round($"mean_ch1", 6).as("mean_ch1"),
+            $"peak_ch0", $"peak_ch1")
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, 64 + doc_id % 97 AS n FROM documents),
+        jf AS (SELECT doc_id, n, unnest(generate_series(0, 47)) AS j FROM d),
+        v AS (SELECT doc_id, n,
+                     (doc_id*37 + ((j * n) // 48)*11) % 2048 - 1024 AS v0,
+                     (doc_id*53 + ((j * n) // 48)*17) % 2048 - 1024 AS v1
+              FROM jf),
+        agg AS (SELECT doc_id, n,
+                       CAST(sum(v0) AS BIGINT) AS s0, CAST(sum(v1) AS BIGINT) AS s1,
+                       max(abs(v0)) AS p0, max(abs(v1)) AS p1
+                FROM v GROUP BY 1, 2)
+        SELECT doc_id, CAST(n AS INT) AS n_samples, 48 AS n_out,
+               round(CAST(s0 AS DOUBLE) / 48, 6) AS mean_ch0,
+               round(CAST(s1 AS DOUBLE) / 48, 6) AS mean_ch1,
+               CAST(p0 AS INT) AS peak_ch0, CAST(p1 AS INT) AS peak_ch1
+        FROM agg"""),
+      doc = "REAL NN audio resample over the decoded PCM (the fitBox floor rule applied to time): fixed 48-frame decimation, resampled-stream mean/peak per channel hash-gated against the byte-blind arithmetic oracle")
   )
 }

@@ -244,6 +244,26 @@ class MultimodalSpec extends AnyFunSuite {
     assertThrows[IllegalArgumentException](Multimodal.decodeWav(1L, wav))
   }
 
+  test("resampleWavNearest picks NN frames: 4 frames resampled to 2 reads frames 0 and 2") {
+    def le16(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte)
+    def le32(v: Int) = Seq((v & 0xff).toByte, ((v >> 8) & 0xff).toByte,
+      ((v >> 16) & 0xff).toByte, ((v >> 24) & 0xff).toByte)
+    val fmt = "fmt ".getBytes("US-ASCII").toSeq ++ le32(16) ++ le16(1) ++ le16(2) ++
+      le32(8000) ++ le32(32000) ++ le16(4) ++ le16(16)
+    // ch0 = [100, -200, 300, -400], ch1 = [5, 6, 7, 8]
+    val frames = Seq((100, 5), (-200, 6), (300, 7), (-400, 8))
+    val data = "data".getBytes("US-ASCII").toSeq ++ le32(4 * 4) ++
+      frames.flatMap { case (a, b) => le16(a & 0xffff) ++ le16(b & 0xffff) }
+    val body = "WAVE".getBytes("US-ASCII").toSeq ++ fmt ++ data
+    val wav = ("RIFF".getBytes("US-ASCII").toSeq ++ le32(body.size) ++ body).toArray
+    // nOut=2 → t = (j·4)/2 = 0, 2: frames 1 and 3 are skipped entirely
+    val r = Multimodal.resampleWavNearest(1L, wav, 2)
+    assert(r.n_samples == 4 && r.n_out == 2, s"$r")
+    assert(r.mean_ch0 == 200.0 && r.peak_ch0 == 300, s"$r")
+    assert(r.mean_ch1 == 6.0 && r.peak_ch1 == 7, s"$r")
+    assertThrows[IllegalArgumentException](Multimodal.resampleWavNearest(1L, wav, 0))
+  }
+
   // gray-valued P6: every channel of pixel s carries v(s), so the
   // aHash grayscale (r+g+b)/3 is v(s) exactly
   private def grayPpm(w: Int, h: Int, v: Int => Int): Array[Byte] =
