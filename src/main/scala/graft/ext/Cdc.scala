@@ -1,7 +1,11 @@
 package graft.ext
 
+import java.nio.file.{Files, Paths}
+
 import graft.{QueryDef, Tables}
+import graft.etl.MergeWriter
 import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.{LongType, StringType, StructField, StructType}
 
 /** Content-defined chunking (CDC) — the dedup-STORAGE primitive: chunk
   * boundaries are placed where a rolling hash of the last W characters
@@ -96,6 +100,95 @@ object Cdc {
 
   private val chunksSql = chunksSqlAt("", "documents")
 
+  // ---- persisted chunk store: the content-addressed store a CDC
+  // deployment actually probes. dedup_cdc_incremental recomputes the
+  // old generation's chunks in-plan (its oracle-equivalence role);
+  // here the store is committed ONCE through the real MergeWriter path
+  // (the dedup_clusters_persisted / sim_ivf_index_build storage-truth
+  // discipline) and the probe reads the COMMITTED snapshot.
+
+  private[graft] val chunkStoreSchema: StructType = StructType(Seq(
+    StructField("chunk_md5", StringType),
+    StructField("chunk_len", LongType)))
+
+  private val builtStore = scala.collection.mutable.Set[String]()
+
+  /** Store root keyed by sfDir + the corpus content fingerprint (the
+    * Cluster.storeRoot discipline: count + max + order-free content
+    * xor, so a shape-preserving testdata regeneration reseeds). */
+  private def storeRoot(s: org.apache.spark.sql.SparkSession, dir: String): String = {
+    val r = Tables.documents(s, dir)
+      .agg(count(lit(1)), max(col("doc_id")),
+        expr("bit_xor(xxhash64(doc_id, text))")).collect()(0)
+    val md = java.security.MessageDigest.getInstance("MD5")
+      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    sys.env.getOrElse("GRAFT_CDC_STORE_DIR", "/root/repo/target/cdc-store") +
+      s"/$md-n${r.getLong(0)}-m${r.getLong(1)}-x${java.lang.Long.toHexString(r.getLong(2))}"
+  }
+
+  /** Build-once (_DONE-cached per corpus fingerprint) chunk-store
+    * commit: distinct (chunk_md5, chunk_len) through MergeWriter,
+    * bucketed on the md5 key. Returns the committed table dir. */
+  private[graft] def materializeChunkStore(s: org.apache.spark.sql.SparkSession, dir: String): String = synchronized {
+    val root = storeRoot(s, dir)
+    val cdir = s"$root/chunks"
+    if (!builtStore.contains(root)) {
+      val done = Paths.get(root, "_DONE")
+      if (!Files.exists(done)) {
+        Embeddings.deleteRecursively(Paths.get(root))
+        Files.createDirectories(Paths.get(cdir))
+        val store = chunks(s, dir)
+          .groupBy(col("chunk_md5"))
+          .agg(max(col("chunk_len")).cast("long").as("chunk_len"))
+        MergeWriter.merge(s, cdir, store,
+          keys = Seq("chunk_md5"), orderBy = Seq("chunk_len"),
+          bucket = Some(MergeWriter.BucketSpec("chunk_md5", 16)))
+        Files.createFile(done)
+        ()
+      }
+      builtStore += root
+    }
+    cdir
+  }
+
+  /** Shared incremental-probe oracle: re-derives BOTH generations'
+    * chunk tables and the store from scratch — gates the in-plan
+    * recompute (`dedup_cdc_incremental`) AND the committed-snapshot
+    * read (`dedup_cdc_persisted`), so store-commit ≡ recompute is
+    * hash-proven per round (the sim_ivfpq same-oracle discipline). */
+  private def cdcIncrementalOracle: String = s"""
+        WITH $chunksSql,
+        docs2 AS (SELECT doc_id, 'edit ' || text AS text FROM documents),
+        ${chunksSqlAt("n", "docs2")},
+        store AS (SELECT DISTINCT chunk_md5 FROM chunk)
+        SELECT nc.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
+               CAST(sum(CASE WHEN s.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
+               CAST(sum(nc.chunk_len) AS BIGINT) AS bytes_total,
+               CAST(sum(CASE WHEN s.chunk_md5 IS NULL THEN nc.chunk_len ELSE 0 END) AS BIGINT) AS bytes_new,
+               round(CAST(sum(CASE WHEN s.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS reuse_ratio
+        FROM nchunk nc LEFT JOIN store s USING (chunk_md5)
+        GROUP BY 1"""
+
+  /** The probe aggregation both incremental entries share: the edited
+    * generation's chunks left-joined against a store keyed on
+    * chunk_md5, aggregated per doc. */
+  private def probeAgainst(store: org.apache.spark.sql.DataFrame,
+      dir: String): org.apache.spark.sql.DataFrame = {
+    val s = store.sparkSession
+    import s.implicits._
+    val edited = Tables.documents(s, dir)
+      .select($"doc_id", concat(lit("edit "), $"text").as("text"))
+    chunkDf(edited)
+      .join(store.select($"chunk_md5").withColumn("hit", lit(1)), Seq("chunk_md5"), "left")
+      .groupBy($"doc_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum(coalesce($"hit", lit(0))).cast("long").as("n_reused"),
+        sum($"chunk_len").cast("long").as("bytes_total"),
+        sum(when($"hit".isNull, $"chunk_len").otherwise(0)).cast("long").as("bytes_new"))
+      .select($"doc_id", $"n_chunks", $"n_reused", $"bytes_total", $"bytes_new",
+        round($"n_reused".cast("double") / $"n_chunks", 4).as("reuse_ratio"))
+  }
+
   val defs: Map[String, QueryDef] = Map(
     // the chunk table itself: every (doc, chunk) with its
     // content-defined boundary, length, and fingerprint
@@ -160,31 +253,23 @@ object Cdc {
       build = (s, dir) => {
         val sp = s
         import sp.implicits._
-        val store = chunks(s, dir).select($"chunk_md5").distinct()
-        val edited = Tables.documents(s, dir)
-          .select($"doc_id", concat(lit("edit "), $"text").as("text"))
-        chunkDf(edited)
-          .join(store.withColumn("hit", lit(1)), Seq("chunk_md5"), "left")
-          .groupBy($"doc_id")
-          .agg(count(lit(1)).as("n_chunks"),
-            sum(coalesce($"hit", lit(0))).cast("long").as("n_reused"),
-            sum($"chunk_len").cast("long").as("bytes_total"),
-            sum(when($"hit".isNull, $"chunk_len").otherwise(0)).cast("long").as("bytes_new"))
-          .select($"doc_id", $"n_chunks", $"n_reused", $"bytes_total", $"bytes_new",
-            round($"n_reused".cast("double") / $"n_chunks", 4).as("reuse_ratio"))
+        probeAgainst(chunks(s, dir).select($"chunk_md5").distinct(), dir)
       },
-      oracle = Some(s"""
-        WITH $chunksSql,
-        docs2 AS (SELECT doc_id, 'edit ' || text AS text FROM documents),
-        ${chunksSqlAt("n", "docs2")},
-        store AS (SELECT DISTINCT chunk_md5 FROM chunk)
-        SELECT nc.doc_id, CAST(count(*) AS BIGINT) AS n_chunks,
-               CAST(sum(CASE WHEN s.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_reused,
-               CAST(sum(nc.chunk_len) AS BIGINT) AS bytes_total,
-               CAST(sum(CASE WHEN s.chunk_md5 IS NULL THEN nc.chunk_len ELSE 0 END) AS BIGINT) AS bytes_new,
-               round(CAST(sum(CASE WHEN s.chunk_md5 IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS reuse_ratio
-        FROM nchunk nc LEFT JOIN store s USING (chunk_md5)
-        GROUP BY 1"""),
-      doc = "incremental CDC ingest: the front-edited generation's chunks probed against the committed store — content-defined boundaries re-sync after the edit, so per-doc chunk reuse averages 0.71 (byte reuse 0.73) where offset chunking would reuse ~0; one md5 equi-join, per-doc aggregation")
+      oracle = Some(cdcIncrementalOracle),
+      doc = "incremental CDC ingest: the front-edited generation's chunks probed against the old generation's chunk set — content-defined boundaries re-sync after the edit, so per-doc chunk reuse averages 0.71 (byte reuse 0.73) where offset chunking would reuse ~0; one md5 equi-join, per-doc aggregation; the committed-store read is dedup_cdc_persisted"),
+
+    // the same probe over the COMMITTED content-addressed store — the
+    // read that survives deployment: the store lands ONCE through the
+    // real MergeWriter path (versioned segment + atomic pointer swap,
+    // md5-bucketed) and every later generation only probes the
+    // snapshot. SAME oracle as dedup_cdc_incremental, so committed-
+    // store-read ≡ in-plan recompute is hash-proven per round.
+    "dedup_cdc_persisted" -> QueryDef(
+      build = (s, dir) => {
+        val cdir = materializeChunkStore(s, dir)
+        probeAgainst(MergeWriter.readSnapshot(s, cdir, chunkStoreSchema), dir)
+      },
+      oracle = Some(cdcIncrementalOracle),
+      doc = "persisted CDC store probe: the edited generation probed against the chunk store COMMITTED through MergeWriter (build-once, md5-bucketed, fingerprint-keyed root) — same oracle as dedup_cdc_incremental so snapshot-read ≡ recompute is hash-proven per round; the storage-truth shape of the incremental ingest")
   )
 }

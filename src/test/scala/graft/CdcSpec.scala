@@ -97,4 +97,13 @@ class CdcSpec extends AnyFunSuite {
     def run() = chunkRows(Seq("determinism " * 40))
     assert(run() == run())
   }
+
+  test("persisted chunk-store probe equals the in-plan recompute row for row") {
+    // the same-oracle discipline made local: the committed-snapshot
+    // read path and the in-plan store recompute must agree exactly
+    // (both also gate against the shared DuckDB twin per round)
+    def sorted(name: String) = SparkEntry.queries(name)(spark, sf)
+      .collect().map(_.toSeq).sortBy(_.head.asInstanceOf[Long]).toSeq
+    assert(sorted("dedup_cdc_persisted") == sorted("dedup_cdc_incremental"))
+  }
 }
