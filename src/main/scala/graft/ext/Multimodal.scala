@@ -945,6 +945,97 @@ object Multimodal {
                round(CAST(s1 AS DOUBLE) / 48, 6) AS mean_ch1,
                CAST(p0 AS INT) AS peak_ch0, CAST(p1 AS INT) AS peak_ch1
         FROM agg"""),
-      doc = "REAL NN audio resample over the decoded PCM (the fitBox floor rule applied to time): fixed 48-frame decimation, resampled-stream mean/peak per channel hash-gated against the byte-blind arithmetic oracle")
+      doc = "REAL NN audio resample over the decoded PCM (the fitBox floor rule applied to time): fixed 48-frame decimation, resampled-stream mean/peak per channel hash-gated against the byte-blind arithmetic oracle"),
+
+    // the composed multimodal pipeline — pipe_corpus_end2end's shape
+    // for the image path: decode → perceptual keep-first dedup →
+    // resize feature extraction, one row per KEPT image carrying both
+    // the original and resized channel statistics. Stage composition
+    // is where silent drift hides (a keeper set computed on one hash,
+    // features on another); gating the composed output pins the
+    // stages TOGETHER, not just separately. All stages are
+    // partition-wise scans; the only shuffle is the phash keeper
+    // grouping (8-byte key) and the two doc_id equi-joins.
+    "pipe_mm_end2end" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val w = Window.partitionBy($"phash_hi", $"phash_lo")
+        val keepers = phashDf(s, dir)
+          .withColumn("keeper", min($"doc_id").over(w))
+          .filter($"doc_id" === $"keeper").select($"doc_id")
+        val payloads = Tables.documents(s, dir).select($"doc_id").as[Long]
+          .mapPartitions(_.map(id => (id, encodePpm(id)))).toDF("doc_id", "payload")
+        val dec = payloads.as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, bytes) => decodePpm(id, bytes) })
+          .toDF()
+          .select($"doc_id", $"width", $"height",
+            round($"mean_r", 6).as("mean_r"),
+            round($"mean_g", 6).as("mean_g"),
+            round($"mean_b", 6).as("mean_b"))
+        val rez = payloads.as[(Long, Array[Byte])]
+          .mapPartitions(_.map { case (id, bytes) => resizePpmNearest(id, bytes, 8) })
+          .toDF()
+          .select($"doc_id", $"resized_w", $"resized_h",
+            round($"mean_r", 6).as("rz_mean_r"),
+            round($"mean_g", 6).as("rz_mean_g"),
+            round($"mean_b", 6).as("rz_mean_b"))
+        keepers.join(dec, Seq("doc_id")).join(rez, Seq("doc_id"))
+      },
+      oracle = Some("""
+        WITH d AS (SELECT doc_id, 4 + doc_id % 13 AS w, 3 + doc_id % 7 AS h FROM documents),
+        hg AS (SELECT doc_id, w, h, unnest(generate_series(0, 63)) AS p FROM d),
+        hm AS (SELECT doc_id, p,
+                      (((p // 8) * h) // 8) * w + (((p % 8) * w) // 8) AS src_px
+               FROM hg),
+        hgr AS (SELECT doc_id, p,
+                       (((doc_id*31 + (3*src_px + 0)*7) % 256)
+                      + ((doc_id*31 + (3*src_px + 1)*7) % 256)
+                      + ((doc_id*31 + (3*src_px + 2)*7) % 256)) // 3 AS gray
+                FROM hm),
+        hmn AS (SELECT doc_id, CAST(sum(gray) AS BIGINT) // 64 AS mean FROM hgr GROUP BY 1),
+        ph AS (SELECT hgr.doc_id,
+                      CAST(sum(CASE WHEN gray > mean AND p >= 32 THEN CAST(1 AS BIGINT) << (p - 32) ELSE 0 END) AS BIGINT) AS phash_hi,
+                      CAST(sum(CASE WHEN gray > mean AND p < 32 THEN CAST(1 AS BIGINT) << p ELSE 0 END) AS BIGINT) AS phash_lo
+               FROM hgr JOIN hmn USING (doc_id) GROUP BY 1),
+        keep AS (SELECT doc_id FROM
+                   (SELECT doc_id, min(doc_id) OVER (PARTITION BY phash_hi, phash_lo) AS keeper FROM ph)
+                 WHERE doc_id = keeper),
+        dpx AS (SELECT doc_id, w, h, unnest(generate_series(0, w*h*3 - 1)) AS k FROM d),
+        db AS (SELECT doc_id, w, h, (doc_id*31 + k*7) % 256 AS v, k % 3 AS ch FROM dpx),
+        dagg AS (SELECT doc_id, w, h,
+                        CAST(sum(CASE WHEN ch = 0 THEN v ELSE 0 END) AS BIGINT) AS sr,
+                        CAST(sum(CASE WHEN ch = 1 THEN v ELSE 0 END) AS BIGINT) AS sg,
+                        CAST(sum(CASE WHEN ch = 2 THEN v ELSE 0 END) AS BIGINT) AS sb
+                 FROM db GROUP BY 1, 2, 3),
+        r AS (SELECT doc_id, w, h,
+                     CASE WHEN greatest(w, h) <= 8 THEN w
+                          ELSE (w * 8) // greatest(w, h) END AS rw,
+                     CASE WHEN greatest(w, h) <= 8 THEN h
+                          ELSE (h * 8) // greatest(w, h) END AS rh
+              FROM d),
+        rpx AS (SELECT doc_id, w, h, rw, rh, unnest(generate_series(0, rw*rh - 1)) AS p FROM r),
+        rm AS (SELECT doc_id, w, h, rw, rh,
+                      ((((p // rw) * h) // rh) * w + (((p % rw) * w) // rw)) AS src_px
+               FROM rpx),
+        rv AS (SELECT doc_id, rw, rh,
+                      (doc_id*31 + (3*src_px + 0) * 7) % 256 AS vr,
+                      (doc_id*31 + (3*src_px + 1) * 7) % 256 AS vg,
+                      (doc_id*31 + (3*src_px + 2) * 7) % 256 AS vb
+               FROM rm),
+        ragg AS (SELECT doc_id, rw, rh,
+                        CAST(sum(vr) AS BIGINT) AS sr, CAST(sum(vg) AS BIGINT) AS sg,
+                        CAST(sum(vb) AS BIGINT) AS sb
+                 FROM rv GROUP BY 1, 2, 3)
+        SELECT k.doc_id,
+               CAST(da.w AS INT) AS width, CAST(da.h AS INT) AS height,
+               round(CAST(da.sr AS DOUBLE) / (da.w*da.h), 6) AS mean_r,
+               round(CAST(da.sg AS DOUBLE) / (da.w*da.h), 6) AS mean_g,
+               round(CAST(da.sb AS DOUBLE) / (da.w*da.h), 6) AS mean_b,
+               CAST(ra.rw AS INT) AS resized_w, CAST(ra.rh AS INT) AS resized_h,
+               round(CAST(ra.sr AS DOUBLE) / (ra.rw*ra.rh), 6) AS rz_mean_r,
+               round(CAST(ra.sg AS DOUBLE) / (ra.rw*ra.rh), 6) AS rz_mean_g,
+               round(CAST(ra.sb AS DOUBLE) / (ra.rw*ra.rh), 6) AS rz_mean_b
+        FROM keep k JOIN dagg da USING (doc_id) JOIN ragg ra USING (doc_id)"""),
+      doc = "composed multimodal pipeline (pipe_corpus_end2end's shape for images): decode -> perceptual keep-first dedup -> NN resize features, one row per kept image with original + resized channel stats — the composed output hash-gated so the stages are pinned together, not just separately")
   )
 }
