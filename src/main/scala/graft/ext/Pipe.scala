@@ -69,8 +69,14 @@ object Pipe {
     * host noise; the 17× cliff is gone — PLANS round 19). PipeSpec's
     * plan-shape case pins the root cause closed: no HOF lambda chain
     * may reappear inside the composed plan. */
-  private[graft] def pipeBuild(s: SparkSession, dir: String,
-      gateBarrier: Boolean): DataFrame = {
+  /** The pipeline's intermediate stage frames, shared by the packed
+    * end-to-end entry and the funnel report so both are the SAME
+    * stage composition (no drift possible). */
+  private[graft] final case class PipeStages(
+      gate: DataFrame, decon: DataFrame, keepers: DataFrame, mixed: DataFrame)
+
+  private[graft] def pipeStages(s: SparkSession, dir: String,
+      gateBarrier: Boolean): PipeStages = {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
         val gateRaw = TextStats.defs("txt_gopher_gate").build(s, dir)
@@ -90,11 +96,18 @@ object Pipe {
         val mixed = keepers.join(
           Corpus.defs("txt_sample_stratified").build(s, dir).select($"doc_id"),
           "doc_id")
+        PipeStages(gate, decon, keepers, mixed)
+  }
+
+  private[graft] def pipeBuild(s: SparkSession, dir: String,
+      gateBarrier: Boolean): DataFrame = {
+        import s.implicits._
+        val st = pipeStages(s, dir, gateBarrier)
         val docs = Tables.documents(s, dir)
           .withColumn("toks", expr(TextExpr.toksE))
           .select($"doc_id", size($"toks").cast("long").as("n_tokens"),
             Corpus.splitCol.as("split"))
-        val packedIn = mixed.join(docs, "doc_id")
+        val packedIn = st.mixed.join(docs, "doc_id")
           .select($"split", $"doc_id", $"n_tokens")
           .localCheckpoint()
         Corpus.packAssign(s, packedIn)
@@ -177,6 +190,61 @@ object Pipe {
                min(doc_id) AS first_doc, max(doc_id) AS last_doc
         FROM packed GROUP BY 1, 2"""),
       doc = "end-to-end corpus pipeline: gate -> decontaminate -> survivor-scoped keeper election -> stratified mix -> hash split -> per-split sequence packing, one composed plan hash-gated against a full independent DuckDB chain"),
+
+    // the FUNNEL report — the observability surface a pipeline
+    // operator actually watches: exact per-stage survivor counts and
+    // the token-budget consequence, from the SAME pipeStages frames
+    // the packed entry consumes (shared code, no drift) and the SAME
+    // stageCtes on the oracle side. pipe_corpus_end2end gates the end
+    // state; this gates every intermediate cut, so a stage silently
+    // passing everything (or nothing) flips the hash even when the
+    // final packing happens to look plausible. The "no silent caps"
+    // discipline as a registered query. One row; the panels are 1-row
+    // aggregates cross-joined (the api_q6_stats shape).
+    "pipe_corpus_funnel" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val st = pipeStages(s, dir, gateBarrier = false)
+        val docs = Tables.documents(s, dir)
+          .withColumn("toks", expr(TextExpr.toksE))
+          .select($"doc_id", size($"toks").cast("long").as("n_tokens"))
+        val pTotal = docs.agg(count(lit(1)).as("n_total"),
+          sum($"n_tokens").as("tokens_total"))
+        val pGate = st.gate.agg(count(lit(1)).as("n_gate"))
+        val pDecon = st.decon.agg(count(lit(1)).as("n_decon"))
+        val pSurv = st.gate.join(st.decon, "doc_id").agg(count(lit(1)).as("n_surv"))
+        val pKeep = st.keepers.agg(count(lit(1)).as("n_keeper"))
+        val pMix = st.mixed.join(docs, "doc_id")
+          .agg(count(lit(1)).as("n_mixed"), sum($"n_tokens").as("tokens_mixed"))
+        pTotal.crossJoin(pGate).crossJoin(pDecon).crossJoin(pSurv)
+          .crossJoin(pKeep).crossJoin(pMix)
+          .select($"n_total", $"n_gate", $"n_decon", $"n_surv",
+            $"n_keeper", $"n_mixed", $"tokens_total", $"tokens_mixed",
+            round($"tokens_mixed".cast("double") / $"tokens_total", 4)
+              .as("token_keep_ratio"))
+      },
+      oracle = Some(s"""
+        WITH RECURSIVE ${Cluster.compCtesAt(DedupTau)},
+        $stageCtes,
+        keeper AS (SELECT s.doc_id
+                   FROM surv s JOIN comp c USING (doc_id) JOIN q USING (doc_id)
+                   QUALIFY row_number() OVER (PARTITION BY c.cluster_id
+                     ORDER BY q.quality DESC, s.doc_id ASC) = 1),
+        mix AS (SELECT k.doc_id FROM keeper k JOIN documents d USING (doc_id)
+                WHERE ('0x' || substr(md5('mix|' || CAST(d.doc_id AS VARCHAR)), 1, 4))::INT % 10000
+                      < [10000, 6000, 3000, 1000][(CAST(substr(d.source, 4) AS INT) % 4) + 1]),
+        tok AS (SELECT doc_id, CAST(len(tk) AS BIGINT) AS n FROM pt)
+        SELECT (SELECT count(*) FROM documents) AS n_total,
+               (SELECT count(*) FROM gate) AS n_gate,
+               (SELECT count(*) FROM decon) AS n_decon,
+               (SELECT count(*) FROM surv) AS n_surv,
+               (SELECT count(*) FROM keeper) AS n_keeper,
+               (SELECT count(*) FROM mix) AS n_mixed,
+               CAST((SELECT sum(n) FROM tok) AS BIGINT) AS tokens_total,
+               CAST((SELECT CAST(sum(t.n) AS BIGINT) FROM mix m JOIN tok t USING (doc_id)) AS BIGINT) AS tokens_mixed,
+               round(CAST((SELECT sum(t.n) FROM mix m JOIN tok t USING (doc_id)) AS DOUBLE)
+                     / (SELECT sum(n) FROM tok), 4) AS token_keep_ratio"""),
+      doc = "pipeline funnel report: exact survivor counts at every stage (gate, decontaminate, intersection, keeper election, stratified mix) plus the token-budget consequence, from the same stage frames the packed entry consumes — every intermediate cut hash-gated, the no-silent-caps discipline as a query"),
 
     // ---- the STREAMING pipeline's storage truth (r19 VERDICT item 6):
     // StreamingPipe was spec-gated only (arrival order isn't
