@@ -185,6 +185,40 @@ object Pq {
                 FROM al WHERE q_id <> n_id)"""
 
   val defs: Map[String, QueryDef] = Map(
+    // the per-SUBSPACE distortion report — the codebook-sizing QA
+    // surface: sim_pq_encode carries each vector's total recon_d2;
+    // this aggregates the per-subspace distribution (a subspace whose
+    // mean distortion runs hot needs more codebook entries — or its
+    // dims carry more variance than its siblings'). Determinism: the
+    // rounded-6 d2 doubles convert to EXACT micro-unit longs per row
+    // (d2·10⁶ is within 0.5 of an integer by construction, round
+    // snaps it), so the sums are order-free exact longs and the one
+    // mean division happens once on exact operands — the qa_drift_tv
+    // fixed-point discipline; max is order-free by nature.
+    "sim_pq_distortion" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val e = Tables.embeddings(s, dir)
+        codes(e, Embeddings.centroids(e), m = 4, w = 16)
+          .select($"sub", expr("CAST(round(d2 * 1000000) AS BIGINT)").as("d2u"))
+          .groupBy($"sub")
+          .agg(count(lit(1)).as("n_vecs"),
+            sum($"d2u").as("d2_sum_micro"),
+            max($"d2u").as("max_d2_micro"))
+          .select($"sub", $"n_vecs", $"d2_sum_micro",
+            round($"d2_sum_micro".cast("double") / ($"n_vecs" * lit(1000000.0)), 6).as("mean_d2"),
+            round($"max_d2_micro".cast("double") / 1000000.0, 6).as("max_d2"))
+      },
+      oracle = Some(s"""
+        WITH $codeCtes,
+        u AS (SELECT sub, CAST(round(d2 * 1000000) AS BIGINT) AS d2u FROM code)
+        SELECT sub, CAST(count(*) AS BIGINT) AS n_vecs,
+               CAST(sum(d2u) AS BIGINT) AS d2_sum_micro,
+               round(CAST(sum(d2u) AS DOUBLE) / (count(*) * 1000000.0), 6) AS mean_d2,
+               round(CAST(max(d2u) AS DOUBLE) / 1000000.0, 6) AS max_d2
+        FROM u GROUP BY 1"""),
+      doc = "per-subspace PQ distortion report (the codebook-sizing QA signal): exact micro-unit long sums of each subspace's argmin distances, mean + max per subspace — a subspace running hot needs more codebook entries; order-free fixed-point throughout"),
+
     // PQ encode: every vector compressed to its 4 subspace codes, plus
     // the total quantization distortion (the number a deployment
     // watches to size k — rising recon_d2 means the codebooks no

@@ -96,6 +96,7 @@ class QueriesSpec extends AnyFunSuite {
       "sim_ivf_recall_curve", // 20-row query panel + 3-row nprobe frame (both broadcast)
       "sim_ivf_recall_structured", // 20-row query panel + 8-row planted-centroid panel (both broadcast)
       "sim_pq_encode",       // k-row codebook + 4-row subspace panels (both broadcast, Pq.scala)
+      "sim_pq_distortion",   // same codebook/subspace panels feeding the per-subspace report
       "sim_pq_adc_topk",     // same codebook/subspace panels feeding the code argmin
       "sim_pq_recall_audit", // those panels + the 10-row query panel for the truth side
       "sim_pq_recall_structured", // same shape over the planted zero-noise corpus
