@@ -558,7 +558,121 @@ object Pq {
                3 * CAST(sum(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) >= count(*) AS recall_ok
         FROM truth t LEFT JOIN ip p ON t.q_id = p.q_id AND t.n_id = p.n_id
         GROUP BY 1"""),
-      doc = "IVFADC recall audit: the committed-index nprobe=2 PQ-ranked top-3 scored against the exact 64-dim L2 truth — the composed (cell-miss × code-quantization) recall as deployed, per-query n_hit/recall hash-gated with the ≥1-hit recall_ok floor; measured mean 0.033 at sf0.01 ≈ the factors' product (0.37 coarse × 0.08 code), the compounding that makes the deployed read need its own gate")
+      doc = "IVFADC recall audit: the committed-index nprobe=2 PQ-ranked top-3 scored against the exact 64-dim L2 truth — the composed (cell-miss × code-quantization) recall as deployed, per-query n_hit/recall hash-gated with the ≥1-hit recall_ok floor; measured mean 0.033 at sf0.01 ≈ the factors' product (0.37 coarse × 0.08 code), the compounding that makes the deployed read need its own gate"),
+
+    // the CONTROL for the composed path (the sim_pq_recall_structured
+    // corpus driven through the FULL IVFADC read): zero noise means
+    // every same-label vector IS its cluster point, so the trained
+    // cells coincide with the cosets, the probe lands in the right
+    // cell with distance 0, codes reconstruct losslessly, ADC ≡ exact
+    // distance, and ties resolve by the same n_id rule on both sides —
+    // composed recall@3 must be EXACTLY 1.0 per query, with recall_ok
+    // pinning equality. Proves the 0.033 audit number is the DATA
+    // (random embeddings carry no cell structure), not the composed
+    // machinery — and the gap is what quantizer/cell alignment buys.
+    "sim_ivfpq_recall_structured" -> QueryDef(
+      build = (s, dir) => {
+        import s.implicits._
+        val planted =
+          "transform(sequence(0, 63), d -> CAST(CASE WHEN d % 16 = 2 * (vec_id % 8) OR d % 16 = 2 * (vec_id % 8) + 1 THEN 10.0 ELSE 0.0 END AS DOUBLE))"
+        val pl = Tables.embeddings(s, dir).select($"vec_id")
+          .withColumn("label", pmod($"vec_id", lit(8)).cast("int"))
+          .withColumn("embedding", expr(planted))
+        val cents = Embeddings.centroids(pl)
+        val q = pl.filter($"vec_id" < 10)
+        val probed = Embeddings.assignTop(q, cents, 2)
+          .select($"vec_id".as("q_id"), $"assigned".as("cell"))
+        val asg = Embeddings.assignTop(pl, cents, 1)
+          .select($"vec_id".as("n_id"), $"assigned".as("cell"))
+        val pairs = probed.join(asg, Seq("cell"))
+          .filter($"q_id" =!= $"n_id").select($"q_id", $"n_id")
+        val cand = codes(pl, cents, m = 4, w = 16)
+          .select($"vec_id".as("n_id"), $"sub", $"code")
+        val lut = subD2(q, cents, m = 4, w = 16)
+          .select($"vec_id".as("q_id"), $"sub", $"c_label".as("code"), $"d2")
+        val wA = Window.partitionBy($"q_id").orderBy($"adc".asc, $"n_id".asc)
+        val approx = pairs.join(cand, Seq("n_id"))
+          .join(broadcast(lut), Seq("q_id", "sub", "code"))
+          .groupBy($"q_id", $"n_id")
+          .agg(
+            max(when($"sub" === 0, $"d2")).as("a0"),
+            max(when($"sub" === 1, $"d2")).as("a1"),
+            max(when($"sub" === 2, $"d2")).as("a2"),
+            max(when($"sub" === 3, $"d2")).as("a3"))
+          .select($"q_id", $"n_id", round($"a0" + $"a1" + $"a2" + $"a3", 6).as("adc"))
+          .withColumn("rank", row_number().over(wA))
+          .filter($"rank" <= 3)
+          .select($"q_id", $"n_id")
+        val qv = q.select($"vec_id".as("q_id"), expr(vdE).as("qvd"))
+        val cv = pl.select($"vec_id".as("n_id"), expr(vdE).as("nvd"))
+        val wT = Window.partitionBy($"q_id").orderBy($"d2".asc, $"n_id".asc)
+        val truth = cv.join(broadcast(qv), $"q_id" =!= $"n_id")
+          .select($"q_id", $"n_id",
+            round(expr("aggregate(zip_with(qvd, nvd, (a, b) -> (a - b) * (a - b)), 0.0d, (acc, x) -> acc + x)"), 6).as("d2"))
+          .withColumn("rank", row_number().over(wT))
+          .filter($"rank" <= 3)
+          .select($"q_id", $"n_id")
+        truth.join(approx.withColumn("hit", lit(1)), Seq("q_id", "n_id"), "left")
+          .groupBy($"q_id")
+          .agg(count(lit(1)).as("n_truth"),
+            sum(coalesce($"hit", lit(0))).cast("long").as("n_hit"))
+          .select($"q_id", $"n_truth", $"n_hit",
+            round($"n_hit".cast("double") / $"n_truth", 4).as("recall"),
+            ($"n_hit" === $"n_truth").as("recall_ok"))
+      },
+      oracle = Some {
+        val plantedSql =
+          "list_transform(range(0, 64), d -> CAST(CASE WHEN d % 16 = 2 * (vec_id % 8) OR d % 16 = 2 * (vec_id % 8) + 1 THEN 10.0 ELSE 0.0 END AS DOUBLE))"
+        s"""
+        WITH pl AS (SELECT vec_id, $plantedSql AS v FROM embeddings),
+        q AS (SELECT vec_id, CAST(vec_id % 8 AS INT) AS label,
+                     list_transform(v, x -> CAST(round(x * 10000.0) AS BIGINT)) AS qv
+              FROM pl),
+        cd AS (SELECT label, i, CAST(sum(qv[i]) AS DOUBLE) / (10000.0 * count(*)) AS c
+               FROM q, generate_series(1, 64) t(i) GROUP BY 1, 2),
+        cent AS (SELECT label AS c_label, list(c ORDER BY i) AS cv FROM cd GROUP BY 1),
+        s AS (SELECT unnest([0, 1, 2, 3]) AS sub),
+        sd AS (SELECT q.vec_id, s.sub, cent.c_label, ${subD2Sql("q.qv", "cent.cv")} AS d2
+               FROM q CROSS JOIN cent CROSS JOIN s),
+        code AS (SELECT vec_id, sub, c_label AS code, d2 FROM sd
+                 QUALIFY row_number() OVER (PARTITION BY vec_id, sub ORDER BY d2 ASC, c_label ASC) = 1),
+        cdist AS (SELECT q.vec_id, cent.c_label, ${Embeddings.d2Sql} AS d2
+                  FROM q CROSS JOIN cent),
+        asg AS (SELECT vec_id, c_label AS cell FROM cdist
+                QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) = 1),
+        probe AS (SELECT vec_id AS q_id, c_label AS cell FROM cdist
+                  WHERE vec_id < 10
+                  QUALIFY row_number() OVER (PARTITION BY vec_id ORDER BY d2 ASC, c_label ASC) <= 2),
+        pairs AS (SELECT p.q_id, a.vec_id AS n_id
+                  FROM probe p JOIN asg a USING (cell)
+                  WHERE a.vec_id <> p.q_id),
+        lut AS (SELECT vec_id AS q_id, sub, c_label AS code, d2 FROM sd WHERE vec_id < 10),
+        al AS (SELECT cp.q_id, cp.n_id,
+                      max(CASE WHEN c.sub = 0 THEN l.d2 END) AS a0,
+                      max(CASE WHEN c.sub = 1 THEN l.d2 END) AS a1,
+                      max(CASE WHEN c.sub = 2 THEN l.d2 END) AS a2,
+                      max(CASE WHEN c.sub = 3 THEN l.d2 END) AS a3
+               FROM pairs cp
+               JOIN code c ON c.vec_id = cp.n_id
+               JOIN lut l ON l.q_id = cp.q_id AND l.sub = c.sub AND l.code = c.code
+               GROUP BY 1, 2),
+        ivfadc AS (SELECT q_id, n_id, round(a0 + a1 + a2 + a3, 6) AS adc,
+                          row_number() OVER (PARTITION BY q_id ORDER BY round(a0 + a1 + a2 + a3, 6) ASC, n_id ASC) AS rank
+                   FROM al),
+        ip AS (SELECT q_id, n_id FROM ivfadc WHERE rank <= 3),
+        truth AS (SELECT a.vec_id AS q_id, b.vec_id AS n_id,
+                         ${d2FullSql("a.qv", "b.qv")} AS d2
+                  FROM q a JOIN q b ON a.vec_id <> b.vec_id
+                  WHERE a.vec_id < 10
+                  QUALIFY row_number() OVER (PARTITION BY a.vec_id ORDER BY d2 ASC, n_id ASC) <= 3)
+        SELECT t.q_id, CAST(count(*) AS BIGINT) AS n_truth,
+               CAST(sum(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_hit,
+               round(CAST(sum(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / count(*), 4) AS recall,
+               CAST(sum(CASE WHEN p.n_id IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) = count(*) AS recall_ok
+        FROM truth t LEFT JOIN ip p ON t.q_id = p.q_id AND t.n_id = p.n_id
+        GROUP BY 1"""
+      },
+      doc = "IVFADC recall control: the planted zero-noise 8-cluster corpus through the FULL composed read (trained cells coincide with clusters, probe exact, ADC lossless) — composed recall@3 EXACTLY 1.0 per query with recall_ok pinning equality, proving the audit's 0.033 is the data, not the composition")
   )
 
   /** The persisted-IVFADC read, shared by `sim_ivfpq_persisted_topk`

@@ -103,6 +103,7 @@ class QueriesSpec extends AnyFunSuite {
       "sim_ivfpq_topk",      // codebook/subspace/query panels + the k-row persisted quantizer probe
       "sim_ivfpq_persisted_topk", // k-row committed-quantizer probe panel (codes read from the index, no corpus encode)
       "sim_ivfpq_recall_audit", // that probe panel + the 10-row query panel for the exact-L2 truth side
+      "sim_ivfpq_recall_structured", // planted-centroid panels + the 10-row query panel (the control)
       "pipe_corpus_funnel",  // six 1-row funnel-count panels cross-joined (the api_q6_stats shape)
       "txt_tfidf_top")       // 1-row corpus-count broadcast (the api_q6_stats shape)
     val violations = SparkEntry.queries.toSeq.flatMap { case (name, fn) =>
