@@ -41,8 +41,17 @@ object Cdc {
   /** Spark-side cut positions: i ∈ [W, len−1] (1-based char positions;
     * len excluded so the tail boundary never duplicates), kept when
     * the window hash mod 64 is 0. Descending-sequence guard: documents
-    * shorter than W+1 produce no cuts. */
-  private val cutsE =
+    * shorter than W+1 produce no cuts.
+    *
+    * This HOF formulation is the INTERPRETED TWIN, kept for
+    * CdcCutsSpec's bit-for-bit equivalence gate: the registered
+    * entries route the scan through the native `cdc_cuts` expression
+    * ([[graft.functions.CdcCuts]] — r21: true O(1) rolling recurrence
+    * inside whole-stage codegen, replacing this O(W)-per-position
+    * CodegenFallback re-fold; the token_stats move applied to the CDC
+    * family). Both produce identical cut arrays, so the DuckDB oracle
+    * (an exact lambda replay of THIS formulation) is unchanged. */
+  private[graft] val cutsHofTwinE =
     """CASE WHEN length(norm) >= 17 THEN
          filter(sequence(16, length(norm) - 1), i ->
            aggregate(transform(split(substr(norm, i - 15, 16), ''), c -> ascii(c)),
@@ -55,10 +64,11 @@ object Cdc {
   private[graft] def chunkDf(docs: org.apache.spark.sql.DataFrame) = {
     val s = docs.sparkSession
     import s.implicits._
+    graft.functions.CdcCuts.register(s)
     docs
       .withColumn("norm", regexp_replace(lower(trim($"text")), "\\s+", " "))
       .filter(length($"norm") > 0)
-      .withColumn("cuts", expr(cutsE))
+      .withColumn("cuts", expr("cdc_cuts(norm)"))
       .withColumn("b", expr("concat(array(0), cuts, array(length(norm)))"))
       .select($"doc_id", $"norm", explode(expr(
         """transform(sequence(1, size(b) - 1), j ->
@@ -113,18 +123,13 @@ object Cdc {
 
   private val builtStore = scala.collection.mutable.Set[String]()
 
-  /** Store root keyed by sfDir + the corpus content fingerprint (the
-    * Cluster.storeRoot discipline: count + max + order-free content
-    * xor, so a shape-preserving testdata regeneration reseeds). */
-  private def storeRoot(s: org.apache.spark.sql.SparkSession, dir: String): String = {
-    val r = Tables.documents(s, dir)
-      .agg(count(lit(1)), max(col("doc_id")),
-        expr("bit_xor(xxhash64(doc_id, text))")).collect()(0)
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    sys.env.getOrElse("GRAFT_CDC_STORE_DIR", "/root/repo/target/cdc-store") +
-      s"/$md-n${r.getLong(0)}-m${r.getLong(1)}-x${java.lang.Long.toHexString(r.getLong(2))}"
-  }
+  /** Store root keyed by sfDir + the corpus content fingerprint —
+    * the shared [[StoreRoot]] helper (memoized per JVM, ADVICE r20
+    * items 2/4: the probe entry no longer pays a corpus scan per
+    * invocation just to re-derive a root it already knows). */
+  private def storeRoot(s: org.apache.spark.sql.SparkSession, dir: String): String =
+    StoreRoot.resolve(s, dir, "GRAFT_CDC_STORE_DIR", "cdc-store",
+      Tables.documents, "doc_id", "text")
 
   /** Build-once (_DONE-cached per corpus fingerprint) chunk-store
     * commit: distinct (chunk_md5, chunk_len) through MergeWriter,

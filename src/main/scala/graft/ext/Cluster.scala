@@ -356,15 +356,9 @@ object Cluster {
     * shape but changes the text still reseeds), so a driver-side
     * regeneration never gates the new corpus against a stale persisted
     * assignment. */
-  private def storeRoot(s: SparkSession, dir: String): String = {
-    val r = Tables.documents(s, dir)
-      .agg(count(lit(1)), max(col("doc_id")),
-        expr("bit_xor(xxhash64(doc_id, text))")).collect()(0)
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    sys.env.getOrElse("GRAFT_DEDUP_STORE_DIR", "/root/repo/target/dedup-store") +
-      s"/$md-n${r.getLong(0)}-m${r.getLong(1)}-x${java.lang.Long.toHexString(r.getLong(2))}"
-  }
+  private def storeRoot(s: SparkSession, dir: String): String =
+    StoreRoot.resolve(s, dir, "GRAFT_DEDUP_STORE_DIR", "dedup-store",
+      Tables.documents, "doc_id", "text")
 
   /** The incremental dedup loop over REAL STORAGE (r18 VERDICT item 2 —
     * the api_t4_roomstate discipline lifted to the dedup domain):

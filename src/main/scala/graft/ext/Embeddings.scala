@@ -177,15 +177,9 @@ object Embeddings {
     * + an order-free CONTENT xor over the embedding arrays — so a
     * testdata regeneration that keeps the shape but changes the vectors
     * reseeds the index instead of probing a stale one). */
-  private[ext] def idxRoot(s: SparkSession, dir: String): String = {
-    val r = Tables.embeddings(s, dir)
-      .agg(count(lit(1)), max(col("vec_id")),
-        expr("bit_xor(xxhash64(vec_id, embedding))")).collect()(0)
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    sys.env.getOrElse("GRAFT_ANN_INDEX_DIR", "/root/repo/target/ann-index") +
-      s"/$md-n${r.getLong(0)}-m${r.getLong(1)}-x${java.lang.Long.toHexString(r.getLong(2))}"
-  }
+  private[ext] def idxRoot(s: SparkSession, dir: String): String =
+    StoreRoot.resolve(s, dir, "GRAFT_ANN_INDEX_DIR", "ann-index",
+      Tables.embeddings, "vec_id", "embedding")
 
   /** Build-once (per sfDir+fingerprint, _DONE-cached) IVF index commit:
     * centroids from the label seed, one Lloyd assign step against them,

@@ -109,15 +109,9 @@ object StreamingPipe {
   /** Root keyed by sfDir + corpus fingerprint (count + max doc_id +
     * order-free content xor — the Cluster.storeRoot discipline), so a
     * testdata regeneration reseeds the streamed state. */
-  private def streamRoot(s: SparkSession, dir: String): String = {
-    val r = graft.Tables.documents(s, dir)
-      .agg(count(lit(1)), max(col("doc_id")),
-        expr("bit_xor(xxhash64(doc_id, text))")).collect()(0)
-    val md = java.security.MessageDigest.getInstance("MD5")
-      .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-    sys.env.getOrElse("GRAFT_STREAM_STORE_DIR", "/root/repo/target/stream-store") +
-      s"/$md-n${r.getLong(0)}-m${r.getLong(1)}-x${java.lang.Long.toHexString(r.getLong(2))}"
-  }
+  private def streamRoot(s: SparkSession, dir: String): String =
+    StoreRoot.resolve(s, dir, "GRAFT_STREAM_STORE_DIR", "stream-store",
+      graft.Tables.documents, "doc_id", "text")
 
   /** Build-once (per sfDir+fingerprint, _DONE-cached) streamed-drain
     * state for `pipe_streaming_persisted`: the corpus arrives in three

@@ -298,7 +298,10 @@ object TextStats {
     "txt_bpe_train" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        Bpe.trainMerges(s, dir, 9).toDF("rank", "a", "b", "pair_count")
+        // r21: driver-local rounds after the one corpus pass
+        // (Bpe.trainMergesLocal — row-identical to the distributed
+        // loop, BpeSpec-gated; kills the one-Spark-job-per-round shape)
+        Bpe.trainMergesLocal(s, dir, 9).toDF("rank", "a", "b", "pair_count")
       },
       oracle = Some(Bpe.trainOracleSql(9)),
       doc = "corpus-learned BPE merge table: nine real training rounds (frequency-weighted pair counts over the pre-token vocabulary, deterministic argmax, merge, repeat) hash-gated against a from-scratch unrolled DuckDB derivation"),
@@ -515,11 +518,18 @@ object TextStats {
       build = (s, dir) => {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
+        graft.functions.TokenCounts.register(s)
         val docs = Tables.documents(s, dir)
           .withColumn("toks", expr(toksE))
           .withColumn("n_tokens", size($"toks"))
-        val terms = docs.select($"doc_id", $"n_tokens", explode(expr(
-          "transform(array_distinct(toks), w -> struct(w AS term, size(filter(toks, t -> t = w)) AS cnt))")).as("tc"))
+        // one-pass codegen term-frequency table (r21): replaces the
+        // O(types·tokens) CodegenFallback lambda
+        //   transform(array_distinct(toks), w ->
+        //     struct(w AS term, size(filter(toks, t -> t = w)) AS cnt))
+        // — identical elements in identical order (TokenCountsSpec), so
+        // the oracle is untouched
+        val terms = docs.select($"doc_id", $"n_tokens",
+          explode(expr("token_counts(toks)")).as("tc"))
           .select($"doc_id", $"n_tokens", $"tc.term", $"tc.cnt")
         val dfTab = terms.groupBy($"term").agg(count(lit(1)).as("df"))
         val nTab = docs.agg(count(lit(1)).as("n"))

@@ -42,6 +42,24 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
       binary("token_stats", TokenStats.apply) _))
     ext.injectFunction((
+      FunctionIdentifier("token_counts"),
+      new ExpressionInfo(classOf[TokenCounts].getName, "token_counts"),
+      { children: Seq[Expression] =>
+        if (children.length != 1)
+          throw new IllegalArgumentException(
+            s"token_counts requires exactly 1 argument, got ${children.length}")
+        TokenCounts(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("cdc_cuts"),
+      new ExpressionInfo(classOf[CdcCuts].getName, "cdc_cuts"),
+      { children: Seq[Expression] =>
+        if (children.length != 1)
+          throw new IllegalArgumentException(
+            s"cdc_cuts requires exactly 1 argument, got ${children.length}")
+        CdcCuts(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("nfd_normalize"),
       new ExpressionInfo(classOf[NfdNormalize].getName, "nfd_normalize"),
       { children: Seq[Expression] =>

@@ -55,6 +55,19 @@ class BpeSpec extends AnyFunSuite {
           "well-formed and the unrolled-replay oracle would gate the wrong algorithm")
   }
 
+  test("driver-local training is row-identical to the distributed round loop") {
+    // r21: the registered txt_bpe_train runs Bpe.trainMergesLocal (one
+    // corpus pass, vocabulary collected once, rounds local); this gate
+    // pins it to the distributed loop the DuckDB oracle was derived
+    // against — same argmax weighting, same tie-break, same merge
+    // application, so the two must agree rank-for-rank
+    val spark = Sessions.local(cores = 4, appName = "graft-bpe-train")
+    val local = Bpe.trainMergesLocal(spark, "/root/testdata/sf0.001", 9)
+    val dist = Bpe.trainMerges(spark, "/root/testdata/sf0.001", 9)
+    assert(local == dist,
+      s"local/distributed BPE training diverged:\n local=$local\n dist=$dist")
+  }
+
   test("learned table: monotone counts, well-formed with a real cascade, priority ≡ replay") {
     val spark = Sessions.local(cores = 4, appName = "graft-bpe-train")
     import spark.implicits._
