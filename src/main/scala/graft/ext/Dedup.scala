@@ -36,13 +36,39 @@ object Dedup {
   }
 
   /** Per-doc 8 min-hash signatures plus shingle count — the LSH
-    * signature table of `dedup_minhash_lsh`. */
+    * signature table of `dedup_minhash_lsh`. r21: ONE codegen pass per
+    * document ([[graft.functions.MinHashSigs]]) replacing the previous
+    * explode + 8×`min(md5(concat_ws('|', k, sh)))` hash aggregate —
+    * measured 1.65 s of the 3.13 s pair pipeline at sf0.1 (StageProbe),
+    * mostly CodegenFallback shingle lambdas and eight per-row
+    * MessageDigest allocations. Row set and every column are
+    * bit-identical (MinHashSigsSpec gates it against the old
+    * formulation; docs with < 3 tokens had no row then and surface as
+    * filtered NULLs now).
+    *
+    * The localCheckpoint is LOAD-BEARING: the old aggregate ended in an
+    * Exchange that ReuseExchange deduplicated across the table's four
+    * consumers (bands l/r, the two per-side count joins); a pure
+    * projection has no exchange, so without the barrier every consumer
+    * re-ran the full 8×md5 scan — measured +1.0–1.3 s per
+    * minhash-family entry. ≤|docs| narrow rows, the Cluster.graph
+    * cross-job policy. */
   private def minhashSigs(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val sigCols = (0 until 8).map(k =>
-      min(md5(concat_ws("|", lit(k), $"sh"))).as(s"h$k"))
-    shingles(s, dir).groupBy($"doc_id")
-      .agg(sigCols.head, sigCols.tail :+ count(lit(1)).as("n"): _*)
+    graft.functions.MinHashSigs.register(s)
+    // the <3-token drop rides a CHEAP size() predicate, NOT
+    // isNotNull(minhash_sigs(...)): a pushed-down isNotNull would
+    // re-evaluate the whole expression in the filter — measured 2×
+    // per-row cost (SigsProbe; the guide §4.4 duplicate-evaluation
+    // trap). Same row set: minhash_sigs is NULL exactly on <3 tokens.
+    Tables.documents(s, dir)
+      .withColumn("toks", expr(toksE))
+      .filter(size($"toks") >= 3)
+      .select($"doc_id", expr("minhash_sigs(toks)").as("sg"))
+      .select($"doc_id" +:
+        (0 until 8).map(k => $"sg".getField(s"h$k").as(s"h$k")) :+
+        $"sg".getField("n").as("n"): _*)
+      .localCheckpoint()
   }
 
   /** (doc_id, band, h) from a signature table: one row per min-hash
@@ -63,12 +89,19 @@ object Dedup {
     * smoke's candidate-pair counts (same code path as the query). */
   def simhashBands(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
-    val tok = Tables.documents(s, dir)
+    // r21: ONE codegen pass per document (graft.functions.SimHashDoc)
+    // replacing explode(array_distinct) → md5/conv per token →
+    // simhash60 custom aggregate; values bit-identical
+    // (SimHashDocSpec). The empty-toks drop rides a cheap size()
+    // predicate (the minhashSigs pushdown lesson), and the
+    // localCheckpoint replaces the aggregate Exchange that
+    // ReuseExchange used to share between the band join's two sides.
+    graft.functions.SimHashDoc.register(s)
+    val sim = Tables.documents(s, dir)
       .withColumn("toks", expr(toksE))
-      .select($"doc_id", explode(array_distinct($"toks")).as("w"))
-      .withColumn("h", expr("CAST(conv(substr(md5(w), 1, 15), 16, 10) AS BIGINT)"))
-    val sim = tok.groupBy($"doc_id")
-      .agg(expr("simhash60(h)").as("simhash"))
+      .filter(size($"toks") > 0)
+      .select($"doc_id", expr("simhash60_doc(toks)").as("simhash"))
+      .localCheckpoint()
     sim.select($"doc_id", $"simhash",
       posexplode(array((0 until 4).map(i =>
         expr(s"(simhash >> ${i * 15}) & 32767")): _*)).as(Seq("band", "bv")))

@@ -56,14 +56,26 @@ object Embeddings {
   def assignTop(vecs: DataFrame, cells: DataFrame, k: Int): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
-    val w = Window.partitionBy($"vec_id").orderBy($"d2".asc, $"c_label".asc)
-    vecs.select($"vec_id", $"label", expr(s"transform($qvE, q -> q / 10000.0)").as("vd"))
-      .crossJoin(broadcast(cells.select($"label".as("c_label"), $"cv")))
-      .select($"vec_id", $"label", $"c_label",
-        round(expr("aggregate(zip_with(vd, cv, (a, b) -> (a - b) * (a - b)), 0.0d, (acc, x) -> acc + x)"), 6).as("d2"))
-      .withColumn("cell_rank", row_number().over(w))
-      .filter($"cell_rank" <= k)
-      .select($"vec_id", $"label", $"c_label".as("assigned"), $"d2", $"cell_rank")
+    // r21: ONE codegen pass per vector (graft.functions.VecNearest)
+    // replacing the n×k crossJoin + zip_with/aggregate fold +
+    // row_number window (a shuffle and sort of n·k rows per call);
+    // rows bit-identical (VecDistSpec — same fold order, same Spark
+    // round-6 semantics, same (d2, c_label) tie-break via the
+    // ascending-label codebook panel).
+    graft.functions.VecNearest.register(s)
+    val cellsArr = broadcast(cells.agg(
+      sort_array(collect_list(struct($"label".as("c_label"), $"cv"))).as("cells")))
+    // vd as array<double> directly: `q / 10000.0` alone is
+    // DECIMAL(28,7), which the old zip_with promoted to double per
+    // element — CAST(q AS DOUBLE) / 10000.0 is that same double
+    // (VecDistSpec compares the rounded distances exactly)
+    vecs.select($"vec_id", $"label",
+        expr(s"transform($qvE, q -> CAST(q AS DOUBLE) / 10000.0)").as("vd"))
+      .crossJoin(cellsArr)
+      .select($"vec_id", $"label",
+        explode(expr(s"vec_nearest(vd, cells, $k)")).as("nn"))
+      .select($"vec_id", $"label", $"nn.c_label".as("assigned"),
+        $"nn.d2".as("d2"), $"nn.cell_rank".as("cell_rank"))
   }
 
   /** One Lloyd ASSIGN step ([[assignTop]] at k=1). */

@@ -75,24 +75,34 @@ object Pipe {
   private[graft] final case class PipeStages(
       gate: DataFrame, decon: DataFrame, keepers: DataFrame, mixed: DataFrame)
 
+  /** `stageCheckpoint` materializes each stage's doc_id frame once
+    * (≤|docs| narrow rows): the FUNNEL entry reads gate/decon twice
+    * directly and twice more through keepers/mixed, and the gate scan
+    * has no Exchange for ReuseExchange to deduplicate — without the
+    * barrier the token_stats gate scan runs 4× per funnel invocation.
+    * The packed end-to-end entry consumes each stage exactly once, so
+    * it keeps the barrier-free composed plan (r19 parity measurement
+    * unchanged). */
   private[graft] def pipeStages(s: SparkSession, dir: String,
-      gateBarrier: Boolean): PipeStages = {
+      gateBarrier: Boolean, stageCheckpoint: Boolean = false): PipeStages = {
         import s.implicits._
         import org.apache.spark.sql.expressions.Window
+        def bar(df: DataFrame): DataFrame =
+          if (stageCheckpoint) df.localCheckpoint() else df
         val gateRaw = TextStats.defs("txt_gopher_gate").build(s, dir)
-        val gate = (if (gateBarrier) gateRaw.localCheckpoint() else gateRaw)
-          .filter($"keep").select($"doc_id")
-        val decon = TextStats.defs("txt_decontaminate").build(s, dir)
-          .filter(!$"contaminated").select($"doc_id")
+        val gate = bar((if (gateBarrier) gateRaw.localCheckpoint() else gateRaw)
+          .filter($"keep").select($"doc_id"))
+        val decon = bar(TextStats.defs("txt_decontaminate").build(s, dir)
+          .filter(!$"contaminated").select($"doc_id"))
         val qual = TextStats.defs("txt_quality_score").build(s, dir)
           .select($"doc_id", $"quality")
         val w = Window.partitionBy($"cluster_id")
           .orderBy($"quality".desc, $"doc_id".asc)
-        val keepers = gate.join(decon, "doc_id")
+        val keepers = bar(gate.join(decon, "doc_id")
           .join(Cluster.assignFrame(s, dir, DedupTau), "doc_id")
           .join(qual, "doc_id")
           .withColumn("rk", row_number().over(w))
-          .filter($"rk" === 1).select($"doc_id")
+          .filter($"rk" === 1).select($"doc_id"))
         val mixed = keepers.join(
           Corpus.defs("txt_sample_stratified").build(s, dir).select($"doc_id"),
           "doc_id")
@@ -204,7 +214,9 @@ object Pipe {
     "pipe_corpus_funnel" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        val st = pipeStages(s, dir, gateBarrier = false)
+        // r21: stageCheckpoint — the six panels read the stage frames
+        // 2–4× each; see pipeStages
+        val st = pipeStages(s, dir, gateBarrier = false, stageCheckpoint = true)
         val docs = Tables.documents(s, dir)
           .withColumn("toks", expr(TextExpr.toksE))
           .select($"doc_id", size($"toks").cast("long").as("n_tokens"))

@@ -72,10 +72,26 @@ object Pq {
   private[graft] def codes(vecs: DataFrame, cents: DataFrame, m: Int, w: Int): DataFrame = {
     val s = vecs.sparkSession
     import s.implicits._
-    val win = Window.partitionBy($"vec_id", $"sub").orderBy($"d2".asc, $"c_label".asc)
-    subD2(vecs, cents, m, w)
-      .withColumn("rk", row_number().over(win)).filter($"rk" === 1)
-      .select($"vec_id", $"sub", $"c_label".as("code"), $"d2")
+    // r21: ONE codegen pass per vector (graft.functions.PqEncode)
+    // replacing the n×k×m [[subD2]] expansion + per-(vector, subspace)
+    // row_number window (a shuffle and sort of n·k·m rows per call);
+    // rows bit-identical (VecDistSpec — same slice-fold order, same
+    // Spark round-6, ties → lowest code via the ascending-label
+    // codebook panel). [[subD2]] itself stays for the query-side ADC
+    // LUT, which keeps ALL (sub, entry) distances and is q-sized.
+    graft.functions.PqEncode.register(s)
+    val cellsArr = broadcast(cents.agg(
+      sort_array(collect_list(struct($"label".as("c_label"), $"cv"))).as("cells")))
+    // vd as array<double> directly (the assignTop note: the plain
+    // `q / 10000.0` DECIMAL was promoted to this same double by the
+    // old zip_with)
+    val vdDblE =
+      "transform(transform(embedding, x -> CAST(round(CAST(x AS DOUBLE) * 10000.0) AS BIGINT)), " +
+        "q -> CAST(q AS DOUBLE) / 10000.0)"
+    vecs.select($"vec_id", expr(vdDblE).as("vd"))
+      .crossJoin(cellsArr)
+      .select($"vec_id", explode(expr(s"pq_encode(vd, cells, $m, $w)")).as("pc"))
+      .select($"vec_id", $"pc.sub".as("sub"), $"pc.code".as("code"), $"pc.d2".as("d2"))
   }
 
   // ---- persisted IVF-PQ index: the codes committed next to the cells.

@@ -42,6 +42,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       new ExpressionInfo(classOf[TokenStats].getName, "token_stats"),
       binary("token_stats", TokenStats.apply) _))
     ext.injectFunction((
+      FunctionIdentifier("vec_nearest"),
+      new ExpressionInfo(classOf[VecNearest].getName, "vec_nearest"),
+      { children: Seq[Expression] =>
+        if (children.length != 3)
+          throw new IllegalArgumentException(
+            s"vec_nearest requires exactly 3 arguments, got ${children.length}")
+        VecNearest(children(0), children(1), children(2))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("pq_encode"),
+      new ExpressionInfo(classOf[PqEncode].getName, "pq_encode"),
+      { children: Seq[Expression] =>
+        if (children.length != 4)
+          throw new IllegalArgumentException(
+            s"pq_encode requires exactly 4 arguments, got ${children.length}")
+        PqEncode(children(0), children(1), children(2), children(3))
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("simhash60_doc"),
+      new ExpressionInfo(classOf[SimHashDoc].getName, "simhash60_doc"),
+      { children: Seq[Expression] =>
+        if (children.length != 1)
+          throw new IllegalArgumentException(
+            s"simhash60_doc requires exactly 1 argument, got ${children.length}")
+        SimHashDoc(children.head)
+      }))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_sigs"),
+      new ExpressionInfo(classOf[MinHashSigs].getName, "minhash_sigs"),
+      { children: Seq[Expression] =>
+        if (children.length != 1)
+          throw new IllegalArgumentException(
+            s"minhash_sigs requires exactly 1 argument, got ${children.length}")
+        MinHashSigs(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("token_counts"),
       new ExpressionInfo(classOf[TokenCounts].getName, "token_counts"),
       { children: Seq[Expression] =>
