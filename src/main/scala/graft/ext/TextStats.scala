@@ -531,6 +531,9 @@ object TextStats {
         val terms = docs.select($"doc_id", $"n_tokens",
           explode(expr("token_counts(toks)")).as("tc"))
           .select($"doc_id", $"n_tokens", $"tc.term", $"tc.cnt")
+        // r21 note: a window-count df (count over the term partition)
+        // was measured no better — dfTab is vocabulary-sized and
+        // broadcasts, so the join never shuffles the term table. Kept.
         val dfTab = terms.groupBy($"term").agg(count(lit(1)).as("df"))
         val nTab = docs.agg(count(lit(1)).as("n"))
         val w = Window.partitionBy($"doc_id").orderBy($"score".desc, $"term".asc)
@@ -583,6 +586,11 @@ object TextStats {
           "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks)-2), " +
             "i -> struct(toks[i] AS w1, toks[i+1] AS w2)) ELSE array() END")).as("b"))
           .select($"doc_id", $"b.w1", $"b.w2")
+        // r21 note: a window-count rewrite (count over (w1,w2)/(w1)
+        // partitions) was MEASURED SLOWER here — the c2/c1 aggregates
+        // are vocabulary-sized and broadcast back onto bb, so the old
+        // shape never shuffles the bigram table at all, while windows
+        // force two full shuffles + sorts of it. Kept as-is.
         val c2 = bb.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
         val c1 = c2.groupBy($"w1").agg(sum($"c2").as("c1"))
         val pd = bb.join(c2, Seq("w1", "w2")).join(c1, Seq("w1"))
@@ -643,6 +651,9 @@ object TextStats {
           "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks)-2), " +
             "i -> struct(toks[i] AS w1, toks[i+1] AS w2)) ELSE array() END")).as("b"))
           .select($"doc_id", $"is_tgt", $"b.w1", $"b.w2")
+        // r21 note: the window-count rewrite was measured slower here
+        // too (see txt_lm_score) — the four LM tables are
+        // vocabulary-sized broadcast panels. Kept as-is.
         val cc2 = bb.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
         val cc1 = cc2.groupBy($"w1").agg(sum($"c2").as("c1"))
         val tc2 = bb.filter($"is_tgt").groupBy($"w1", $"w2").agg(count(lit(1)).as("t2"))
@@ -708,10 +719,16 @@ object TextStats {
         val g8 = "CASE WHEN size(toks) >= 8 THEN array_distinct(transform(sequence(0, size(toks)-8), " +
           "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], " +
           "toks[i+4], toks[i+5], toks[i+6], toks[i+7]))) ELSE array() END"
+        // r21: min-over-window instead of groupBy+join-back — the old
+        // shape shuffled the exploded gram table TWICE (once into the
+        // min aggregate, once into the SMJ back-join); the window
+        // computes first_doc with ONE exchange of the gram rows. Same
+        // values: min over the sh partition ≡ the joined group min.
+        import org.apache.spark.sql.expressions.Window
         val grams = Tables.documents(s, dir).withColumn("toks", expr(toksE))
           .select($"doc_id", explode(expr(g8)).as("sh"))
-        val first = grams.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
-        val per = grams.join(first, "sh")
+        val wF = Window.partitionBy($"sh")
+        val per = grams.withColumn("first_doc", min($"doc_id").over(wF))
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_8grams"),
             sum(when($"first_doc" < $"doc_id", 1L).otherwise(0L)).as("n_dup_spans"))
@@ -766,10 +783,14 @@ object TextStats {
           "j -> struct(j AS j, concat_ws(' ', toks[j], toks[j+1], toks[j+2], toks[j+3], " +
           "toks[j+4], toks[j+5], toks[j+6], toks[j+7]) AS sh)) ELSE array() END"
         val docs = Tables.documents(s, dir).withColumn("toks", expr(toksE))
+        // r21: the span-redundancy window rewrite (one exchange of the
+        // window rows instead of groupBy + SMJ back-join); same values
+        import org.apache.spark.sql.expressions.Window
         val wins = docs.select($"doc_id", explode(expr(g8win)).as("w"))
           .select($"doc_id", $"w.j", $"w.sh")
-        val first = wins.groupBy($"sh").agg(min($"doc_id").as("first_doc"))
-        val cov = wins.join(first, "sh").filter($"first_doc" < $"doc_id")
+        val wF = Window.partitionBy($"sh")
+        val cov = wins.withColumn("first_doc", min($"doc_id").over(wF))
+          .filter($"first_doc" < $"doc_id")
           .select($"doc_id", explode(expr("sequence(j, j + 7)")).as("pos"))
           .groupBy($"doc_id").agg(collect_set($"pos").as("cov"))
         docs.join(cov, Seq("doc_id"), "left")
