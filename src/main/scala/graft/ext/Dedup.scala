@@ -27,12 +27,16 @@ object Dedup {
 
   import TextExpr.{toksE, shinglesE}
 
-  /** distinct word-3-gram shingles, exploded to (doc_id, sh) */
+  /** distinct word-3-gram shingles, exploded to (doc_id, sh) — r21:
+    * via the one-pass `shingles3` expression (same array as the
+    * [[TextExpr.shinglesE]] lambda, Shingles3Spec-gated; the verify
+    * joins evaluate this scan twice per pair query). */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
+    graft.functions.Shingles3.register(s)
     Tables.documents(s, dir)
       .withColumn("toks", expr(toksE))
-      .select($"doc_id", explode(expr(shinglesE)).as("sh"))
+      .select($"doc_id", explode(expr("shingles3(toks)")).as("sh"))
   }
 
   /** Per-doc 8 min-hash signatures plus shingle count — the LSH

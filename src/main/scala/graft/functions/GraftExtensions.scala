@@ -60,6 +60,15 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
         PqEncode(children(0), children(1), children(2), children(3))
       }))
     ext.injectFunction((
+      FunctionIdentifier("shingles3"),
+      new ExpressionInfo(classOf[Shingles3].getName, "shingles3"),
+      { children: Seq[Expression] =>
+        if (children.length != 1)
+          throw new IllegalArgumentException(
+            s"shingles3 requires exactly 1 argument, got ${children.length}")
+        Shingles3(children.head)
+      }))
+    ext.injectFunction((
       FunctionIdentifier("simhash60_doc"),
       new ExpressionInfo(classOf[SimHashDoc].getName, "simhash60_doc"),
       { children: Seq[Expression] =>
