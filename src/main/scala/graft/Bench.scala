@@ -232,7 +232,18 @@ object Bench {
       val (sec, err) = best(name)
       (name, if (err.isDefined) -1.0 else sec, err)
     }
-    val line = renderLine(results, flaky.toSeq, calibMin, sfDir)
+    // largest-input scan split count: how many tasks the biggest table's
+    // scan stage can run — the scan-parallelism ceiling the scaling
+    // probe needs to interpret its ratios (1 here: single-row-group
+    // parquet inputs)
+    val scanSplits =
+      try Tables.lineitem(spark, sfDir).rdd.getNumPartitions
+      catch { case _: Throwable => -1 }
+    val sessionFacts = Seq(
+      "master" -> ("\"" + spark.sparkContext.master + "\""),
+      "default_parallelism" -> spark.sparkContext.defaultParallelism.toString,
+      "scan_splits_largest" -> scanSplits.toString)
+    val line = renderLine(results, flaky.toSeq, calibMin, sfDir, sessionFacts)
     val outPath = Paths.get(sys.env.getOrElse("SPARK_GRAFT_OUT", "."), "bench.json")
     Files.writeString(outPath, line + "\n")
     // print the JSON first (before any shutdown noise), then the file path
@@ -320,7 +331,8 @@ object Bench {
     * queries (-1) sort first — they are also named in the `errors`
     * map at the very end of the line, which always survives. */
   def renderLine(results: Seq[(String, Double, Option[String])],
-      flaky: Seq[(String, Int)], calibMin: Double, sfDir: String): String = {
+      flaky: Seq[(String, Int)], calibMin: Double, sfDir: String,
+      env: Seq[(String, String)] = Nil): String = {
     def jq(s: String): String = "\"" + s.flatMap {
       case '"'  => "\\\""
       case '\\' => "\\\\"
@@ -335,6 +347,19 @@ object Bench {
     val flakyJson = flaky.map { case (k, n) => jq(k) + ":" + n }
       .mkString("{", ",", "}")
     val total = results.collect { case (_, v, None) => v }.sum
-    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flakyJson,"calib_sec":$calibMin,"sf":"$sfDir"}"""
+    // r22 (r21 PERF `suspect_cpus_ignored`): session facts ride along
+    // so a flat low-core/high-core ratio is attributable — `master`
+    // proves $SPARK_GRAFT_CPUS reached the session, and
+    // `default_parallelism` + `scan_splits_largest` (split count of the
+    // largest input scan) show whether SCAN parallelism could track
+    // cores at all. At the bench SFs it cannot: every testdata parquet
+    // is a single ROW GROUP, and row groups are the split atom, so scan
+    // stages are 1 task at any maxPartitionBytes — the ratios measure
+    // shuffle/post-scan stages only. Additions only; every pre-existing
+    // field, its order, and the timing methodology are unchanged.
+    val envJson =
+      if (env.isEmpty) ""
+      else env.map { case (k, v) => jq(k) + ":" + v }.mkString(",", ",", "")
+    s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"errors":$errs,"flaky":$flakyJson,"calib_sec":$calibMin$envJson,"sf":"$sfDir"}"""
   }
 }

@@ -214,11 +214,18 @@ object Bpe {
       : Seq[(Int, String, String, Long)] = {
     import s.implicits._
     val vocabDf = pretokenVocab(s, dir, checkpoint = false)
-    val n = vocabDf.count()
-    if (n > MaxLocalVocab) return trainMerges(s, dir, rounds)
-    var vocab: Array[(Long, Array[String])] = vocabDf
+    // r22 (ADVICE r21 item 1, VERDICT item 8): the cap check rides the
+    // SAME bounded collect as the vocabulary — limit(cap + 1) collects
+    // at most cap + 1 rows in one corpus pass; row cap + 1 existing is
+    // the over-cap signal. The old count() + collect() ran the full
+    // pre-token aggregation twice (checkpoint = false materializes
+    // nothing between them).
+    val rows: Array[(Long, Seq[String])] = vocabDf
       .select($"cnt", $"syms").as[(Long, Seq[String])]
-      .collect().map { case (c, sy) => (c, sy.toArray) }
+      .limit(MaxLocalVocab + 1).collect()
+    if (rows.length > MaxLocalVocab) return trainMerges(s, dir, rounds)
+    var vocab: Array[(Long, Array[String])] =
+      rows.map { case (c, sy) => (c, sy.toArray) }
     (1 to rounds).map { r =>
       val counts = scala.collection.mutable.HashMap.empty[(String, String), Long]
       vocab.foreach { case (cnt, sy) =>
@@ -231,13 +238,19 @@ object Bpe {
       }
       require(counts.nonEmpty,
         s"BPE training round $r: no adjacent pairs left in the vocabulary")
-      // argmax with the distributed loop's exact tie-break:
-      // c DESC, a ASC, b ASC (String `<` is the same lexicographic
-      // order Spark's string ASC uses)
+      // argmax with the distributed loop's exact tie-break: c DESC,
+      // a ASC, b ASC in UTF-8 BINARY order — Spark's string ASC. Java
+      // String `<` compares UTF-16 code units, which diverges from
+      // UTF-8 byte order for supplementary characters (ADVICE r21
+      // item 2); unreachable for the ASCII-only pre-token alphabet but
+      // compared correctly anyway so the equivalence is unconditional.
+      def utf8Lt(x: String, y: String): Boolean =
+        org.apache.spark.unsafe.types.UTF8String.fromString(x)
+          .compareTo(org.apache.spark.unsafe.types.UTF8String.fromString(y)) < 0
       var bestA: String = null; var bestB: String = null; var bestC = -1L
       counts.foreach { case ((a, b), c) =>
         val better = c > bestC || (c == bestC &&
-          (a < bestA || (a == bestA && b < bestB)))
+          (utf8Lt(a, bestA) || (a == bestA && utf8Lt(b, bestB))))
         if (better) { bestA = a; bestB = b; bestC = c }
       }
       vocab = vocab.map { case (cnt, sy) => (cnt, mergePass(sy, bestA, bestB)) }

@@ -432,13 +432,27 @@ object Dedup {
           val byCores = math.ceil(math.sqrt(2.0 * s.sparkContext.defaultParallelism)).toInt
           math.min(512, math.max(4, math.max(byTaskPairs, byCores)))
         }
+        // r22 (guide §1.2 per-task work): the vector NORMS are
+        // precomputed once per row — n sqrt(Σx²) passes — so the n²/2
+        // pair loop runs ONE fused multiply-add per element
+        // (dot_product) instead of cosine_sim's three; the division
+        // reuses sqrt(Σa²)·sqrt(Σb²) exactly as cosine_sim computes it
+        // (same accumulation order, same op order → bit-identical
+        // doubles, EmbeddingsSpec pins it). The when() branches
+        // replicate cosine_sim's edge semantics without re-evaluating
+        // the dot: dimension mismatch → NULL (checked on cheap size()),
+        // zero-norm side → 0.0, null element → NULL (dot_product and
+        // the null norm both propagate).
         val e = Tables.embeddings(s, dir)
-          .select($"vec_id", $"embedding", pmod($"vec_id", lit(P)).as("blk"))
-        val a = e.select($"vec_id".as("a_id"), $"embedding".as("va"), $"blk")
+          .select($"vec_id", $"embedding", pmod($"vec_id", lit(P)).as("blk"),
+            sqrt(expr("dot_product(embedding, embedding)")).as("nrm"))
+        val a = e.select($"vec_id".as("a_id"), $"embedding".as("va"),
+            $"nrm".as("na"), $"blk")
           .withColumn("pk",
             explode(expr(s"transform(sequence(blk, ${P - 1}), j -> blk * $P + j)")))
           .drop("blk")
-        val b = e.select($"vec_id".as("b_id"), $"embedding".as("vb"), $"blk")
+        val b = e.select($"vec_id".as("b_id"), $"embedding".as("vb"),
+            $"nrm".as("nb"), $"blk")
           .withColumn("pk",
             explode(expr(s"transform(sequence(0, blk), i -> i * $P + blk)")))
           .drop("blk")
@@ -446,7 +460,10 @@ object Dedup {
           .filter(($"pk" % (P + 1) =!= 0) || ($"a_id" < $"b_id"))
           .select(least($"a_id", $"b_id").as("a_id"),
             greatest($"a_id", $"b_id").as("b_id"),
-            round(expr("cosine_sim(va, vb)"), 4).as("cos"))
+            round(when(size($"va") =!= size($"vb"), lit(null).cast("double"))
+              .when($"na" === 0.0 || $"nb" === 0.0, lit(0.0))
+              .otherwise(expr("dot_product(va, vb)") / ($"na" * $"nb")), 4)
+              .as("cos"))
           .orderBy($"cos".desc, $"a_id".asc, $"b_id".asc)
           .limit(20)
       },

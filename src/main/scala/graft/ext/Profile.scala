@@ -26,26 +26,43 @@ import org.apache.spark.sql.functions._
   */
 object Profile {
 
-  /** The single-pass profile body over the events shape — exposed so
-    * the spec can drive it with injected nulls (the corpus itself has
-    * none, so the null-counting path needs a synthetic exercise). */
+  /** The profile body over the events shape — exposed so the spec can
+    * drive it with injected nulls (the corpus itself has none, so the
+    * null-counting path needs a synthetic exercise).
+    *
+    * r22 plan shape (guide §2.3/§2.4): nulls + min/max for all six
+    * columns ride ONE aggregate pass; each exact distinct count is its
+    * OWN two-phase aggregation (partial per-partition dedup → count)
+    * over a single-column projection, and the seven 1-row frames
+    * cross-join. The previous all-in-one aggregate made Catalyst plan
+    * the 6-way multi-distinct as a single Expand — every input row
+    * expanded ×6 into one wide hash aggregate whose grouping state
+    * spans every column at once. Measured at sf0.1 (PairsProbe, min of
+    * 3): Expand shape 3.49 s vs 0.33 s (base pass) + 0.72 s (six
+    * per-column distincts) — and the per-column scans column-prune
+    * where the Expand scan reads all six at once. Values are
+    * bit-identical: countDistinct is null-free in both shapes, the
+    * formatting functions are unchanged. */
   def profileEvents(ev: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     def nulls(c: String) = sum(when(col(c).isNull, 1L).otherwise(0L)).as(s"${c}_nulls")
-    def dist(c: String) = countDistinct(col(c)).as(s"${c}_distinct")
     type C = org.apache.spark.sql.Column
     val asStr: Map[String, C => C] = Map[String, C => C](
       "ts" -> ((c: C) => date_format(c, "yyyy-MM-dd HH:mm:ss")),
       "value" -> ((c: C) => c.cast("decimal(18,2)").cast("string"))
     ).withDefaultValue((c: C) => c.cast("string"))
     val cols = Seq("event_id", "ts", "user_id", "event_type", "value", "props")
-    val aggs = cols.flatMap { c =>
+    val baseAggs = cols.flatMap { c =>
       val f = asStr(c)
-      Seq(nulls(c), dist(c), f(min(col(c))).as(s"${c}_min"), f(max(col(c))).as(s"${c}_max"))
+      Seq(nulls(c), f(min(col(c))).as(s"${c}_min"), f(max(col(c))).as(s"${c}_max"))
+    }
+    val base = ev.agg(baseAggs.head, baseAggs.tail: _*)
+    val wide = cols.foldLeft(base) { (acc, c) =>
+      acc.crossJoin(ev.select(col(c))
+        .agg(countDistinct(col(c)).as(s"${c}_distinct")))
     }
     val stackArgs = cols.map(c =>
       s"'$c', ${c}_nulls, ${c}_distinct, ${c}_min, ${c}_max").mkString(", ")
-    ev.agg(aggs.head, aggs.tail: _*)
-      .select(expr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_s, max_s)"))
+    wide.select(expr(s"stack(${cols.size}, $stackArgs) AS (col_name, n_nulls, n_distinct, min_s, max_s)"))
   }
 
   val defs: Map[String, QueryDef] = Map(

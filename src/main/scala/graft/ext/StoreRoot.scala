@@ -1,49 +1,75 @@
 package graft.ext
 
+import java.nio.charset.StandardCharsets
+import java.nio.file.{Files, Paths, StandardCopyOption}
 import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 /** Shared store-root resolution for every persisted-state operator
   * family (dedup clusters, CDC chunk store, ANN/PQ indexes, streamed
-  * pipeline state): the root is keyed by the source dir AND a cheap
-  * corpus content fingerprint (row count + max id + order-free
+  * pipeline state): the root is keyed by the source dir AND a corpus
+  * content fingerprint (row count + max id + order-free
   * bit_xor(xxhash64(id, content))), so a driver-side testdata
   * regeneration — even one that keeps the shape but changes content —
   * reseeds the store instead of probing a stale snapshot.
   *
-  * r21 (ADVICE r20 items 2 and 4): one helper instead of four copies,
-  * with two changes:
-  *
-  *  1. the fingerprint aggregation is MEMOIZED per (envKey, dir) for
-  *     the JVM's lifetime — previously every invocation of a
-  *     persisted-probe entry re-ran a full corpus scan just to
-  *     re-derive the root it already knew (one extra scan per bench
-  *     rep × four families). The staleness guard the scan implements
-  *     is CROSS-run (a regeneration happens between driver runs, never
-  *     mid-JVM while queries are executing), so a per-JVM memo keeps
-  *     the guard exactly as strong where it matters and free where it
-  *     doesn't. Tests that regenerate corpora use distinct dirs, which
-  *     miss the memo by construction.
-  *  2. the default store parent is resolved against the working
-  *     directory (`target/<family>` under user.dir) instead of a
-  *     hard-coded absolute path — same location when run from the
-  *     repo root, portable elsewhere; the GRAFT_*_DIR env overrides
-  *     are unchanged.
+  * r22 (VERDICT r21 item 4 — the fingerprint scan was a 100 TB
+  * scale-killer: four families × one full corpus scan per fresh JVM
+  * just to resolve a path): the fingerprint is now persisted in a
+  * MANIFEST next to the stores, validated against cheap source-file
+  * metadata (the scan's input file listing with per-file size +
+  * mtime — no Spark job, no data read). A matching manifest resolves
+  * the root from metadata alone; any mismatch (new files, rewritten
+  * parquet, size/mtime drift) falls back to the full content scan and
+  * rewrites the manifest. A regeneration that rewrites bytes changes
+  * size/mtime → rescan → reseed, so the cross-run staleness guard
+  * keeps its strength for every mutation a filesystem can observe;
+  * the only way past it is a content change that preserves byte size
+  * AND mtime, which no regeneration path here does. The r21 per-JVM
+  * memo stays on top (same rationale: regeneration never happens
+  * mid-JVM).
   */
 private[ext] object StoreRoot {
 
   private val memo = new java.util.concurrent.ConcurrentHashMap[String, String]()
 
+  /** Cheap, job-free identity of the table's source files: sorted
+    * `path|size|mtimeMs` lines. Listing only — never reads data. */
+  private def sourceMeta(df: DataFrame): String =
+    df.inputFiles.sorted.map { f =>
+      val p = Paths.get(new java.net.URI(f).getPath)
+      s"$f|${Files.size(p)}|${Files.getLastModifiedTime(p).toMillis}"
+    }.mkString("\n")
+
   def resolve(s: SparkSession, dir: String, envKey: String,
       defaultSubdir: String, table: (SparkSession, String) => DataFrame,
       idCol: String, contentCol: String): String =
     memo.computeIfAbsent(s"$envKey|$dir", _ => {
-      val r = table(s, dir).agg(count(lit(1)), max(col(idCol)),
-        expr(s"bit_xor(xxhash64($idCol, $contentCol))")).collect()(0)
+      val parent = sys.env.getOrElse(envKey,
+        new java.io.File(sys.props("user.dir"), s"target/$defaultSubdir").getPath)
       val md = java.security.MessageDigest.getInstance("MD5")
         .digest(dir.getBytes("UTF-8")).map("%02x".format(_)).mkString
-      sys.env.getOrElse(envKey,
-        new java.io.File(sys.props("user.dir"), s"target/$defaultSubdir").getPath) +
-        s"/$md-n${r.getLong(0)}-m${r.getLong(1)}-x${java.lang.Long.toHexString(r.getLong(2))}"
+      val df = table(s, dir)
+      val meta = sourceMeta(df)
+      val manifest = Paths.get(parent, s"$md.manifest")
+      val recorded =
+        if (Files.exists(manifest)) {
+          val lines = new String(Files.readAllBytes(manifest),
+            StandardCharsets.UTF_8).split("\n::\n", 2)
+          if (lines.length == 2 && lines(0) == meta) Some(lines(1).trim) else None
+        } else None
+      val suffix = recorded.getOrElse {
+        val r = df.agg(count(lit(1)), max(col(idCol)),
+          expr(s"bit_xor(xxhash64($idCol, $contentCol))")).collect()(0)
+        val sfx =
+          s"$md-n${r.getLong(0)}-m${r.getLong(1)}-x${java.lang.Long.toHexString(r.getLong(2))}"
+        Files.createDirectories(Paths.get(parent))
+        val tmp = Files.createTempFile(Paths.get(parent), s"$md", ".manifest.tmp")
+        Files.write(tmp, s"$meta\n::\n$sfx\n".getBytes(StandardCharsets.UTF_8))
+        Files.move(tmp, manifest, StandardCopyOption.REPLACE_EXISTING,
+          StandardCopyOption.ATOMIC_MOVE)
+        sfx
+      }
+      s"$parent/$suffix"
     })
 }

@@ -654,14 +654,23 @@ object TextStats {
         // r21 note: the window-count rewrite was measured slower here
         // too (see txt_lm_score) — the four LM tables are
         // vocabulary-sized broadcast panels. Kept as-is.
-        val cc2 = bb.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"))
-        val cc1 = cc2.groupBy($"w1").agg(sum($"c2").as("c1"))
-        val tc2 = bb.filter($"is_tgt").groupBy($"w1", $"w2").agg(count(lit(1)).as("t2"))
-        val tc1 = tc2.groupBy($"w1").agg(sum($"t2").as("t1"))
+        // r22 (§2.3 aggregate-before-shuffle): corpus AND target bigram
+        // counts ride ONE aggregation — t2 = count_if(is_tgt) inside
+        // the c2 groupBy, t1 = sum(t2) inside the c1 regroup — where
+        // the old shape ran a SECOND full pass over the exploded bigram
+        // table (bb.filter(is_tgt) → its own groupBy exchange) plus two
+        // extra joins back. Values identical: a bigram absent from the
+        // target slice had NULL t2 through the old left join (→ fp_t
+        // 0 via coalesce) and has t2 = 0 here (→ fp_t 0 via the guard;
+        // the guard also keeps the DIV away from t1 = 0, which ANSI
+        // mode would fault on — t2 > 0 implies t1 > 0).
+        val cc2 = bb.groupBy($"w1", $"w2").agg(count(lit(1)).as("c2"),
+          count(when($"is_tgt", 1)).as("t2"))
+        val cc1 = cc2.groupBy($"w1").agg(sum($"c2").as("c1"), sum($"t2").as("t1"))
         val pd = bb.join(cc2, Seq("w1", "w2")).join(cc1, Seq("w1"))
-          .join(tc2, Seq("w1", "w2"), "left").join(tc1, Seq("w1"), "left")
           .withColumn("fp_c", expr("(c2 * 1000000000) DIV c1"))
-          .withColumn("fp_t", coalesce(expr("(t2 * 1000000000) DIV t1"), lit(0L)))
+          .withColumn("fp_t", when($"t2" === 0, lit(0L))
+            .otherwise(expr("(t2 * 1000000000) DIV t1")))
           .groupBy($"doc_id")
           .agg(count(lit(1)).as("n_bigrams"),
             sum($"fp_c").as("sc2"), sum($"fp_t").as("st2"))

@@ -97,7 +97,16 @@ object VecDist {
     else if (!lit.foldable || lit.dataType != IntegerType)
       TypeCheckResult.TypeCheckFailure(
         s"$prettyName requires a foldable INT parameter")
-    else TypeCheckResult.TypeCheckSuccess
+    else lit.eval(null) match {
+      // reject NULL / k < 1 at ANALYSIS time (ADVICE r21 item 3): a
+      // user-callable SQL function must fail with a type error here,
+      // not an ArrayIndexOutOfBounds / sys.error at eval
+      case null => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName INT parameter must not be NULL")
+      case i: Integer if i.intValue() < 1 => TypeCheckResult.TypeCheckFailure(
+        s"$prettyName INT parameter must be >= 1, got $i")
+      case _ => TypeCheckResult.TypeCheckSuccess
+    }
   }
 }
 

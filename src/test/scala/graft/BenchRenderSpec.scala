@@ -51,6 +51,18 @@ class BenchRenderSpec extends AnyFunSuite {
     assert(line.contains("\"flaky\":{\"d_mid\":2}"), line)
   }
 
+  test("session facts land between calib_sec and sf (additions only; sf still closes the line)") {
+    val l2 = Bench.renderLine(results, Nil, 0.25, "/sf",
+      Seq("master" -> "\"local[32]\"", "default_parallelism" -> "32",
+        "scan_splits_largest" -> "1"))
+    assert(l2.contains("\"calib_sec\":0.25,\"master\":\"local[32]\"," +
+      "\"default_parallelism\":32,\"scan_splits_largest\":1,\"sf\":\"/sf\"}"), l2)
+    assert(l2.endsWith("\"sf\":\"/sf\"}"), l2)
+    // default arg: the old five-arg shape is byte-identical
+    assert(Bench.renderLine(results, Nil, 0.25, "/sf") ==
+      Bench.renderLine(results, Nil, 0.25, "/sf", Nil))
+  }
+
   test("renderBandLine: per-group minima envelope, uniform run-calib rescale, one-line JSON") {
     // two groups of two passes; run calib = min over ALL passes = 0.25.
     // Anchor 0.50 → ONE uniform factor 0.50/0.25 = 2 for everything
