@@ -156,8 +156,22 @@ object Ingest {
   def projectParticipant(raw: DataFrame,
       roomState: Option[DataFrame] = None): DataFrame = {
     graft.functions.NfdNormalize.register(raw.sparkSession)
-    val membership = get_json_object(col("content"), "$.membership")
-    val dn = get_json_object(col("content"), "$.displayname")
+    // r22 (guide §4.4's duplicate-evaluation trap, measured via
+    // CosProbe): membership/displayname/avatar used to ride three
+    // get_json_object calls, each inlined by CollapseProject into every
+    // consuming expression — `dn` alone feeds truthy/base/stripped/
+    // force, so content was Jackson-parsed several times per row
+    // (0.33 s per extraction per 100k rows at sf0.1). json_tuple is a
+    // GENERATOR: one parse per row, three materialized columns, and
+    // the projection cannot inline it. Per-field semantics match
+    // get_json_object's top-level `$.k` paths (same Jackson text-out;
+    // IngestJsonSpec pins the tricky cases).
+    val member0 = raw.filter(col("event_type") === "m.room.member")
+      .select(col("*"), json_tuple(col("content"),
+        "membership", "displayname", "avatar_url")
+        .as(Seq("__memb", "__dn", "__av")))
+    val membership = col("__memb")
+    val dn = col("__dn")
     // typeof displayname !== "string" → falsy (calculateDisplayName):
     // VARIANT introspection sees the true JSON type where
     // get_json_object would coerce 42 → "42" or an object → its text
@@ -186,10 +200,11 @@ object Ingest {
     // shouldDisambiguate's unconditional rules: a name that LOOKS like
     // an mxid (impersonation defense) or carries LTR/RTL marks (which
     // could visually reorder surrounding text) always shows the real
-    // mxid, collision or not
-    val forceDisambiguate = dn.rlike("@.+:.+") ||
-      dn.rlike("[\\u200E\\u200F\\u202A-\\u202F]")
-    val batch = raw.filter(col("event_type") === "m.room.member").select(
+    // mxid, collision or not. One alternation regex ≡ rlike(A)||rlike(B)
+    // (RLIKE is find-anywhere; null in ⟺ null out both ways) at half
+    // the regex passes.
+    val forceDisambiguate = dn.rlike("@.+:.+|[\\u200E\\u200F\\u202A-\\u202F]")
+    val batch = member0.select(
       col("event_id"),
       col("sender").as("user_id"),
       col("room_id"),
@@ -198,7 +213,7 @@ object Ingest {
       collisionKey.as("__key"),
       forceDisambiguate.as("__force"),
       lit(false).as("__state"),
-      coalesce(get_json_object(col("content"), "$.avatar_url"), lit("")).as("avatar_url"),
+      coalesce(col("__av"), lit("")).as("avatar_url"),
       membership.as("membership"),
       col("origin_server_ts").as("joined_ts"),
       when(membership.isNull,

@@ -30,7 +30,17 @@ object Dedup {
   /** distinct word-3-gram shingles, exploded to (doc_id, sh) — r21:
     * via the one-pass `shingles3` expression (same array as the
     * [[TextExpr.shinglesE]] lambda, Shingles3Spec-gated; the verify
-    * joins evaluate this scan twice per pair query). */
+    * joins evaluate this scan twice per pair query).
+    *
+    * r22 NEGATIVE RESULT, kept out deliberately: verifying candidates
+    * against compact per-doc shingle ARRAYS (two pair-proportional
+    * joins + size(array_intersect), no explode/groupBy) measured
+    * SLOWER — 3.48 s vs 2.66 s for the verify stage at sf0.1
+    * (VerifyShapeProbe) and dedup_minhash_lsh 2.2 → 3.6 s end-to-end:
+    * the 82k candidate pairs each drag two ~50-element string arrays
+    * through both joins and a per-pair hash-set build, where the
+    * exploded shape ships narrow (id, shingle) rows into one partial-
+    * aggregated count. The exploded formulation stays. */
   private def shingles(s: SparkSession, dir: String): DataFrame = {
     import s.implicits._
     graft.functions.Shingles3.register(s)
@@ -158,7 +168,8 @@ object Dedup {
     * with [[minhashPairsDelta]] so "verified near-dup pair" has one
     * definition whatever candidate generator fed it: shingle
     * intersection per candidate, |A∩B| / (|A| + |B| − |A∩B|) rounded
-    * to 4 places, kept at ≥ 0.01. */
+    * to 4 places, kept at ≥ 0.01. (r22: the array-intersect variant
+    * measured slower — see [[shingles]].) */
   private def jaccardVerify(cand: DataFrame, sigs: DataFrame, sh: DataFrame): DataFrame = {
     val cnt = sigs.select(col("doc_id"), col("n"))
     val shA = sh.select(col("doc_id").as("a_id"), col("sh"))
@@ -442,7 +453,11 @@ object Dedup {
         // replicate cosine_sim's edge semantics without re-evaluating
         // the dot: dimension mismatch → NULL (checked on cheap size()),
         // zero-norm side → 0.0, null element → NULL (dot_product and
-        // the null norm both propagate).
+        // the null norm both propagate). The per-pair round rides
+        // round_hu — Spark round(_,4) bit-identically (FastRoundSpec)
+        // without RoundBase's per-row BigDecimal, which RoundProbe
+        // measured at 1.05 s of this query's 2.0 s (2M pair rows).
+        graft.functions.RoundHalfUp.register(s)
         val e = Tables.embeddings(s, dir)
           .select($"vec_id", $"embedding", pmod($"vec_id", lit(P)).as("blk"),
             sqrt(expr("dot_product(embedding, embedding)")).as("nrm"))
@@ -460,10 +475,10 @@ object Dedup {
           .filter(($"pk" % (P + 1) =!= 0) || ($"a_id" < $"b_id"))
           .select(least($"a_id", $"b_id").as("a_id"),
             greatest($"a_id", $"b_id").as("b_id"),
-            round(when(size($"va") =!= size($"vb"), lit(null).cast("double"))
-              .when($"na" === 0.0 || $"nb" === 0.0, lit(0.0))
-              .otherwise(expr("dot_product(va, vb)") / ($"na" * $"nb")), 4)
-              .as("cos"))
+            expr("round_hu(" +
+              "CASE WHEN size(va) != size(vb) THEN CAST(NULL AS DOUBLE) " +
+              "WHEN na = 0.0d OR nb = 0.0d THEN 0.0d " +
+              "ELSE dot_product(va, vb) / (na * nb) END, 4)").as("cos"))
           .orderBy($"cos".desc, $"a_id".asc, $"b_id".asc)
           .limit(20)
       },

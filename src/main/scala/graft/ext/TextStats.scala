@@ -332,11 +332,13 @@ object TextStats {
     "txt_bigram_freq" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
+        // r22: one-pass shingle_wins(toks, 2) windows instead of the
+        // HOF lambda (ShinglesNSpec pins equivalence)
+        graft.functions.ShingleWins.register(s)
         Tables.documents(s, dir)
           .withColumn("toks", expr(toksE))
-          .select(explode(expr(
-            "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks)-2), " +
-              "i -> concat_ws(' ', toks[i], toks[i+1])) ELSE array() END")).as("bigram"))
+          .select(explode(expr("shingle_wins(toks, 2)")).as("w"))
+          .select($"w.sh".as("bigram"))
           .groupBy($"bigram")
           .agg(count(lit(1)).as("freq"))
           .orderBy($"freq".desc, $"bigram".asc)
@@ -428,11 +430,12 @@ object TextStats {
     "txt_decontaminate" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        val g8 = "CASE WHEN size(toks) >= 8 THEN array_distinct(transform(sequence(0, size(toks)-8), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], " +
-          "toks[i+4], toks[i+5], toks[i+6], toks[i+7]))) ELSE array() END"
+        // r22: one-pass shingles_n(toks, 8) expression instead of the
+        // HOF transform/array_distinct lambda chain (the Shingles3
+        // rationale at width 8; ShinglesNSpec pins equivalence)
+        graft.functions.ShinglesN.register(s)
         val docs = Tables.documents(s, dir).withColumn("toks", expr(toksE))
-        val grams = docs.select($"doc_id", explode(expr(g8)).as("sh"))
+        val grams = docs.select($"doc_id", explode(expr("shingles_n(toks, 8)")).as("sh"))
         val probe = grams.filter($"doc_id" % 97 === 0).select($"sh").distinct()
         val hits = grams.filter($"doc_id" % 97 =!= 0)
           .join(broadcast(probe), "sh")
@@ -581,10 +584,9 @@ object TextStats {
     "txt_lm_score" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
+        graft.functions.BigramWins.register(s) // r22 one-pass bigram scan
         val docs = Tables.documents(s, dir).withColumn("toks", expr(toksE))
-        val bb = docs.select($"doc_id", explode(expr(
-          "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks)-2), " +
-            "i -> struct(toks[i] AS w1, toks[i+1] AS w2)) ELSE array() END")).as("b"))
+        val bb = docs.select($"doc_id", explode(expr("bigrams(toks)")).as("b"))
           .select($"doc_id", $"b.w1", $"b.w2")
         // r21 note: a window-count rewrite (count over (w1,w2)/(w1)
         // partitions) was MEASURED SLOWER here — the c2/c1 aggregates
@@ -647,9 +649,8 @@ object TextStats {
         import s.implicits._
         val docs = Tables.documents(s, dir).withColumn("toks", expr(toksE))
           .withColumn("is_tgt", expr("CAST(substring(source, 4) AS INT) % 5 = 0"))
-        val bb = docs.select($"doc_id", $"is_tgt", explode(expr(
-          "CASE WHEN size(toks) >= 2 THEN transform(sequence(0, size(toks)-2), " +
-            "i -> struct(toks[i] AS w1, toks[i+1] AS w2)) ELSE array() END")).as("b"))
+        graft.functions.BigramWins.register(s) // r22 one-pass bigram scan
+        val bb = docs.select($"doc_id", $"is_tgt", explode(expr("bigrams(toks)")).as("b"))
           .select($"doc_id", $"is_tgt", $"b.w1", $"b.w2")
         // r21 note: the window-count rewrite was measured slower here
         // too (see txt_lm_score) — the four LM tables are
@@ -725,9 +726,8 @@ object TextStats {
     "txt_span_redundancy" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        val g8 = "CASE WHEN size(toks) >= 8 THEN array_distinct(transform(sequence(0, size(toks)-8), " +
-          "i -> concat_ws(' ', toks[i], toks[i+1], toks[i+2], toks[i+3], " +
-          "toks[i+4], toks[i+5], toks[i+6], toks[i+7]))) ELSE array() END"
+        // r22: one-pass shingles_n(toks, 8) (see txt_decontaminate)
+        graft.functions.ShinglesN.register(s)
         // r21: min-over-window instead of groupBy+join-back — the old
         // shape shuffled the exploded gram table TWICE (once into the
         // min aggregate, once into the SMJ back-join); the window
@@ -735,7 +735,7 @@ object TextStats {
         // values: min over the sh partition ≡ the joined group min.
         import org.apache.spark.sql.expressions.Window
         val grams = Tables.documents(s, dir).withColumn("toks", expr(toksE))
-          .select($"doc_id", explode(expr(g8)).as("sh"))
+          .select($"doc_id", explode(expr("shingles_n(toks, 8)")).as("sh"))
         val wF = Window.partitionBy($"sh")
         val per = grams.withColumn("first_doc", min($"doc_id").over(wF))
           .groupBy($"doc_id")
@@ -788,14 +788,14 @@ object TextStats {
     "txt_span_scrub" -> QueryDef(
       build = (s, dir) => {
         import s.implicits._
-        val g8win = "CASE WHEN size(toks) >= 8 THEN transform(sequence(0, size(toks)-8), " +
-          "j -> struct(j AS j, concat_ws(' ', toks[j], toks[j+1], toks[j+2], toks[j+3], " +
-          "toks[j+4], toks[j+5], toks[j+6], toks[j+7]) AS sh)) ELSE array() END"
+        // r22: one-pass shingle_wins(toks, 8) positional windows
+        // instead of the HOF lambda (ShinglesNSpec pins equivalence)
+        graft.functions.ShingleWins.register(s)
         val docs = Tables.documents(s, dir).withColumn("toks", expr(toksE))
         // r21: the span-redundancy window rewrite (one exchange of the
         // window rows instead of groupBy + SMJ back-join); same values
         import org.apache.spark.sql.expressions.Window
-        val wins = docs.select($"doc_id", explode(expr(g8win)).as("w"))
+        val wins = docs.select($"doc_id", explode(expr("shingle_wins(toks, 8)")).as("w"))
           .select($"doc_id", $"w.j", $"w.sh")
         val wF = Window.partitionBy($"sh")
         val cov = wins.withColumn("first_doc", min($"doc_id").over(wF))
